@@ -1,0 +1,68 @@
+"""Engine configuration.
+
+The reference drives everything from a TSV ``.cntl`` file
+(``utility/control.py:11-44`` in the reference); we use a plain
+dataclass serialized to JSON inside the index manifest so a stored
+index is self-describing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    # --- sharding / layout ------------------------------------------------
+    # Document-sharded index: every shard holds postings for ALL terms but
+    # only docs with doc_id % n_shards == shard.  At cluster scale each
+    # executor owns a shard subset; query fan-out is embarrassingly
+    # parallel and needs no postings shuffle at query time.
+    n_shards: int = 32
+    # Docs per compressed postings block (delta-gap + varint); block-max
+    # metadata is kept per block for WAND pruning.
+    block_size: int = 128
+
+    # --- BM25 (north_rule fixes k1/b) ------------------------------------
+    k1: float = 1.2
+    b: float = 0.75
+
+    # --- tokenization -----------------------------------------------------
+    # 'porter'  : lowercase, split on non-alnum, Porter-stem (engine default;
+    #             mirrors the reference's Solr-side analysis chain,
+    #             reference text/porter.py:85-195 semantics re-done clean-room)
+    # 'simple'  : lowercase, split on non-alnum only (SQL-expressible; used
+    #             for the DuckDB oracle comparisons)
+    tokenizer: str = "porter"
+    min_token_len: int = 1
+    max_token_len: int = 64
+
+    # --- formula tuples (Tangent semantics) -------------------------------
+    # window: max tuple path length in edges; 0 = unbounded
+    # (reference mathindexmid.h:18-37, default 4)
+    window: int = 4
+    # eol mode: end-of-baseline tuples (tag, '0!', 'n') —
+    # 'none' | 'all' | 'small' (small = only for exprs of height <= 1;
+    # reference mathindex.cpp:13-19, shipped default = small)
+    eol_mode: str = "small"
+    # generated pairs longer than this many chars are dropped
+    # (reference symboltree.py:40-48)
+    max_pair_len: int = 200
+
+    # --- head-term skew ---------------------------------------------------
+    # terms whose doc frequency exceeds salt_df_threshold fraction of N get
+    # salted into salt_factor sub-keys before the term shuffle.
+    salt_df_threshold: float = 0.05
+    salt_factor: int = 8
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "IndexConfig":
+        return IndexConfig(**json.loads(s))
+
+
+DEFAULT_CONFIG = IndexConfig()

@@ -1,0 +1,321 @@
+"""BM25 top-k query execution (SURVEY.md §2.5 Q1-Q13, Spark-first).
+
+Two interchangeable scorers, rank-identical by construction:
+
+1. `bm25_topk_df` — a single declarative DataFrame plan over raw docs
+   (tokenize -> join query terms -> aggregate -> TakeOrderedAndProject).
+   Catalyst handles pushdown/codegen; this is the oracle-checkable
+   path (the DuckDB SQL twin lives in __spark_entry__.py).
+
+2. `bm25_topk_wand` — serves from the compressed IndexStore: postings
+   parquet is read with the query terms as a pushed-down filter
+   (row-group pruning works because postings are sorted by term within
+   each shard), then each document shard scores independently with
+   block-max pruning and emits a local top-k; only k rows per shard
+   move to the global TakeOrdered. No shuffle of postings at query
+   time — the reference's whole iterator machinery (Q3 OR-union, Q7
+   galloping skip, Q10 threshold pruning; mathindex.cpp:197-260)
+   collapses into this per-shard numpy kernel.
+
+Scoring: BM25, k1/b from IndexConfig, Lucene-style idf
+    idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+    tfn(t,d)= tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    score(q,d) = sum over unique q terms idf*tfn   (query tf ignored)
+Ties broken by ascending doc_id — same discipline as the reference's
+heap (mathindexbase.h:100: ties -> smaller id wins).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tangent_spark.codec import bm25_tf_norm, decode_block
+from tangent_spark.config import IndexConfig
+from tangent_spark.functions.tokenize import terms_df, tokenize_porter, tokenize_simple
+from tangent_spark.sources.store import IndexStore
+
+
+def idf(N: int, df: int) -> float:
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def query_terms(query: str, tokenizer: str) -> list[str]:
+    toks = tokenize_porter(query) if tokenizer == "porter" else tokenize_simple(query)
+    return sorted(set(toks))
+
+
+# ---------------------------------------------------------------------------
+# 1. Declarative DataFrame scorer (the oracle-checkable plan)
+# ---------------------------------------------------------------------------
+
+def bm25_topk_df(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One DataFrame plan: docs -> top-k (doc_id, score).
+
+    N and avgdl enter via a 1-row aggregate cross join (broadcast-nested
+    -loop of a single row — free); per-term df via groupBy on the terms
+    matched by the query (counts are corpus-global because the df
+    aggregation runs before the per-doc restriction... it runs on the
+    full terms relation filtered only by term).
+    """
+    qts = query_terms(query, cfg.tokenizer)
+    terms = terms_df(docs, id_col, text_col, cfg.tokenizer)
+    corpus = (
+        terms.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    matched = terms.filter(F.col("term").isin(qts))
+    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfs), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "tfn",
+            F.col("tf")
+            * (cfg.k1 + 1.0)
+            / (F.col("tf") + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf") * F.col("tfn")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# 2. Index-serving scorer with block-max pruning
+# ---------------------------------------------------------------------------
+
+_WAND_SCHEMA = (
+    "doc_id long, score double, shard int, "
+    "blocks_decoded int, blocks_skipped int, docs_scored int"
+)
+
+_MAXDOC = np.int64(2**62)
+
+
+def _score_shard(idf_map: dict[str, float], avgdl: float, cfg: IndexConfig, k: int):
+    """Per-shard kernel: block-max pruning via an interval sweep.
+
+    Block intervals (known from metadata alone) partition doc-space into
+    ranges; each range has upper bound = sum of covering blocks'
+    idf*max_tfn. Ranges are scored in descending upper-bound order with
+    a running top-k threshold; once the bound falls below the
+    threshold every remaining range is skipped without decoding.
+    This is block-max WAND restructured score-at-a-time — same skip
+    guarantee, fully vectorizable.
+    """
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+        # --- collect block metadata for every query-term row ---------------
+        blocks = []  # (lo, hi, bound, row_idx, blk_idx)
+        for ri in range(len(pdf)):
+            row = pdf.iloc[ri]
+            t_idf = idf_map.get(row["term"])
+            if t_idf is None:
+                continue
+            firsts = np.asarray(row["first_docs"], dtype=np.int64)
+            bounds = np.asarray(row["max_tfns"], dtype=np.float64) * t_idf
+            his = np.empty_like(firsts)
+            his[:-1] = firsts[1:] - 1
+            his[-1] = _MAXDOC
+            for bi in range(firsts.size):
+                blocks.append((firsts[bi], his[bi], bounds[bi], ri, bi))
+        if not blocks:
+            return pd.DataFrame(
+                columns=["doc_id", "score", "shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
+            )
+
+        lo = np.array([b[0] for b in blocks], dtype=np.int64)
+        hi = np.array([b[1] for b in blocks], dtype=np.int64)
+        bnd = np.array([b[2] for b in blocks], dtype=np.float64)
+
+        # --- sweep: disjoint ranges + their summed upper bounds ------------
+        points = np.unique(np.concatenate([lo, hi + 1]))
+        starts = points[:-1]
+        ends = points[1:] - 1
+        ub = np.zeros(starts.size, dtype=np.float64)
+        li = np.searchsorted(points, lo, side="right") - 1
+        hj = np.searchsorted(points, hi + 1, side="right") - 1
+        delta = np.zeros(points.size, dtype=np.float64)
+        np.add.at(delta, li, bnd)
+        np.add.at(delta, hj, -bnd)
+        ub = np.cumsum(delta)[:-1]
+
+        order = np.argsort(-ub, kind="stable")
+        cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        top_scores = np.zeros(0, dtype=np.float64)
+        top_docs = np.zeros(0, dtype=np.int64)
+        decoded = 0
+        skipped_after = 0
+        docs_scored = 0
+        threshold = -1.0
+
+        # pre-index blocks by range coverage
+        blk_lo, blk_hi = lo, hi
+
+        for oi, r in enumerate(order):
+            if top_scores.size >= k and ub[r] <= threshold:
+                skipped_after = order.size - oi
+                break
+            rlo, rhi = starts[r], ends[r]
+            cover = np.flatnonzero((blk_lo <= rhi) & (blk_hi >= rlo))
+            all_ids, all_contrib = [], []
+            for ci in cover:
+                _, _, _, ri, bi = blocks[ci]
+                key = (ri, bi)
+                if key not in cache:
+                    row = pdf.iloc[ri]
+                    cnt = int(row["counts"][bi])
+                    ids = decode_block(
+                        row["docs_blob"], np.asarray(row["d_cuts"]), bi, cnt, True
+                    ).astype(np.int64)
+                    tfs = decode_block(
+                        row["tfs_blob"], np.asarray(row["t_cuts"]), bi, cnt, False
+                    ).astype(np.int64)
+                    dls = decode_block(
+                        row["dls_blob"], np.asarray(row["l_cuts"]), bi, cnt, False
+                    ).astype(np.int64)
+                    contrib = idf_map[row["term"]] * bm25_tf_norm(
+                        tfs, dls, avgdl, cfg.k1, cfg.b
+                    )
+                    cache[key] = (ids, contrib)
+                    decoded += 1
+                ids, contrib = cache[key]
+                s = np.searchsorted(ids, rlo, side="left")
+                e = np.searchsorted(ids, rhi, side="right")
+                if e > s:
+                    all_ids.append(ids[s:e])
+                    all_contrib.append(contrib[s:e])
+            if not all_ids:
+                continue
+            cat_ids = np.concatenate(all_ids)
+            cat_c = np.concatenate(all_contrib)
+            uids, inv = np.unique(cat_ids, return_inverse=True)
+            sums = np.zeros(uids.size, dtype=np.float64)
+            np.add.at(sums, inv, cat_c)
+            docs_scored += uids.size
+            top_docs = np.concatenate([top_docs, uids])
+            top_scores = np.concatenate([top_scores, sums])
+            if top_scores.size > k:
+                # keep exactly top-k (score desc, doc asc) to tighten threshold
+                ordk = np.lexsort((top_docs, -top_scores))[:k]
+                top_docs, top_scores = top_docs[ordk], top_scores[ordk]
+            if top_scores.size >= k:
+                threshold = float(top_scores.min())
+
+        ordk = np.lexsort((top_docs, -top_scores))[:k]
+        top_docs, top_scores = top_docs[ordk], top_scores[ordk]
+        return pd.DataFrame(
+            {
+                "doc_id": top_docs,
+                "score": top_scores,
+                "shard": shard,
+                "blocks_decoded": decoded,
+                "blocks_skipped": skipped_after,
+                "docs_scored": docs_scored,
+            }
+        )
+
+    return kernel
+
+
+def bm25_topk_wand(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    with_metrics: bool = False,
+) -> DataFrame:
+    cfg = store.get_config()
+    qts = query_terms(query, cfg.tokenizer)
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    N, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    stats = (
+        spark.read.parquet(store.path("term_stats"))
+        .filter(F.col("term").isin(qts))
+        .collect()
+    )
+    idf_map = {r["term"]: idf(N, int(r["df"])) for r in stats}
+    if not idf_map:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    postings = spark.read.parquet(store.path("postings")).filter(
+        F.col("term").isin(list(idf_map))
+    )
+    local = postings.groupBy("shard").applyInPandas(
+        _score_shard(idf_map, avgdl, cfg, k), schema=_WAND_SCHEMA
+    )
+    cols = ["doc_id", "score"] + (
+        ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"] if with_metrics else []
+    )
+    return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_index_full(
+    spark: SparkSession, store: IndexStore, query: str, k: int
+) -> DataFrame:
+    """Pruning-free scorer over the same index (decodes every block) —
+    the cross-check twin for bm25_topk_wand in tests."""
+    cfg = store.get_config()
+    qts = query_terms(query, cfg.tokenizer)
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    N, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    stats = (
+        spark.read.parquet(store.path("term_stats"))
+        .filter(F.col("term").isin(qts))
+        .collect()
+    )
+    idf_map = {r["term"]: idf(N, int(r["df"])) for r in stats}
+    if not idf_map:
+        return spark.createDataFrame([], "doc_id long, score double")
+    k1, b = cfg.k1, cfg.b
+
+    def decode_all(batches):
+        from tangent_spark.codec import decode_posting_list
+
+        for pdf in batches:
+            out_docs, out_scores = [], []
+            for _, row in pdf.iterrows():
+                ids, tfs, dls = decode_posting_list(
+                    row["docs_blob"], row["tfs_blob"], row["dls_blob"],
+                    np.asarray(row["d_cuts"]), np.asarray(row["t_cuts"]),
+                    np.asarray(row["l_cuts"]), row["counts"],
+                )
+                out_docs.append(ids)
+                out_scores.append(
+                    idf_map[row["term"]] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
+                )
+            if out_docs:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(out_docs), "part": np.concatenate(out_scores)}
+                )
+
+    postings = spark.read.parquet(store.path("postings")).filter(
+        F.col("term").isin(list(idf_map))
+    )
+    parts = postings.mapInPandas(decode_all, schema="doc_id long, part double")
+    return (
+        parts.groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
