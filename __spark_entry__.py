@@ -1,38 +1,251 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -- flagship BM25 top-k on sf0.001.
+queries()      -- one entry per implemented operator (SURVEY.md §2),
+                  implementations in tangent_spark/entry_queries.py.
+oracle_sql()   -- DuckDB twins; aliases and rounding match exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from tangent_spark import entry_queries as eq  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 top-20."""
+    return eq.q9_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "s1_doc_scan": eq.s1_doc_scan,
+        "t9_tokenize_tf": eq.t9_tokenize_tf,
+        "a1_term_dict": eq.a1_term_dict,
+        "a4_doc_stats": eq.a4_doc_stats,
+        "a5_corpus_stats": eq.a5_corpus_stats,
+        "a8_df_histogram": eq.a8_df_histogram,
+        "p4_dedup_count": eq.p4_dedup_count,
+        "q3_or_union": eq.q3_or_union,
+        "q4_count_capped": eq.q4_count_capped,
+        "q5_wildcard": eq.q5_wildcard,
+        "q8_dice_topk": eq.q8_dice_topk,
+        "q9_bm25_topk": eq.q9_bm25_topk,
+        "q13_distinct_docs": eq.q13_distinct_docs,
+        "r10_doc_agg": eq.r10_doc_agg,
+        "tpch_q1": eq.tpch_q1,
+        "tpch_q3_topk": eq.tpch_q3_topk,
+        "events_hourly": eq.events_hourly,
+        "events_sessionize": eq.events_sessionize,
+        "dedup_exact": eq.dedup_exact,
+        "minhash_signature": eq.minhash_signature,
+        "dedup_ngram_jaccard": eq.dedup_ngram_jaccard,
+        "embedding_cosine_topk": eq.embedding_cosine_topk,
+        "text_quality": eq.text_quality,
+        "text_langid": eq.text_langid,
+        "doc_fingerprint": eq.doc_fingerprint,
+        "token_count_by_source": eq.token_count_by_source,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Shared CTE fragments (kept as python strings so the tokenizer regex has
+# a single source of truth across all oracle queries).
+_TOK = (
+    "tok AS (SELECT doc_id, t.term FROM ("
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents) t WHERE t.term <> '')"
+)
+_TF = "tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok GROUP BY 1, 2)"
+_DL = "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)"
+_POS = (
+    "pos AS (SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS term "
+    "FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS arr FROM documents))"
+)
+
+_UNION_IN = "('data','query','spark')"
+_BM25_IN = "('data','query','spark','index')"
+_QDF = "q(term, q_tf) AS (VALUES ('data', 2), ('query', 1), ('table', 1))"
+_EN = "('the','of','and','is','a','to')"
+_DE = "('der','die','und','ist','das','zu')"
+_ID = "('yang','dan','di','itu','dengan','untuk')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "s1_doc_scan": (
+            "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'"
+        ),
+        "t9_tokenize_tf": f"WITH {_TOK}, {_TF} SELECT doc_id, term, tf FROM tf",
+        "a1_term_dict": (
+            f"WITH {_TOK}, {_TF}, "
+            "vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1) "
+            "SELECT term, df, row_number() OVER (ORDER BY term)::BIGINT AS term_id FROM vocab"
+        ),
+        "a4_doc_stats": (
+            f"WITH {_TOK}, {_TF} "
+            "SELECT doc_id, sum(tf)::BIGINT AS dl, count(*)::INT AS n_terms, "
+            "max(tf)::INT AS max_tf FROM tf GROUP BY 1"
+        ),
+        "a5_corpus_stats": (
+            f"WITH {_TOK}, {_DL} "
+            "SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, "
+            "round(avg(dl), 4)::DOUBLE AS avgdl FROM dl"
+        ),
+        "a8_df_histogram": (
+            f"WITH {_TOK}, {_TF}, "
+            "vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1) "
+            "SELECT df, count(*)::BIGINT AS n_terms FROM vocab GROUP BY 1"
+        ),
+        "p4_dedup_count": (
+            f"WITH {_TOK} "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "count(DISTINCT term)::INT AS n_unique FROM tok GROUP BY 1"
+        ),
+        "q3_or_union": (
+            f"WITH {_TOK}, {_TF} "
+            f"SELECT doc_id, sum(tf)::BIGINT AS total_tf, count(*)::INT AS n_terms_hit "
+            f"FROM tf WHERE term IN {_UNION_IN} GROUP BY 1"
+        ),
+        "q4_count_capped": (
+            f"WITH {_TOK}, {_TF}, {_QDF} "
+            "SELECT doc_id, sum(least(q.q_tf, tf.tf))::BIGINT AS cc "
+            "FROM tf JOIN q USING (term) GROUP BY 1"
+        ),
+        "q5_wildcard": (
+            f"WITH {_TOK}, {_TF} "
+            "SELECT term, count(*)::INT AS df, sum(tf)::BIGINT AS cf "
+            "FROM tf WHERE term LIKE 'c%' GROUP BY 1"
+        ),
+        "q8_dice_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, {_QDF}, "
+            "cc AS (SELECT doc_id, sum(least(q.q_tf, tf.tf)) AS cc "
+            "FROM tf JOIN q USING (term) GROUP BY 1) "
+            "SELECT cc.doc_id, round(2.0 * cc.cc / (dl.dl + 4), 4)::DOUBLE AS score "
+            "FROM cc JOIN dl USING (doc_id) "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "q9_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1) "
+            "SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "q13_distinct_docs": (
+            f"WITH {_TOK}, {_TF} "
+            f"SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf WHERE term IN {_UNION_IN}"
+        ),
+        "r10_doc_agg": (
+            "SELECT user_id, round(max(value), 4)::DOUBLE AS top_score, "
+            "round(sum(value), 4)::DOUBLE AS total_score, count(*)::BIGINT AS n "
+            "FROM events GROUP BY 1"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 4)::DOUBLE AS sum_qty, "
+            "round(sum(l_extendedprice), 4)::DOUBLE AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4)::DOUBLE AS sum_disc_price, "
+            "round(avg(l_quantity), 4)::DOUBLE AS avg_qty, "
+            "count(*)::BIGINT AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY 1, 2"
+        ),
+        "tpch_q3_topk": (
+            "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4)::DOUBLE AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS total "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS (SELECT user_id, floor(epoch(ts))::BIGINT - "
+            "floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap "
+            "FROM events) "
+            "SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions, "
+            "count(*)::BIGINT AS n_events FROM g GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, count(*)::INT AS n_docs, "
+            "min(doc_id)::BIGINT AS keep_id FROM documents GROUP BY 1"
+        ),
+        "minhash_signature": (
+            f"WITH {_TOK}, d AS (SELECT DISTINCT doc_id, term FROM tok) "
+            "SELECT doc_id, "
+            "min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1, "
+            "min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3 "
+            "FROM d GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH {_POS}, "
+            "g AS (SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+            "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i "
+            "FROM g x JOIN g y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4)::DOUBLE AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2"
+        ),
+        "embedding_cosine_topk": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 3), "
+            "s AS (SELECT p.query_id, e.vec_id, "
+            "round(list_dot_product(p.q, e.v) / "
+            "(sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 4)::DOUBLE AS cos "
+            "FROM p CROSS JOIN e WHERE p.query_id <> e.vec_id), "
+            "r AS (SELECT query_id, vec_id, cos, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
+            "SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
+        ),
+        "text_quality": (
+            "WITH d AS (SELECT doc_id, text, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents) "
+            "SELECT doc_id, length(text)::INT AS n_chars_m, len(toks)::INT AS n_tokens, "
+            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text), 4)::DOUBLE AS alpha_ratio, "
+            f"round(len(list_filter(toks, x -> x IN {_EN}))::DOUBLE / len(toks), 4)::DOUBLE AS stopword_ratio "
+            "FROM d"
+        ),
+        "text_langid": (
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            f"h AS (SELECT doc_id, len(list_filter(toks, x -> x IN {_EN}))::INT AS en_hits, "
+            f"len(list_filter(toks, x -> x IN {_DE}))::INT AS de_hits, "
+            f"len(list_filter(toks, x -> x IN {_ID}))::INT AS id_hits FROM d) "
+            "SELECT doc_id, en_hits, de_hits, id_hits, "
+            "CASE WHEN en_hits >= de_hits AND en_hits >= id_hits THEN 'en' "
+            "WHEN de_hits >= id_hits THEN 'de' ELSE 'id' END AS pred_lang FROM h"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS fingerprint "
+            "FROM documents"
+        ),
+        "token_count_by_source": (
+            "WITH d AS (SELECT source, "
+            "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS nt "
+            "FROM documents) "
+            "SELECT source, sum(nt)::BIGINT AS total_tokens, count(*)::BIGINT AS n_docs, "
+            "round(avg(nt), 4)::DOUBLE AS avg_tokens FROM d GROUP BY 1"
+        ),
+    }

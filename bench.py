@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine operations at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "index_docs_per_sec": ..., "query_p50_ms": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tangent_spark import entry_queries as eq  # noqa: E402
+from tangent_spark.config import IndexConfig  # noqa: E402
+from tangent_spark.plans.indexer import build_index  # noqa: E402
+from tangent_spark.plans.search import Searcher, bm25_topk_wand  # noqa: E402
+from tangent_spark.session import get_spark  # noqa: E402
+
+BM25_QUERIES = [
+    "data query spark index",
+    "table scan filter join",
+    "agg window partition order",
+    "fast slow value hash",
+    "row column batch line",
+    "customer order part small",
+    "key value table",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app="tangent_spark_bench", cpus=cpus)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return r
+
+    # warm up JVM + python UDF workers so the first measured op isn't
+    # paying one-time start-up cost
+    spark.range(1000).select(F.sum("id")).collect()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+
+    idx_dir = os.path.join(tempfile.mkdtemp(prefix="tangent_bench_"), "index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(n_shards=max(cpus, 8), block_size=128)
+    store = timed("index_build", lambda: build_index(spark, docs, idx_dir, cfg))
+
+    # BM25 serving latency over the compressed index (block-max WAND).
+    # cold = one-shot reads from parquet; warm = resident Searcher.
+    t0 = time.time()
+    bm25_topk_wand(spark, store, BM25_QUERIES[0], 10).collect()
+    cold_ms = round(1000 * (time.time() - t0), 1)
+    searcher = Searcher(spark, store)
+    lat = []
+    for q in BM25_QUERIES:
+        t0 = time.time()
+        searcher.topk(q, 10).collect()
+        lat.append(time.time() - t0)
+    searcher.close()
+    lat.sort()
+    p50_ms = round(1000 * lat[len(lat) // 2], 1)
+    timings["bm25_wand_total"] = round(sum(lat), 3)
+
+    # headline relational / pipeline operators (DataFrame plans)
+    for name, fn in [
+        ("q9_bm25_topk_df", eq.q9_bm25_topk),
+        ("q8_dice_topk", eq.q8_dice_topk),
+        ("tpch_q1", eq.tpch_q1),
+        ("tpch_q3_topk", eq.tpch_q3_topk),
+        ("minhash_signature", eq.minhash_signature),
+        ("dedup_ngram_jaccard", eq.dedup_ngram_jaccard),
+        ("embedding_cosine_topk", eq.embedding_cosine_topk),
+        ("text_quality", eq.text_quality),
+    ]:
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index-build + BM25 top-k serving + pipeline operators, wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "query_p50_ms": p50_ms,
+        "query_cold_ms": cold_ms,
+        "cpus": cpus,
+    }
+    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

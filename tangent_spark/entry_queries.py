@@ -1,0 +1,430 @@
+"""Driver-contract query battery: one entry per implemented operator
+from SURVEY.md §2, runnable on the /root/testdata tables, each with a
+DuckDB-oracle SQL twin in __spark_entry__.py.
+
+Conventions (driver compares row-count + schema + order-insensitive
+value hash after sorting columns by name):
+  * every computed column is aliased identically in Spark and SQL;
+  * doubles are rounded to 4 decimals on BOTH sides;
+  * top-k queries order by (rounded score desc, id asc) so knife-edge
+    float ulps cannot change the selected row set.
+
+The word-term queries use the 'simple' tokenizer (lowercase + split on
+[^a-z0-9]+) because it is expressible in both engines; the Porter path
+is exercised by the pytest oracle instead (tests/test_index_search.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tangent_spark.functions.tokenize import tokens_col_simple
+
+K1, B = 1.2, 0.75
+BM25_QUERY = ["data", "query", "spark", "index"]
+DICE_QUERY = {"data": 2, "query": 1, "table": 1}
+UNION_TERMS = ["data", "query", "spark"]
+WILDCARD_PREFIX = "c"
+EN_STOP = ["the", "of", "and", "is", "a", "to"]
+DE_STOP = ["der", "die", "und", "ist", "das", "zu"]
+ID_STOP = ["yang", "dan", "di", "itu", "dengan", "untuk"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) — one row per token occurrence."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokens_col_simple(F.col("text"))).alias("term"))
+    )
+
+
+def _tf(spark, sf_dir) -> DataFrame:
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+
+
+def _dl(spark, sf_dir) -> DataFrame:
+    return _tok(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+# --- §2.1 scans -------------------------------------------------------------
+
+def s1_doc_scan(spark, sf_dir):
+    """S1: projection+filter scan with pushdown (doc dictionary shape)."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# --- §2.3 tokenizer ----------------------------------------------------------
+
+def t9_tokenize_tf(spark, sf_dir):
+    """T9: word tokenizer -> (doc_id, term, tf)."""
+    return _tf(spark, sf_dir)
+
+
+# --- §2.4 index build aggregations -------------------------------------------
+
+def a1_term_dict(spark, sf_dir):
+    """A1: string interning — dense term ids by sorted term order."""
+    vocab = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").cast("int").alias("df"))
+    w = Window.orderBy("term")
+    return vocab.withColumn("term_id", F.row_number().over(w).cast("long"))
+
+
+def a4_doc_stats(spark, sf_dir):
+    """A4-analog: per-doc posting stats (dl, distinct terms, max tf)."""
+    return (
+        _tf(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.count("*").cast("int").alias("n_terms"),
+            F.max("tf").alias("max_tf"),
+        )
+    )
+
+
+def a5_corpus_stats(spark, sf_dir):
+    """A5/A7-analog: global counters the manifest stores (consistency check)."""
+    return _dl(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.avg("dl"), 4).alias("avgdl"),
+    )
+
+
+def a8_df_histogram(spark, sf_dir):
+    """A8: index stats — histogram of term document-frequencies."""
+    vocab = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").cast("int").alias("df"))
+    return vocab.groupBy("df").agg(F.count("*").alias("n_terms"))
+
+
+def p4_dedup_count(spark, sf_dir):
+    """P4: within-doc dedup — tokens vs distinct terms per doc."""
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("term").cast("int").alias("n_unique"),
+        )
+    )
+
+
+# --- §2.5 query execution -----------------------------------------------------
+
+def q3_or_union(spark, sf_dir):
+    """Q3: postings OR-union of a fixed term set, summing counts."""
+    return (
+        _tf(spark, sf_dir)
+        .filter(F.col("term").isin(UNION_TERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("total_tf"), F.count("*").cast("int").alias("n_terms_hit"))
+    )
+
+
+def q4_count_capped(spark, sf_dir):
+    """Q4: count-capped match cc = sum(min(q_tf, d_tf)) per doc."""
+    qdf = spark.createDataFrame(
+        [(t, c) for t, c in sorted(DICE_QUERY.items())], "term string, q_tf int"
+    )
+    return (
+        _tf(spark, sf_dir)
+        .join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("q_tf", "tf")).alias("cc"))
+    )
+
+
+def q8_dice_topk(spark, sf_dir):
+    """Q8/Q9: Tangent Dice F = 2cc/(dl+qtc), top-20 with id tie-break
+    (mathindex.cpp:239-246 semantics transplanted onto word multisets)."""
+    qtc = sum(DICE_QUERY.values())
+    qdf = spark.createDataFrame(
+        [(t, c) for t, c in sorted(DICE_QUERY.items())], "term string, q_tf int"
+    )
+    cc = (
+        _tf(spark, sf_dir)
+        .join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("q_tf", "tf")).alias("cc"))
+    )
+    scored = cc.join(_dl(spark, sf_dir), "doc_id").withColumn(
+        "score", F.round(2.0 * F.col("cc") / (F.col("dl") + F.lit(qtc)), 4)
+    )
+    return (
+        scored.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q9_bm25_topk(spark, sf_dir):
+    """Q9 flagship: BM25(k1=1.2,b=0.75) top-20, Lucene idf, id tie-break."""
+    tf = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    matched = tf.filter(F.col("term").isin(BM25_QUERY))
+    dfs = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q5_wildcard(spark, sf_dir):
+    """Q5: wildcard term expansion — prefix 'con*' -> per-term df + cf."""
+    return (
+        _tf(spark, sf_dir)
+        .filter(F.col("term").startswith(WILDCARD_PREFIX))
+        .groupBy("term")
+        .agg(F.count("*").cast("int").alias("df"), F.sum("tf").alias("cf"))
+    )
+
+
+def q13_distinct_docs(spark, sf_dir):
+    """Q13: distinct matched-doc count for the union query."""
+    return (
+        _tf(spark, sf_dir)
+        .filter(F.col("term").isin(UNION_TERMS))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+# --- §2.6 rerank-side aggregation ---------------------------------------------
+
+def r10_doc_agg(spark, sf_dir):
+    """R10: per-group best+total score (documents ranked by
+    (top formula score, total score)) — on events per user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(F.max("value"), 4).alias("top_score"),
+            F.round(F.sum("value"), 4).alias("total_score"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --- §2.7 standard analytics (joins / windows / sorts) --------------------------
+
+def tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def tpch_q3_topk(spark, sf_dir):
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def events_hourly(spark, sf_dir):
+    """Tumbling-window agg (batch shape of the streaming operator)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization via lag window: sessions = gaps > 30 min, per user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+# --- training-data pipeline operators ------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) groups (hash, group size, representative id)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").cast("int").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def minhash_signature(spark, sf_dir):
+    """MinHash signatures (4 permutations) over term sets, md5-keyed so
+    the hash family is identical in Spark and DuckDB (lexicographic min
+    over hex strings)."""
+    tok = _tok(spark, sf_dir).select("doc_id", "term").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact Jaccard over token-3-gram shingle sets via inverted-index
+    self-join (the scalable near-dup pattern: shingle -> candidate pair),
+    reporting pairs with J >= 0.2."""
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term")
+    )
+    g = (
+        pos.alias("a")
+        .join(pos.alias("b"), (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
+        .join(
+            pos.alias("c"),
+            (F.col("a.doc_id") == F.col("c.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "a.term", "b.term", "c.term").alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        g.alias("x")
+        .join(g.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors for 3 probe vectors (the ANN
+    baseline; LSH-bucketed variant is the scale path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate(F.transform("q", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    scored = (
+        probes.crossJoin(emb)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", F.round(dot / (nq * nv), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: length, token stats, alpha ratio, stopword ratio."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
+    stop_hits = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size("tokens").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")) / F.length("text"), 4
+        ).alias("alpha_ratio"),
+        F.round(stop_hits / F.size("tokens"), 4).alias("stopword_ratio"),
+    )
+
+
+def text_langid(spark, sf_dir):
+    """Language id heuristic: argmax of stopword hits (en/de/id), tie->en."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
+    en = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
+    de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
+    idn = F.size(F.filter("tokens", lambda t: t.isin(ID_STOP)))
+    pred = (
+        F.when((en >= de) & (en >= idn), "en")
+        .when(de >= idn, "de")
+        .otherwise("id")
+    )
+    return docs.select(
+        "doc_id", en.alias("en_hits"), de.alias("de_hits"), idn.alias("id_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r]+", " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def token_count_by_source(spark, sf_dir):
+    """Token counting rolled up by source (pipeline accounting)."""
+    docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
+    return docs.groupBy("source").agg(
+        F.sum(F.size("tokens")).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size("tokens")), 4).alias("avg_tokens"),
+    )

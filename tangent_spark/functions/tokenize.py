@@ -53,7 +53,21 @@ def tokens_col_simple(text: Column) -> Column:
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def tokens_udf_porter(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: tokenize_porter(t) if isinstance(t, str) else [])
+    # memoize stems across the batch: natural-language token streams are
+    # Zipf-distributed, so unique tokens << total tokens.
+    memo: dict[str, str] = {}
+
+    def stem_cached(tok: str) -> str:
+        s = memo.get(tok)
+        if s is None:
+            s = memo[tok] = stem(tok)
+        return s
+
+    return texts.map(
+        lambda t: [stem_cached(x) for x in tokenize_simple(t)]
+        if isinstance(t, str)
+        else []
+    )
 
 
 def with_tokens(df: DataFrame, text_col: str, tokenizer: str) -> DataFrame:

@@ -197,20 +197,21 @@ def build_index(
     if not store.stage_done("postings"):
         t0 = time.time()
         shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
-        # Partition on (shard, term): every (shard, term) run lands intact in
+        # Partition on (term, shard): every (term, shard) run lands intact in
         # one partition, while a head term's runs from different shards spread
         # across partitions — no single reducer ever owns a global head term.
+        # term-major sort order makes the written parquet files term-sorted,
+        # so query-term filters prune at row-group granularity. No
+        # partitionBy("shard") on write: every query fans out to ALL shards
+        # (doc-sharded layout), so directory-level shard pruning would never
+        # fire and dynamic-partition writes only cost time + small files.
         postings = (
             terms.withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
-            .repartition(shard_parts, "shard", "term")
-            .sortWithinPartitions("shard", "term", "doc_id")
+            .repartition(shard_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
             .mapInPandas(_encode_runs(avgdl, cfg), schema=POSTINGS_SCHEMA)
         )
-        (
-            postings.write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(store.path("postings"))
-        )
+        postings.write.mode("overwrite").parquet(store.path("postings"))
         # per-shard lineage counters (north_rule: per-partition lineage+metrics)
         p = spark.read.parquet(store.path("postings"))
         metrics = p.groupBy("shard").agg(

@@ -270,6 +270,58 @@ def bm25_topk_wand(
     return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+class Searcher:
+    """Warm query serving over an IndexStore.
+
+    Caches what a long-lived serving cluster would keep resident:
+    corpus stats (two scalars, driver-side), the term-stats dictionary
+    (persisted DataFrame; idf lookups are memory scans), and the
+    postings DataFrame (MEMORY_AND_DISK — Spark keeps the hot shards
+    in executor memory and spills the rest, so this stays valid at
+    100 TB where the full index exceeds RAM)."""
+
+    def __init__(self, spark: SparkSession, store: IndexStore):
+        self.spark = spark
+        self.store = store
+        self.cfg = store.get_config()
+        cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+        self.n_docs = int(cs["n_docs"])
+        self.avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
+        self.term_stats = spark.read.parquet(store.path("term_stats")).persist()
+        self.postings = spark.read.parquet(store.path("postings")).persist()
+        self.term_stats.count()  # materialize caches
+        self.postings.count()
+
+    def idf_map(self, qts: list[str]) -> dict[str, float]:
+        rows = self.term_stats.filter(F.col("term").isin(qts)).collect()
+        return {r["term"]: idf(self.n_docs, int(r["df"])) for r in rows}
+
+    def topk(self, query: str, k: int, with_metrics: bool = False) -> DataFrame:
+        qts = query_terms(query, self.cfg.tokenizer)
+        if not qts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf_map = self.idf_map(qts)
+        if not idf_map:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        local = (
+            self.postings.filter(F.col("term").isin(list(idf_map)))
+            .groupBy("shard")
+            .applyInPandas(
+                _score_shard(idf_map, self.avgdl, self.cfg, k), schema=_WAND_SCHEMA
+            )
+        )
+        cols = ["doc_id", "score"] + (
+            ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
+            if with_metrics
+            else []
+        )
+        return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def close(self) -> None:
+        self.term_stats.unpersist()
+        self.postings.unpersist()
+
+
 def bm25_topk_index_full(
     spark: SparkSession, store: IndexStore, query: str, k: int
 ) -> DataFrame:
