@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": eq.text_langid,
         "doc_fingerprint": eq.doc_fingerprint,
         "token_count_by_source": eq.token_count_by_source,
+        # formula path (pair-tuple UDFs; no SQL oracle -> rows-only check)
+        "t1_slt_parse": eq.t1_slt_parse,
+        "t7_pair_tuples": eq.t7_pair_tuples,
+        "f8_dice_topk": eq.f8_dice_topk,
     }
 
 

@@ -54,9 +54,15 @@ def _mathml(rng: random.Random) -> str:
             f"<mo>+</mo><mn>{n()}</mn></mrow></mfrac></math>"
         )
     if kind == 1:
-        return f"<math><msup><mi>{s()}</mi><mn>{n()}</mn></msup><mo>=</mo><mi>{s()}</mi></math>"
+        return (
+            f"<math><mrow><msup><mi>{s()}</mi><mn>{n()}</mn></msup>"
+            f"<mo>=</mo><mi>{s()}</mi></mrow></math>"
+        )
     if kind == 2:
-        return f"<math><msub><mi>{s()}</mi><mn>{n()}</mn></msub><mo>+</mo><msqrt><mi>{s()}</mi></msqrt></math>"
+        return (
+            f"<math><mrow><msub><mi>{s()}</mi><mn>{n()}</mn></msub>"
+            f"<mo>+</mo><msqrt><mi>{s()}</mi></msqrt></mrow></math>"
+        )
     if kind == 3:
         return (
             "<math><mrow><mo>(</mo><mtable>"
@@ -66,10 +72,11 @@ def _mathml(rng: random.Random) -> str:
         )
     if kind == 4:
         return (
-            f"<math><munderover><mo>&#x2211;</mo><mrow><mi>{s()}</mi><mo>=</mo>"
-            f"<mn>1</mn></mrow><mi>n</mi></munderover><msub><mi>{s()}</mi><mi>{s()}</mi></msub></math>"
+            f"<math><mrow><munderover><mo>&#x2211;</mo><mrow><mi>{s()}</mi><mo>=</mo>"
+            f"<mn>1</mn></mrow><mi>n</mi></munderover><msub><mi>{s()}</mi>"
+            f"<mi>{s()}</mi></msub></mrow></math>"
         )
-    return f"<math><mi>{s()}</mi><mo>{rng.choice(_OPS)}</mo><mn>{n()}</mn></math>"
+    return f"<math><mrow><mi>{s()}</mi><mo>{rng.choice(_OPS)}</mo><mn>{n()}</mn></mrow></math>"
 
 
 def make_page(i: int, seed: int = 42, math_fraction: float = 0.3) -> dict:
@@ -134,42 +141,10 @@ def generate_pages(
 
 
 def pages_with_doc_ids(pages: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Assign deterministic dense doc ids = global rank of url.
+    """Assign deterministic dense doc ids = global rank of url
+    (reference assigns ids by doc_list line order, index.py:156-175;
+    url sort order is our deterministic equivalent). See
+    functions/ids.dense_ids for why this is partitioning-independent."""
+    from tangent_spark.functions.ids import dense_ids
 
-    Reference assigns ids by doc_list line order (index.py:156-175); our
-    deterministic equivalent is url sort order — NOT
-    monotonically_increasing_id (partitioning-dependent) and NOT a
-    global single-partition window (doesn't scale). Instead:
-    range-partition by url, rank within each partition, and add the
-    exclusive prefix-sum of partition counts. Any range boundary choice
-    yields the same ids (ranges are contiguous in url order), so the
-    result is reproducible across runs and cluster sizes.
-    """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    spark = pages.sparkSession
-    p = partitions or spark.sparkContext.defaultParallelism
-    # persist: the range boundaries are sampled per job; the count job and
-    # the id job must see the SAME partitioning or offsets would be stale.
-    ranged = (
-        pages.repartitionByRange(p, "url")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    w = Window.partitionBy("_pid").orderBy("url")
-    return (
-        ranged.withColumn(
-            "doc_id",
-            (off_col[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
-        )
-        .drop("_pid")
-    )
+    return dense_ids(pages, "url", "doc_id", partitions)

@@ -420,6 +420,80 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+# --- formula operators (rows-only: pair-tuple UDFs are not SQL-expressible) ---
+
+_FORMULA_N_PAGES = 200
+_FORMULA_QUERY = "<math><mfrac><mi>x</mi><mrow><mi>y</mi><mo>+</mo><mn>3</mn></mrow></mfrac></math>"
+
+
+def _pages(spark):
+    from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+
+    return pages_with_doc_ids(generate_pages(spark, _FORMULA_N_PAGES, partitions=8))
+
+
+def t1_slt_parse(spark, sf_dir):
+    """T1-T5: MathML -> SLT over the deterministic synthetic corpus;
+    one row per unique expression with global instance counts."""
+    from tangent_spark.operators.pairs import exprs_df
+
+    return (
+        exprs_df(_pages(spark))
+        .groupBy("slt")
+        .agg(
+            F.sum("n_instances").cast("int").alias("instances"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        )
+    )
+
+
+def t7_pair_tuples(spark, sf_dir):
+    """T6/T7: symbol-pair tuple expansion (window=4, EOL=small) —
+    vocabulary with corpus-wide counts."""
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.operators.pairs import expr_tuples_df, exprs_df
+
+    exprs = exprs_df(_pages(spark)).select("slt").distinct()
+    return (
+        expr_tuples_df(exprs, IndexConfig())
+        .groupBy("fr", "to", "rel")
+        .agg(F.count("*").cast("int").alias("n_exprs"), F.sum("cnt").alias("total"))
+    )
+
+
+def f8_dice_topk(spark, sf_dir):
+    """Q2-Q9: Dice F-measure top-10 expressions for a fixed formula
+    query, computed store-free (exprs -> tuples -> count-capped overlap)."""
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.functions.ids import dense_ids
+    from tangent_spark.operators.pairs import expr_tuples_df, exprs_df
+    from tangent_spark.plans.formula import query_tuple_multiset
+
+    cfg = IndexConfig()
+    concrete, wildcard, qtc = query_tuple_multiset(_FORMULA_QUERY, cfg)
+    exprs = exprs_df(_pages(spark)).select("slt").distinct()
+    tuples = expr_tuples_df(exprs, cfg)
+    tc = tuples.groupBy("slt").agg(F.sum("cnt").alias("expr_tc"))
+    qdf = spark.createDataFrame(
+        [(fr, to, rel, c) for (fr, to, rel), c in sorted(concrete.items())],
+        "fr string, to string, rel string, q_cnt int",
+    )
+    cc = (
+        tuples.join(F.broadcast(qdf), ["fr", "to", "rel"])
+        .groupBy("slt")
+        .agg(F.sum(F.least("q_cnt", "cnt")).alias("cc"))
+    )
+    scored = (
+        dense_ids(cc.join(tc, "slt"), "slt", "expr_id")
+        .withColumn("score", F.round(2.0 * F.col("cc") / (F.col("expr_tc") + F.lit(qtc)), 4))
+    )
+    return (
+        scored.select("slt", "score")
+        .orderBy(F.desc("score"), F.asc("slt"))
+        .limit(10)
+    )
+
+
 def token_count_by_source(spark, sf_dir):
     """Token counting rolled up by source (pipeline accounting)."""
     docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))

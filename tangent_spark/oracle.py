@@ -65,6 +65,63 @@ def dice_score(query_tuples: Iterable[str], cand_tuples: Iterable[str]) -> float
     return 2.0 * cc / denom if denom else 0.0
 
 
+def dice_rank(
+    slts: Sequence[str],
+    query_mathml: str,
+    k: int,
+    cfg=None,
+) -> list[tuple[int, str, float]]:
+    """Exhaustive Dice ranking over unique expressions: returns
+    [(expr_id, slt, score)] sorted (score desc, expr_id asc), where
+    expr_id = rank of slt in sorted order (matching
+    functions/ids.dense_ids). Wildcard query tuples (?-tagged at one
+    end) contribute min(q_cnt, 1) per expression they match."""
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.operators.slt import mathml_to_slt, pairs, parse_slt
+
+    cfg = cfg or IndexConfig()
+    uniq = sorted(set(slts))
+    expr_tuples = []
+    for slt in uniq:
+        cnt: Counter = Counter()
+        for fr, to, rel, _ in pairs(
+            parse_slt(slt), cfg.window, cfg.eol_mode, max_pair_len=cfg.max_pair_len
+        ):
+            cnt[(fr, to, rel)] += 1
+        expr_tuples.append(cnt)
+    qslt = mathml_to_slt(query_mathml)
+    if qslt is None:
+        return []
+    qcnt: Counter = Counter()
+    for fr, to, rel, _ in pairs(
+        parse_slt(qslt), cfg.window, cfg.eol_mode, max_pair_len=cfg.max_pair_len
+    ):
+        if fr.startswith("?") and to.startswith("?"):
+            continue
+        qcnt[(fr, to, rel)] += 1
+    qtc = sum(qcnt.values())
+    if qtc == 0:
+        return []
+    out = []
+    for expr_id, (slt, ec) in enumerate(zip(uniq, expr_tuples)):
+        cc = 0
+        for (fr, to, rel), qn in qcnt.items():
+            fw, tw = fr.startswith("?"), to.startswith("?")
+            if not fw and not tw:
+                cc += min(qn, ec.get((fr, to, rel), 0))
+            elif fw:
+                if any(k2[1] == to and k2[2] == rel for k2 in ec):
+                    cc += min(qn, 1)
+            else:
+                if any(k2[0] == fr and k2[2] == rel for k2 in ec):
+                    cc += min(qn, 1)
+        if cc > 0:
+            etc = sum(ec.values())
+            out.append((expr_id, slt, 2.0 * cc / (etc + qtc)))
+    out.sort(key=lambda t: (-t[2], t[0]))
+    return out[:k]
+
+
 def rank_groups(ranked: list[tuple[int, float]], tol: float = 1e-9) -> list[list[int]]:
     """Collapse a ranking into groups of indistinguishable scores, for
     order-comparisons that must not depend on float ulps."""
