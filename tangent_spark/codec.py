@@ -98,31 +98,34 @@ def encode_posting_list(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    k1: float,
-    b: float,
     block_size: int = 128,
 ):
     """Split a sorted posting list into compressed blocks.
 
-    Returns (first_docs, max_tfns, counts, docs_blob, tfs_blob, dls_blob,
-    byte_offsets) where byte_offsets is an int32 array of 3*(n_blocks+1)
-    cut points: docs cuts, then tfs cuts, then dls cuts — flattened so the
-    whole row stays in flat parquet-friendly columns.
+    Block-max metadata is stored as (max_tf, min_dl) rather than a
+    pre-multiplied score bound: tfn is increasing in tf and decreasing
+    in dl, so idf * tfn(max_tf, min_dl, avgdl_at_query_time) is a safe
+    upper bound for every posting in the block EVEN when corpus stats
+    (avgdl, df) drift as incremental batches append — a baked-in float
+    bound would silently become unsafe.
+
+    Returns (first_docs, max_tfs, min_dls, counts,
+             docs_blob, tfs_blob, dls_blob, d_cuts, t_cuts, l_cuts).
     """
     n = doc_ids.size
     n_blocks = (n + block_size - 1) // block_size
     first_docs = np.empty(n_blocks, dtype=np.int64)
-    max_tfns = np.empty(n_blocks, dtype=np.float32)
+    max_tfs = np.empty(n_blocks, dtype=np.int32)
+    min_dls = np.empty(n_blocks, dtype=np.int32)
     counts = np.empty(n_blocks, dtype=np.int32)
     d_parts, t_parts, l_parts = [], [], []
-    tfn = bm25_tf_norm(tfs, dls, avgdl, k1, b)
     for i in range(n_blocks):
         lo, hi = i * block_size, min((i + 1) * block_size, n)
         ids = doc_ids[lo:hi]
         first_docs[i] = int(ids[0])
         counts[i] = hi - lo
-        max_tfns[i] = float(tfn[lo:hi].max())
+        max_tfs[i] = int(tfs[lo:hi].max())
+        min_dls[i] = int(dls[lo:hi].min())
         d_parts.append(varint_encode(delta_encode(ids)))
         t_parts.append(varint_encode(tfs[lo:hi]))
         l_parts.append(varint_encode(dls[lo:hi]))
@@ -132,7 +135,8 @@ def encode_posting_list(
         return c
     return (
         first_docs,
-        max_tfns,
+        max_tfs,
+        min_dls,
         counts,
         b"".join(d_parts),
         b"".join(t_parts),

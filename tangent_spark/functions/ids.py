@@ -31,6 +31,8 @@ def dense_ids(df: DataFrame, key: str, id_col: str, partitions: int | None = Non
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
+    if not counts:  # empty input: create_map() of zero entries won't analyze
+        return ranged.drop("_pid").withColumn(id_col, F.lit(None).cast("long"))
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -1,0 +1,324 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (it dedups only *formulas* by SLT string,
+mathindex.cpp:339-342 — the P5 semantics our formula index reuses);
+these are the document-level analogs a Common-Crawl-scale corpus needs:
+
+  exact        : md5 grouping (one shuffle on the hash)
+  minhash-LSH  : shingle -> minhash signature (vectorized permutation
+                 trick) -> banded buckets -> candidate pairs -> verify
+  simhash      : 64-bit weighted-bit fingerprint; near-dup = small
+                 hamming distance, found via 4x16-bit band blocking
+  ngram-jaccard: exact verification on candidate pairs via shingle join
+
+Scale notes: every stage is a plain DataFrame shuffle keyed on a hash
+(uniform by construction). Candidate generation never does a cross
+join — pairs only form inside an LSH bucket / simhash band, the same
+inverted-index-join pattern the text engine uses for postings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tangent_spark.functions.tokenize import tokenize_simple
+
+# deterministic 64-bit permutation parameters (fixed seed; odd multipliers)
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def _shingles(text: str, k: int) -> List[str]:
+    toks = tokenize_simple(text)
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _base_hash64(values: List[str]) -> np.ndarray:
+    """Stable 64-bit hash per shingle (blake2b, process-independent —
+    python's builtin hash() is salted per process and must never be
+    used for cross-executor hashing)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = struct.unpack(
+            "<Q", hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest()
+        )[0]
+    return out
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, keep_id): groups of byte-identical texts."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("doc_id"))
+        .groupBy("text_hash")
+        .agg(F.count("*").cast("int").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# --- minhash + LSH -------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — MinHash over token-k-gram shingles.
+    One blake2b per shingle, then all n_hashes permutations vectorized:
+    sig_i = min over shingles of (a_i * h + b_i) mod p."""
+    a, b = _perm_params(n_hashes, seed)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text if isinstance(text, str) else "", shingle_k)
+                if not sh:
+                    continue
+                h = _base_hash64(sh)
+                # (n_hashes, n_shingles) permuted values; min over shingles
+                perm = (np.outer(a, h) + b[:, None]) % _MERSENNE
+                sigs.append(perm.min(axis=1).astype(np.int64))
+                ids.append(int(doc_id))
+            yield pd.DataFrame({"doc_id": ids, "sig": [s.tolist() for s in sigs]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, sig array<long>"
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become a candidate pair
+    (doc_a < doc_b), with the estimated Jaccard = fraction of equal
+    signature components. Bucket join is an equi-join on
+    (band, band_hash) — no cross join anywhere."""
+    n = bands * rows_per_band
+    sig = signatures.select(
+        "doc_id",
+        F.col("sig"),
+        *[
+            F.xxhash64(
+                F.lit(b), F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    buckets = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v)
+    ) / F.lit(n)
+    return pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (semi-join
+    restricts the shingle explosion to docs that appear in a pair)."""
+    docs_in_pairs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    relevant = df.join(docs_in_pairs, df[id_col] == docs_in_pairs.doc_id, "left_semi")
+
+    def shingle_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for sh in set(_shingles(text if isinstance(text, str) else "", shingle_k)):
+                    ids.append(int(doc_id))
+                    shs.append(sh)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    g = relevant.select(id_col, text_col).mapInPandas(
+        shingle_rows, schema="doc_id long, shingle string"
+    )
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        g.alias("p")
+        .join(candidates, F.col("p.doc_id") == F.col("doc_a"))
+        .join(
+            g.alias("q"),
+            (F.col("q.doc_id") == F.col("doc_b")) & (F.col("p.shingle") == F.col("q.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- simhash -------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash over tokens weighted by tf."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_simple(text if isinstance(text, str) else "")
+                if not toks:
+                    continue
+                uniq, counts = np.unique(toks, return_counts=True)
+                h = _base_hash64(list(uniq))
+                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
+                fp = np.uint64(0)
+                for j in np.flatnonzero(votes > 0):
+                    fp |= np.uint64(1) << np.uint64(j)
+                ids.append(int(doc_id))
+                fps.append(np.int64(fp))
+            yield pd.DataFrame({"doc_id": ids, "simhash": fps})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema="doc_id long, simhash long")
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance <= max_hamming, blocked on
+    4x16-bit bands (pigeonhole: distance <=3 -> at least one of 4 bands
+    equal), so the join is again a bucket equi-join."""
+    bands = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF))).alias(f"band{b}")
+        for b in range(4)
+    ]
+    s = signatures.select("doc_id", "simhash", *bands)
+    rows = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key")) for b in range(4)])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    x, y = rows.alias("x"), rows.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- cluster + keep policy -------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """(doc_id, component) via iterative min-label propagation over the
+    dup-pair graph. Near-dup clusters are tiny and star-shaped in
+    practice, so a handful of iterations converges; max_iter bounds the
+    job count (each iteration is one shuffle)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, keep): keep = True unless the doc is in a dup cluster
+    and is not the cluster's minimum id."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        losers.withColumn("keep", F.lit(False)), "doc_id", "left"
+    ).na.fill({"keep": True})

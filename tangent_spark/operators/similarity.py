@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline (a full scan — in
+Spark that's one pass over the embeddings table per query batch, fully
+parallel, no shuffle until the final per-query top-k). The scale path
+is random-hyperplane LSH: bucket signatures computed vectorized per
+partition, candidates from bucket equi-joins, exact cosine re-scoring
+on candidates only.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos_cols(q: str, v: str):
+    dot = F.aggregate(F.zip_with(q, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nq = F.sqrt(F.aggregate(F.transform(q, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nv = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return dot / (nq * nv)
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query set
+    against the full embeddings scan; JVM-side zip_with dot products
+    (no Python in the hot loop); per-query window top-k with id
+    tie-break."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q"),
+    )
+    scored = (
+        emb.join(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", _cos_cols("q", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table, bucket): sign-bit signature per hash table.
+    Planes are seeded numpy normals broadcast in the closure; the
+    signature computation is one (batch x dim) @ (dim x tables*planes)
+    matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            bits = (mat @ planes) > 0  # (n, tables*planes)
+            bits = bits.reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)  # (n, tables)
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, schema="vec_id long, table int, bucket long"
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 8,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any LSH bucket
+    with the query, re-scored exactly. Recall grows with n_tables;
+    cost ~ bucket size x tables instead of the full table.
+
+    Honest caveat: random-hyperplane LSH only retrieves neighbors whose
+    cosine is substantially positive (collision prob per plane is
+    1 - theta/pi). On near-orthogonal data (e.g. random embeddings where
+    the true top-1 is cos~0.35) recall is poor by construction — use
+    more tables / fewer planes, or the brute-force path, for such data.
+    Real web-scale embedding dedup targets cos >= 0.9, where this
+    bucketing is effective."""
+    emb_sig = hyperplane_signatures(
+        embeddings, dim, n_tables, n_planes, seed, id_col, vec_col
+    )
+    q_sig = hyperplane_signatures(
+        queries, dim, n_tables, n_planes, seed, query_id_col, query_vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        emb_sig.join(q_sig, ["table", "bucket"])
+        .select("query_id", "vec_id")
+        .distinct()
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q"),
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", _cos_cols("q", "v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )

@@ -48,13 +48,14 @@ from tangent_spark.sources.store import IndexStore
 
 POSTINGS_SCHEMA = (
     "shard int, term string, df int, cf long, "
-    "first_docs array<long>, max_tfns array<float>, counts array<int>, "
+    "first_docs array<long>, max_tfs array<int>, min_dls array<int>, "
+    "counts array<int>, "
     "docs_blob binary, tfs_blob binary, dls_blob binary, "
     "d_cuts array<long>, t_cuts array<long>, l_cuts array<long>"
 )
 
 
-def _encode_runs(avgdl: float, cfg: IndexConfig):
+def _encode_runs(cfg: IndexConfig):
     """mapInPandas run-builder: consumes (shard, term, doc_id, tf, dl) rows
     sorted by (shard, term, doc_id) within the partition and emits one
     compressed postings row per (shard, term) run. Carries incomplete
@@ -68,8 +69,8 @@ def _encode_runs(avgdl: float, cfg: IndexConfig):
             ids = group["doc_id"].to_numpy(np.int64)
             tfs = group["tf"].to_numpy(np.int64)
             dls = group["dl"].to_numpy(np.int64)
-            (fd, mt, cnt, db, tb, lb, dc, tc, lc) = encode_posting_list(
-                ids, tfs, dls, avgdl, cfg.k1, cfg.b, cfg.block_size
+            (fd, mt, md, cnt, db, tb, lb, dc, tc, lc) = encode_posting_list(
+                ids, tfs, dls, cfg.block_size
             )
             return {
                 "shard": int(group["shard"].iloc[0]),
@@ -77,7 +78,8 @@ def _encode_runs(avgdl: float, cfg: IndexConfig):
                 "df": int(ids.size),
                 "cf": int(tfs.sum()),
                 "first_docs": fd.tolist(),
-                "max_tfns": mt.tolist(),
+                "max_tfs": mt.tolist(),
+                "min_dls": md.tolist(),
                 "counts": cnt.tolist(),
                 "docs_blob": db,
                 "tfs_blob": tb,
@@ -190,9 +192,6 @@ def build_index(
             {"vocab": vocab, "n_docs": n_docs, "secs": time.time() - t0},
         )
 
-    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
-    avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
-
     # ---- stage: postings (THE shuffle: repartition by shard + local sort) --
     if not store.stage_done("postings"):
         t0 = time.time()
@@ -209,7 +208,7 @@ def build_index(
             terms.withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
             .repartition(shard_parts, "term", "shard")
             .sortWithinPartitions("term", "shard", "doc_id")
-            .mapInPandas(_encode_runs(avgdl, cfg), schema=POSTINGS_SCHEMA)
+            .mapInPandas(_encode_runs(cfg), schema=POSTINGS_SCHEMA)
         )
         postings.write.mode("overwrite").parquet(store.path("postings"))
         # per-shard lineage counters (north_rule: per-partition lineage+metrics)

@@ -109,14 +109,16 @@ _WAND_SCHEMA = (
 _MAXDOC = np.int64(2**62)
 
 
-def _score_shard(idf_map: dict[str, float], avgdl: float, cfg: IndexConfig, k: int):
+def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
     """Per-shard kernel: block-max pruning via an interval sweep.
 
-    Block intervals (known from metadata alone) partition doc-space into
-    ranges; each range has upper bound = sum of covering blocks'
-    idf*max_tfn. Ranges are scored in descending upper-bound order with
-    a running top-k threshold; once the bound falls below the
-    threshold every remaining range is skipped without decoding.
+    Input rows carry a precomputed `idf` column (joined JVM-side so the
+    whole query is ONE Spark job — no separate driver-side stats
+    collect). Block intervals (known from metadata alone) partition
+    doc-space into ranges; each range has upper bound = sum of covering
+    blocks' idf*max_tfn. Ranges are scored in descending upper-bound
+    order with a running top-k threshold; once the bound falls below
+    the threshold every remaining range is skipped without decoding.
     This is block-max WAND restructured score-at-a-time — same skip
     guarantee, fully vectorizable.
     """
@@ -127,11 +129,15 @@ def _score_shard(idf_map: dict[str, float], avgdl: float, cfg: IndexConfig, k: i
         blocks = []  # (lo, hi, bound, row_idx, blk_idx)
         for ri in range(len(pdf)):
             row = pdf.iloc[ri]
-            t_idf = idf_map.get(row["term"])
-            if t_idf is None:
-                continue
+            t_idf = float(row["idf"])
             firsts = np.asarray(row["first_docs"], dtype=np.int64)
-            bounds = np.asarray(row["max_tfns"], dtype=np.float64) * t_idf
+            # safe bound at the CURRENT avgdl: tfn increasing in tf,
+            # decreasing in dl (see codec.encode_posting_list)
+            bounds = t_idf * bm25_tf_norm(
+                np.asarray(row["max_tfs"], dtype=np.int64),
+                np.asarray(row["min_dls"], dtype=np.int64),
+                avgdl, cfg.k1, cfg.b,
+            )
             his = np.empty_like(firsts)
             his[:-1] = firsts[1:] - 1
             his[-1] = _MAXDOC
@@ -192,7 +198,7 @@ def _score_shard(idf_map: dict[str, float], avgdl: float, cfg: IndexConfig, k: i
                     dls = decode_block(
                         row["dls_blob"], np.asarray(row["l_cuts"]), bi, cnt, False
                     ).astype(np.int64)
-                    contrib = idf_map[row["term"]] * bm25_tf_norm(
+                    contrib = float(row["idf"]) * bm25_tf_norm(
                         tfs, dls, avgdl, cfg.k1, cfg.b
                     )
                     cache[key] = (ids, contrib)
@@ -236,6 +242,41 @@ def _score_shard(idf_map: dict[str, float], avgdl: float, cfg: IndexConfig, k: i
     return kernel
 
 
+def _wand_plan(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    qts: list[str],
+    n_docs: int,
+    avgdl: float,
+    cfg: IndexConfig,
+    k: int,
+    with_metrics: bool,
+) -> DataFrame:
+    """The whole query as ONE declarative plan: filter postings to the
+    query terms (parquet row-group pruning / in-memory scan), broadcast-
+    join the per-term df to compute idf JVM-side, per-shard block-max
+    kernel, global TakeOrderedAndProject. One Spark job per query."""
+    qstats = term_stats.filter(F.col("term").isin(qts)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    local = (
+        postings.filter(F.col("term").isin(qts))
+        .join(F.broadcast(qstats), "term")
+        .groupBy("shard")
+        .applyInPandas(_score_shard(avgdl, cfg, k), schema=_WAND_SCHEMA)
+    )
+    cols = ["doc_id", "score"] + (
+        ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
+        if with_metrics
+        else []
+    )
+    return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def bm25_topk_wand(
     spark: SparkSession,
     store: IndexStore,
@@ -243,31 +284,22 @@ def bm25_topk_wand(
     k: int,
     with_metrics: bool = False,
 ) -> DataFrame:
+    """One-shot query straight off the parquet index (cold path)."""
     cfg = store.get_config()
     qts = query_terms(query, cfg.tokenizer)
     if not qts:
         return spark.createDataFrame([], "doc_id long, score double")
     cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
-    N, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
-    stats = (
-        spark.read.parquet(store.path("term_stats"))
-        .filter(F.col("term").isin(qts))
-        .collect()
+    return _wand_plan(
+        spark.read.parquet(store.path("postings")),
+        spark.read.parquet(store.path("term_stats")),
+        qts,
+        int(cs["n_docs"]),
+        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        cfg,
+        k,
+        with_metrics,
     )
-    idf_map = {r["term"]: idf(N, int(r["df"])) for r in stats}
-    if not idf_map:
-        return spark.createDataFrame([], "doc_id long, score double")
-
-    postings = spark.read.parquet(store.path("postings")).filter(
-        F.col("term").isin(list(idf_map))
-    )
-    local = postings.groupBy("shard").applyInPandas(
-        _score_shard(idf_map, avgdl, cfg, k), schema=_WAND_SCHEMA
-    )
-    cols = ["doc_id", "score"] + (
-        ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"] if with_metrics else []
-    )
-    return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 class Searcher:
@@ -292,30 +324,14 @@ class Searcher:
         self.term_stats.count()  # materialize caches
         self.postings.count()
 
-    def idf_map(self, qts: list[str]) -> dict[str, float]:
-        rows = self.term_stats.filter(F.col("term").isin(qts)).collect()
-        return {r["term"]: idf(self.n_docs, int(r["df"])) for r in rows}
-
     def topk(self, query: str, k: int, with_metrics: bool = False) -> DataFrame:
         qts = query_terms(query, self.cfg.tokenizer)
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idf_map = self.idf_map(qts)
-        if not idf_map:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        local = (
-            self.postings.filter(F.col("term").isin(list(idf_map)))
-            .groupBy("shard")
-            .applyInPandas(
-                _score_shard(idf_map, self.avgdl, self.cfg, k), schema=_WAND_SCHEMA
-            )
+        return _wand_plan(
+            self.postings, self.term_stats, qts, self.n_docs, self.avgdl,
+            self.cfg, k, with_metrics,
         )
-        cols = ["doc_id", "score"] + (
-            ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
-            if with_metrics
-            else []
-        )
-        return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def close(self) -> None:
         self.term_stats.unpersist()
@@ -329,16 +345,10 @@ def bm25_topk_index_full(
     the cross-check twin for bm25_topk_wand in tests."""
     cfg = store.get_config()
     qts = query_terms(query, cfg.tokenizer)
-    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
-    N, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
-    stats = (
-        spark.read.parquet(store.path("term_stats"))
-        .filter(F.col("term").isin(qts))
-        .collect()
-    )
-    idf_map = {r["term"]: idf(N, int(r["df"])) for r in stats}
-    if not idf_map:
+    if not qts:
         return spark.createDataFrame([], "doc_id long, score double")
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    N, avgdl = int(cs["n_docs"]), float(cs["avgdl"]) if cs["avgdl"] else 1.0
     k1, b = cfg.k1, cfg.b
 
     def decode_all(batches):
@@ -354,15 +364,27 @@ def bm25_topk_index_full(
                 )
                 out_docs.append(ids)
                 out_scores.append(
-                    idf_map[row["term"]] * bm25_tf_norm(tfs, dls, avgdl, k1, b)
+                    float(row["idf"]) * bm25_tf_norm(tfs, dls, avgdl, k1, b)
                 )
             if out_docs:
                 yield pd.DataFrame(
                     {"doc_id": np.concatenate(out_docs), "part": np.concatenate(out_scores)}
                 )
 
-    postings = spark.read.parquet(store.path("postings")).filter(
-        F.col("term").isin(list(idf_map))
+    qstats = (
+        spark.read.parquet(store.path("term_stats"))
+        .filter(F.col("term").isin(qts))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0) + (F.lit(float(N)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    postings = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(qts))
+        .join(F.broadcast(qstats), "term")
     )
     parts = postings.mapInPandas(decode_all, schema="doc_id long, part double")
     return (

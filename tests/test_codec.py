@@ -51,16 +51,21 @@ def test_posting_list_roundtrip(n, block_size, base):
     ids = np.sort(rng.choice(np.arange(base, base + 10 * n, dtype=np.int64), n, replace=False))
     tfs = rng.integers(1, 50, n).astype(np.int64)
     dls = rng.integers(1, 500, n).astype(np.int64)
-    enc = encode_posting_list(ids, tfs, dls, avgdl=100.0, k1=1.2, b=0.75, block_size=block_size)
-    fd, mt, cnt, db, tb, lb, dc, tc, lc = enc
+    enc = encode_posting_list(ids, tfs, dls, block_size=block_size)
+    fd, mt, md, cnt, db, tb, lb, dc, tc, lc = enc
     got_ids, got_tfs, got_dls = decode_posting_list(db, tb, lb, dc, tc, lc, cnt)
     assert (got_ids == ids).all()
     assert (got_tfs == tfs).all()
     assert (got_dls == dls).all()
-    # block-max bound is a true upper bound per block
-    tfn = bm25_tf_norm(tfs, dls, 100.0, 1.2, 0.75)
+    # (max_tf, min_dl) gives a true per-block upper bound for ANY avgdl
     n_blocks = len(cnt)
-    for i in range(n_blocks):
-        lo, hi = i * block_size, min((i + 1) * block_size, n)
-        assert mt[i] >= tfn[lo:hi].max() - 1e-6
-        assert fd[i] == ids[lo]
+    for avgdl in (10.0, 100.0, 1000.0):
+        tfn = bm25_tf_norm(tfs, dls, avgdl, 1.2, 0.75)
+        bound = bm25_tf_norm(
+            np.asarray(mt, dtype=np.int64), np.asarray(md, dtype=np.int64),
+            avgdl, 1.2, 0.75,
+        )
+        for i in range(n_blocks):
+            lo, hi = i * block_size, min((i + 1) * block_size, n)
+            assert bound[i] >= tfn[lo:hi].max() - 1e-12
+            assert fd[i] == ids[lo]

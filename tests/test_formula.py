@@ -115,7 +115,7 @@ def test_unified_index_formula_terms(spark, pages, tmp_path_factory):
     assert res.count() == 0
     # query the postings directly with the formula term (bypasses the word
     # tokenizer, which would split the tuple separator)
-    from tangent_spark.plans.search import _score_shard, _WAND_SCHEMA, idf
+    from tangent_spark.plans.search import _wand_plan
     import pyspark.sql.functions as SF
 
     cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
@@ -125,14 +125,14 @@ def test_unified_index_formula_terms(spark, pages, tmp_path_factory):
         .collect()
     )
     assert stats, "formula term missing from unified term stats"
-    idf_map = {t: idf(int(cs["n_docs"]), int(stats[0]["df"]))}
-    local = (
-        spark.read.parquet(store.path("postings"))
-        .filter(SF.col("term") == t)
-        .groupBy("shard")
-        .applyInPandas(
-            _score_shard(idf_map, float(cs["avgdl"]), CFG, 5), schema=_WAND_SCHEMA
-        )
-    )
-    rows = local.orderBy(SF.desc("score")).limit(5).collect()
+    rows = _wand_plan(
+        spark.read.parquet(store.path("postings")),
+        spark.read.parquet(store.path("term_stats")),
+        [t],
+        int(cs["n_docs"]),
+        float(cs["avgdl"]),
+        CFG,
+        5,
+        False,
+    ).collect()
     assert len(rows) > 0 and rows[0]["score"] > 0
