@@ -54,7 +54,11 @@ def exprs_df(pages: DataFrame, id_col: str = "doc_id", html_col: str = "html") -
                 rows, columns=["doc_id", "slt", "positions", "n_instances"]
             )
 
-    return pages.select(id_col, html_col).mapInPandas(extract, schema=EXPRS_SCHEMA)
+    from tangent_spark.functions.util import ensure_parallelism
+
+    return ensure_parallelism(pages.select(id_col, html_col)).mapInPandas(
+        extract, schema=EXPRS_SCHEMA
+    )
 
 
 TUPLES_SCHEMA = "slt string, fr string, to string, rel string, cnt int"

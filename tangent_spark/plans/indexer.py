@@ -143,8 +143,10 @@ def build_index(
 
     # ---- stage: terms (tokenize + tf) -------------------------------------
     if not store.stage_done("terms"):
+        from tangent_spark.functions.util import ensure_parallelism
+
         t0 = time.time()
-        terms = terms_df(docs, id_col, text_col, cfg.tokenizer)
+        terms = terms_df(ensure_parallelism(docs), id_col, text_col, cfg.tokenizer)
         if extra_terms is not None:
             terms = terms.unionByName(extra_terms)
         terms.write.mode("overwrite").parquet(store.path("terms"))
@@ -174,7 +176,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(store.path("term_stats"))
         )
-        n_docs = spark.read.parquet(store.path("docs")).count()
+        n_docs = store.read_manifest()["stages"]["docs"]["counters"]["n_docs"]
         corpus = (
             terms.groupBy("doc_id")
             .agg(F.first("dl").alias("dl"))
@@ -222,8 +224,10 @@ def build_index(
                 + F.sum(F.length("dls_blob"))
             ).alias("postings_bytes"),
         )
-        metrics.write.mode("overwrite").parquet(store.path("metrics"))
-        mrows = spark.read.parquet(store.path("metrics")).collect()
+        mrows = metrics.collect()  # one action; write the table from rows
+        spark.createDataFrame(mrows, metrics.schema).write.mode("overwrite").parquet(
+            store.path("metrics")
+        )
         total_postings = sum(r["n_postings"] for r in mrows)
         total_bytes = sum(r["postings_bytes"] for r in mrows)
         store.commit_stage(
