@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_slt_parse": eq.t1_slt_parse,
         "t7_pair_tuples": eq.t7_pair_tuples,
         "f8_dice_topk": eq.f8_dice_topk,
+        "r5_mss_rerank": eq.r5_mss_rerank,
     }
 
 

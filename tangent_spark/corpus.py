@@ -79,9 +79,14 @@ def _mathml(rng: random.Random) -> str:
     return f"<math><mrow><mi>{s()}</mi><mo>{rng.choice(_OPS)}</mo><mn>{n()}</mn></mrow></math>"
 
 
-def make_page(i: int, seed: int = 42, math_fraction: float = 0.3) -> dict:
+def make_page(
+    i: int, seed: int = 42, math_fraction: float = 0.3, page_scale: int = 1
+) -> dict:
+    """page_scale multiplies the word count (1 -> ~100 words, short
+    synthetic snippets; 8 -> ~800 words, realistic web-page size for
+    throughput benchmarks)."""
     rng = random.Random((seed << 34) ^ (i * 2654435761 % (1 << 61)))
-    n_words = rng.randint(20, 160)
+    n_words = rng.randint(20, 160) * page_scale
     words = rng.choices(_VOCAB, weights=_WEIGHTS, k=n_words)
     # sentences of 6-14 words
     parts, j = [], 0
@@ -128,13 +133,15 @@ def generate_pages(
     seed: int = 42,
     math_fraction: float = 0.3,
     partitions: int | None = None,
+    page_scale: int = 1,
 ) -> DataFrame:
     """Distributed deterministic generation: spark.range -> mapInPandas."""
     mf = math_fraction
+    ps = page_scale
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame([make_page(int(i), seed, mf) for i in pdf["id"]])
+            yield pd.DataFrame([make_page(int(i), seed, mf, ps) for i in pdf["id"]])
 
     rng_df = spark.range(n, numPartitions=partitions)
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)

@@ -494,6 +494,40 @@ def f8_dice_topk(spark, sf_dir):
     )
 
 
+def r5_mss_rerank(spark, sf_dir):
+    """R5: Maximum Subtree Similarity rerank of the Dice candidates for
+    the fixed formula query (rows-only: tree alignment is a pandas UDF)."""
+    from tangent_spark.operators.mss import mss_score
+    from tangent_spark.operators.pairs import exprs_df
+    from tangent_spark.operators.slt import mathml_to_slt
+
+    qslt = mathml_to_slt(_FORMULA_QUERY)
+    exprs = exprs_df(_pages(spark)).select("slt").distinct()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for slt in pdf["slt"]:
+                f, neg_un, exact = mss_score(qslt, slt)
+                if f > 0:
+                    rows.append(
+                        {"slt": slt, "mss_f": round(f, 4), "neg_unmatched": neg_un,
+                         "exact_matches": exact}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["slt", "mss_f", "neg_unmatched", "exact_matches"]
+            )
+
+    scored = exprs.mapInPandas(
+        kernel, schema="slt string, mss_f double, neg_unmatched int, exact_matches int"
+    )
+    return scored.orderBy(
+        F.desc("mss_f"), F.desc("neg_unmatched"), F.desc("exact_matches"), F.asc("slt")
+    ).limit(10)
+
+
 def token_count_by_source(spark, sf_dir):
     """Token counting rolled up by source (pipeline accounting)."""
     docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
