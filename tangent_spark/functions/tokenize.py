@@ -79,20 +79,55 @@ def with_tokens(df: DataFrame, text_col: str, tokenizer: str) -> DataFrame:
 
 
 def terms_df(df: DataFrame, id_col: str, text_col: str, tokenizer: str = "porter") -> DataFrame:
-    """Documents -> (doc_id, term, tf, dl).
+    """Documents -> (doc_id, term, tf, dl) with NO shuffle.
 
     This is the reference's T9 word tokenizer (SURVEY.md §2.3) producing
-    the postings input shape. groupBy gets map-side partial aggregation
-    from Spark automatically; dl is carried per row to avoid the
-    doc-length join the naive design would need at block-encode time.
+    the postings input shape. The naive plan (explode -> groupBy(doc,
+    term)) shuffles one row per (doc, term) partial — tens of millions
+    of rows for a modest corpus — yet the aggregation boundary is the
+    document, and a document never spans partitions. So tf is counted
+    INSIDE the tokenizer UDF (one Counter per doc per Arrow batch) and
+    the operator emits final rows with zero exchanges. dl rides along
+    per row so block encoding never needs a doc-length join.
     """
-    toks = with_tokens(df, text_col, tokenizer)
-    return (
-        toks.select(
-            F.col(id_col).alias("doc_id"),
-            F.size("tokens").alias("dl"),
-            F.explode("tokens").alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"))
+    from collections import Counter
+    from typing import Iterator
+
+    tok_fn = tokenize_porter if tokenizer == "porter" else tokenize_simple
+    if tokenizer not in ("porter", "simple"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    use_memo = tokenizer == "porter"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict = {}
+
+            def toks(text: str):
+                if not isinstance(text, str):
+                    return []
+                if not use_memo:
+                    return tokenize_simple(text)
+                out = []
+                for t in tokenize_simple(text):
+                    s = memo.get(t)
+                    if s is None:
+                        s = memo[t] = stem(t)
+                    out.append(s)
+                return out
+
+            doc_ids, terms, tfs, dls = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                counts = Counter(toks(text))
+                dl = sum(counts.values())
+                for term, tf in counts.items():
+                    doc_ids.append(doc_id)
+                    terms.append(term)
+                    tfs.append(tf)
+                    dls.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "term": terms, "tf": tfs, "dl": dls}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, term string, tf int, dl long"
     )
