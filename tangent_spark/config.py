@@ -36,8 +36,6 @@ class IndexConfig:
     # 'simple'  : lowercase, split on non-alnum only (SQL-expressible; used
     #             for the DuckDB oracle comparisons)
     tokenizer: str = "porter"
-    min_token_len: int = 1
-    max_token_len: int = 64
 
     # --- formula tuples (Tangent semantics) -------------------------------
     # window: max tuple path length in edges; 0 = unbounded
@@ -51,18 +49,18 @@ class IndexConfig:
     # (reference symboltree.py:40-48)
     max_pair_len: int = 200
 
-    # --- head-term skew ---------------------------------------------------
-    # terms whose doc frequency exceeds salt_df_threshold fraction of N get
-    # salted into salt_factor sub-keys before the term shuffle.
-    salt_df_threshold: float = 0.05
-    salt_factor: int = 8
+    # NOTE on head-term skew: there is deliberately NO salting config. The
+    # postings shuffle keys on (term, shard=doc_id % n_shards), so a head
+    # term is already spread over n_shards reducers — sharding by document
+    # IS the salt (see plans/indexer.py module docstring).
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), sort_keys=True)
 
     @staticmethod
     def from_json(s: str) -> "IndexConfig":
-        return IndexConfig(**json.loads(s))
+        known = {f.name for f in dataclasses.fields(IndexConfig)}
+        return IndexConfig(**{k: v for k, v in json.loads(s).items() if k in known})
 
 
 DEFAULT_CONFIG = IndexConfig()

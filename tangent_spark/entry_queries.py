@@ -76,10 +76,15 @@ def t9_tokenize_tf(spark, sf_dir):
 # --- §2.4 index build aggregations -------------------------------------------
 
 def a1_term_dict(spark, sf_dir):
-    """A1: string interning — dense term ids by sorted term order."""
+    """A1: string interning — dense term ids by sorted term order, via the
+    scale-safe range-partition + prefix-sum path (functions/ids.dense_ids),
+    not a single-partition global window."""
+    from tangent_spark.functions.ids import dense_ids
+
     vocab = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").cast("int").alias("df"))
-    w = Window.orderBy("term")
-    return vocab.withColumn("term_id", F.row_number().over(w).cast("long"))
+    return dense_ids(vocab, "term", "_tid").select(
+        "term", "df", (F.col("_tid") + 1).cast("long").alias("term_id")
+    )
 
 
 def a4_doc_stats(spark, sf_dir):

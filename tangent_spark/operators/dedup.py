@@ -106,31 +106,50 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair
     (doc_a < doc_b), with the estimated Jaccard = fraction of equal
     signature components. Bucket join is an equi-join on
-    (band, band_hash) — no cross join anywhere."""
+    (band, band_hash) — no cross join anywhere.
+
+    Scale shape: only (doc_id, band, bucket) rides through the bands-way
+    explosion and self-join — the full signature array (8*n_hashes bytes
+    per doc) joins back exactly once per side AFTER pair dedup, so shuffle
+    weight is O(pairs * sig) not O(pairs * bands * sig). Degenerate buckets
+    (e.g. every empty doc hashing identically) are capped at
+    max_bucket_size docs — a bucket of size m emits m(m-1)/2 pairs, so one
+    hot bucket would otherwise go quadratic; dropped buckets are those
+    where MinHash has collapsed (near-identical boilerplate), which the
+    surviving bands still pair up unless all 16 collapse together."""
     n = bands * rows_per_band
-    sig = signatures.select(
+    buckets = signatures.select(
         "doc_id",
-        F.col("sig"),
-        *[
-            F.xxhash64(
-                F.lit(b), F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
-            ).alias(f"b{b}")
-            for b in range(bands)
-        ],
-    )
-    buckets = sig.select(
-        "doc_id",
-        "sig",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket")) for b in range(bands)])
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.lit(b),
+                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    x, y = buckets.alias("x"), buckets.alias("y")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    small = buckets.join(
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_bs"))
+        .filter(F.col("_bs") <= max_bucket_size)
+        .drop("_bs"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    x, y = small.alias("x"), small.alias("y")
     pairs = (
         x.join(
             y,
@@ -138,13 +157,13 @@ def lsh_candidate_pairs(
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("x.sig").alias("sig_a"),
-            F.col("y.sig").alias("sig_b"),
-        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sigs = signatures.select("doc_id", "sig")
+    pairs = (
+        pairs.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
     )
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda p, q: p == q), lambda v: v)
@@ -159,9 +178,19 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only (semi-join
-    restricts the shingle explosion to docs that appear in a pair)."""
+    restricts the shingle explosion to docs that appear in a pair).
+
+    Hot-shingle guard: a boilerplate shingle shared by D candidate docs
+    contributes O(D^2) rows to the shingle⋈shingle equi-join and lands on
+    one reducer. Shingles with document frequency > max_shingle_df are
+    dropped from BOTH the intersection and the set sizes, so the reported
+    value is the exact Jaccard over non-boilerplate shingles — a
+    documented, consistent estimator (biased toward the distinctive
+    content, which is what near-dup detection wants) with per-shingle join
+    fan-out bounded by max_shingle_df^2."""
     docs_in_pairs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -180,6 +209,14 @@ def jaccard_verify(
 
     g = relevant.select(id_col, text_col).mapInPandas(
         shingle_rows, schema="doc_id long, shingle string"
+    )
+    g = g.join(
+        g.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .drop("_df"),
+        "shingle",
+        "left_semi",
     )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (

@@ -36,23 +36,45 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set
     against the full embeddings scan; JVM-side zip_with dot products
-    (no Python in the hot loop); per-query window top-k with id
-    tie-break."""
+    (no Python in the hot loop).
+
+    Scale shape: the final per-query window would otherwise move ALL N
+    scored rows per query to one reducer. A per-PARTITION top-k
+    pre-reduction (same total order: cos desc, vec_id asc — so it keeps a
+    superset of the global top-k) runs first, leaving at most
+    n_partitions*k rows per query for the window. Ids must be integral."""
     emb = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
     qs = queries.select(
-        F.col(query_id_col).alias("query_id"),
+        F.col(query_id_col).cast("long").alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("q"),
     )
     scored = (
         emb.join(F.broadcast(qs))
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("cos", _cos_cols("q", "v"))
+        .select("query_id", "vec_id", "cos")
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            cur = cur.sort_values(
+                ["query_id", "cos", "vec_id"], ascending=[True, False, True]
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    reduced = scored.mapInPandas(
+        partial_topk, schema="query_id long, vec_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        reduced.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
     )

@@ -177,14 +177,16 @@ def build_index(
             .parquet(store.path("term_stats"))
         )
         n_docs = store.read_manifest()["stages"]["docs"]["counters"]["n_docs"]
-        corpus = (
-            terms.groupBy("doc_id")
-            .agg(F.first("dl").alias("dl"))
-            .agg(
-                F.lit(n_docs).alias("n_docs"),
-                F.sum("dl").alias("total_tokens"),
-                (F.sum("dl") / F.lit(n_docs)).alias("avgdl"),
-            )
+        # avgdl is defined over the UNIFIED term space: dl(doc) = total term
+        # occurrences across fields = sum(tf). For a word-only index this
+        # equals the per-row dl exactly; for the unified (word+formula) index
+        # it is the deterministic cross-field total (F.first("dl") over the
+        # union would be partition-order-dependent and could flip avgdl —
+        # and every BM25 score — between identical builds).
+        corpus = terms.agg(
+            F.lit(n_docs).alias("n_docs"),
+            F.sum("tf").cast("long").alias("total_tokens"),
+            (F.sum("tf") / F.lit(n_docs)).alias("avgdl"),
         )
         corpus.write.mode("overwrite").parquet(store.path("corpus_stats"))
         vocab = spark.read.parquet(store.path("term_stats")).count()

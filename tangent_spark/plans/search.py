@@ -72,10 +72,11 @@ def bm25_topk_df(
     """
     qts = query_terms(query, cfg.tokenizer)
     terms = terms_df(docs, id_col, text_col, cfg.tokenizer)
-    corpus = (
-        terms.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # n_docs/avgdl from one deterministic aggregate (dl == sum(tf) per doc
+    # for a word-only relation; no order-dependent F.first anywhere)
+    corpus = terms.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
     )
     matched = terms.filter(F.col("term").isin(qts))
     dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
@@ -177,7 +178,10 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
         blk_lo, blk_hi = lo, hi
 
         for oi, r in enumerate(order):
-            if top_scores.size >= k and ub[r] <= threshold:
+            # strict <: a range whose bound EQUALS the threshold may still
+            # hold a doc with score == threshold and a smaller doc_id, which
+            # must win the tie (score desc, doc_id asc — mathindexbase.h:100)
+            if top_scores.size >= k and ub[r] < threshold:
                 skipped_after = order.size - oi
                 break
             rlo, rhi = starts[r], ends[r]

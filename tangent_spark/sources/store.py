@@ -26,8 +26,10 @@ Layout under <root>/:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
 import time
 from typing import Any
 
@@ -42,8 +44,21 @@ class IndexStore:
         os.makedirs(root, exist_ok=True)
 
     # -- paths --------------------------------------------------------------
+    # Tables are versioned: version 0 lives at <root>/<table> (the batch
+    # build's layout), version N>0 at <root>/<table>__vN. The manifest's
+    # table_versions pointer is what makes rewrites (stats merges,
+    # compaction) atomic: the new version is fully written first, then the
+    # pointer flips inside the same atomic manifest write as the stage
+    # commit — exactly an Iceberg snapshot pointer swap.
+    def versioned_path(self, table: str, version: int) -> str:
+        base = os.path.join(self.root, table)
+        return base if version == 0 else f"{base}__v{version}"
+
+    def table_version(self, table: str) -> int:
+        return self.read_manifest().get("table_versions", {}).get(table, 0)
+
     def path(self, table: str) -> str:
-        return os.path.join(self.root, table)
+        return self.versioned_path(table, self.table_version(table))
 
     @property
     def manifest_path(self) -> str:
@@ -77,7 +92,7 @@ class IndexStore:
         m = self.read_manifest()
         if m.get("config") is None:
             raise ValueError(f"no manifest config at {self.root}")
-        return IndexConfig(**m["config"])
+        return IndexConfig.from_json(json.dumps(m["config"]))
 
     # -- stage ledger (the checkpoint/resume mechanism) ----------------------
     def stage_done(self, stage: str) -> bool:
@@ -92,8 +107,26 @@ class IndexStore:
                 return False
         return True
 
-    def commit_stage(self, stage: str, tables: list[str], counters: dict[str, Any]) -> None:
+    def commit_stage(
+        self,
+        stage: str,
+        tables: list[str],
+        counters: dict[str, Any],
+        table_flips: dict[str, int] | None = None,
+    ) -> None:
+        """Commit a stage; table_flips atomically repoints table versions in
+        the same manifest write (snapshot swap). Superseded version dirs are
+        deleted best-effort AFTER the commit — a crash between commit and
+        cleanup leaves only garbage dirs, never an inconsistent index."""
         m = self.read_manifest()
+        old_paths: list[str] = []
+        if table_flips:
+            versions = m.setdefault("table_versions", {})
+            for t, v in table_flips.items():
+                old = versions.get(t, 0)
+                if old != v:
+                    old_paths.append(self.versioned_path(t, old))
+                versions[t] = v
         m["stages"][stage] = {
             "status": "committed",
             "tables": tables,
@@ -101,6 +134,33 @@ class IndexStore:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._write_manifest(m)
+        for p in old_paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+    # -- idempotent file-level appends ---------------------------------------
+    # Streaming appends add part files to a live table dir under names
+    # tagged with the batch id. Replay after a crash first removes any
+    # files carrying its tag, restoring the pre-batch state of every
+    # appended table — that plus versioned stats rewrites makes
+    # append_batch idempotent at any crash point.
+    def copy_tagged(self, src_dir: str, table: str, tag: str) -> int:
+        """Copy the parquet part files of src_dir into the live table dir
+        under deterministic '<tag>-NNNNN.parquet' names. Returns file count."""
+        dst = self.path(table)
+        os.makedirs(dst, exist_ok=True)
+        files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+        for i, f in enumerate(files):
+            shutil.copy(f, os.path.join(dst, f"{tag}-{i:05d}.parquet"))
+        return len(files)
+
+    def clean_tagged(self, table: str, tag: str) -> int:
+        """Remove every part file a previous (crashed) attempt of this batch
+        appended to the live table dir."""
+        removed = 0
+        for f in glob.glob(os.path.join(self.path(table), f"{tag}-*.parquet")):
+            os.remove(f)
+            removed += 1
+        return removed
 
     def counters(self) -> dict[str, dict[str, Any]]:
         m = self.read_manifest()

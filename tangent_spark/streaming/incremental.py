@@ -14,26 +14,43 @@ free because of two design choices made upstream:
 
 Each micro-batch: anti-join already-indexed urls -> assign fresh dense
 doc ids above the current high-water mark -> tokenize -> append postings
-runs + docs rows -> MERGE the (small) term_stats and corpus_stats
-tables -> commit a manifest stage 'batch_<epoch>' with counters. A
-replayed epoch (foreachBatch redelivery) is skipped by the manifest
-check — that plus the atomic manifest write gives effectively-once
-semantics. Query results after N appends are EXACTLY the results of a
+runs + docs rows -> rewrite the (small) term_stats and corpus_stats
+tables as new versions -> commit a manifest stage 'batch_<epoch>'.
+
+Crash-idempotency protocol (effectively-once at ANY crash point, not
+just whole-batch foreachBatch redelivery):
+  * every part file appended to a live table dir carries the batch tag
+    in its name; replay first deletes its own tagged files, restoring
+    the exact pre-batch state of postings/terms/docs;
+  * stats are never merged in place — the merge reads the CURRENT
+    version dirs (intact until commit) and writes version N+1; the
+    manifest commit atomically flips the table pointers (Iceberg-style
+    snapshot swap) in the same write that marks the stage committed.
+So a crash after any subset of appends/merges replays to an identical
+state; a replayed committed epoch is skipped by the manifest check.
+Query results after N appends are EXACTLY the results of a
 from-scratch batch build over the union (tested).
 
-Compaction (merging a term's many short runs into one) is a pure
-rewrite of the postings table and can run any time; query correctness
-never depends on it.
+Compaction (`compact_postings`): appends leave one run per (shard,
+term) PER BATCH, so run count grows linearly with batches — scan and
+block-max bound quality degrade. Compaction decodes all runs, merges
+them into one run per (shard, term) (exact: batches only add new doc
+ids), writes a fresh postings version, verifies the postings-mass
+invariant, and flips the pointer atomically. Query correctness never
+depends on it; it restores the one-run invariant.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tangent_spark.config import IndexConfig
 from tangent_spark.functions.ids import dense_ids
 from tangent_spark.functions.tokenize import terms_df
 from tangent_spark.plans.indexer import POSTINGS_SCHEMA, _encode_runs
@@ -50,11 +67,21 @@ def append_batch(
     extra_terms_fn=None,
 ) -> dict:
     """Append one batch of pages to an existing index. Idempotent per
-    batch_id (manifest-gated). Returns the batch counters."""
+    batch_id at any crash point (see module docstring). Returns the
+    batch counters."""
     stage = f"batch_{batch_id}"
     if store.stage_done(stage):
         return store.read_manifest()["stages"][stage]["counters"]
     cfg = store.get_config()
+    tag = f"b{batch_id}"
+
+    # replay cleanup: remove anything a crashed previous attempt appended,
+    # so every read below sees the exact pre-batch state. File mutations
+    # happen OUTSIDE Spark writes, so Spark's shared FileStatusCache must
+    # be invalidated explicitly or readers keep the stale listing.
+    for t in ("postings", "terms", "docs"):
+        store.clean_tagged(t, tag)
+        spark.catalog.refreshByPath(store.path(t))
 
     existing_docs = spark.read.parquet(store.path("docs"))
     n0 = existing_docs.count()
@@ -70,12 +97,13 @@ def append_batch(
     # those paths (Spark refreshes written paths), so the batch lineage
     # must be rooted at an independent location first. The staging dir
     # doubles as the batch's crash checkpoint.
-    staging = store.path(f"_staging_{stage}")
+    staging = os.path.join(store.root, f"_staging_{stage}")
     fresh.write.mode("overwrite").parquet(staging + "/pages")
     fresh = spark.read.parquet(staging + "/pages")
     n_new = fresh.count()
     if n_new == 0:
         store.commit_stage(stage, [], {"new_docs": 0})
+        shutil.rmtree(staging, ignore_errors=True)
         return {"new_docs": 0}
 
     t0 = time.time()
@@ -85,47 +113,52 @@ def append_batch(
     terms.write.mode("overwrite").parquet(staging + "/terms")
     terms = spark.read.parquet(staging + "/terms")
 
-    # postings runs: same shuffle as the batch build, appended
+    # postings runs: same shuffle as the batch build, staged first
     shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
     (
         terms.withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
         .repartition(shard_parts, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
         .mapInPandas(_encode_runs(cfg), schema=POSTINGS_SCHEMA)
-        .write.mode("append")
-        .parquet(store.path("postings"))
+        .write.mode("overwrite")
+        .parquet(staging + "/postings")
     )
-    terms.write.mode("append").parquet(store.path("terms"))
-    fresh.select("doc_id", F.col(url_col).alias("url")).write.mode("append").parquet(
-        store.path("docs")
+    fresh.select("doc_id", F.col(url_col).alias("url")).write.mode("overwrite").parquet(
+        staging + "/docs"
     )
 
-    # merge the small dictionaries (term_stats / corpus_stats)
+    # merged dictionaries -> NEXT version dirs (current versions stay
+    # intact until the manifest flip, so replay recomputes from the same
+    # inputs after a crash anywhere in this function)
+    ts_v = store.table_version("term_stats")
+    cs_v = store.table_version("corpus_stats")
     batch_stats = terms.groupBy("term").agg(
         F.count("*").cast("int").alias("df"), F.sum("tf").alias("cf")
     )
     old_stats = spark.read.parquet(store.path("term_stats"))
-    merged = (
+    (
         old_stats.unionByName(batch_stats)
         .groupBy("term")
         .agg(F.sum("df").cast("int").alias("df"), F.sum("cf").alias("cf"))
-    ).persist()
-    merged.count()  # materialize BEFORE overwriting the input path
-    merged.write.mode("overwrite").parquet(store.path("term_stats") + "_tmp")
-    spark.read.parquet(store.path("term_stats") + "_tmp").write.mode(
-        "overwrite"
-    ).parquet(store.path("term_stats"))
+        .write.mode("overwrite")
+        .parquet(store.versioned_path("term_stats", ts_v + 1))
+    )
 
     old_cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
-    batch_tokens = terms.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-        F.sum("dl")
-    ).collect()[0][0] or 0
+    # dl(doc) == sum(tf) — deterministic across partitionings (see
+    # plans/indexer.py stats stage for the unified-field definition)
+    batch_tokens = terms.agg(F.sum("tf")).collect()[0][0] or 0
     n_docs = n0 + n_new
     total_tokens = int(old_cs["total_tokens"] or 0) + int(batch_tokens)
     spark.createDataFrame(
         [(n_docs, total_tokens, total_tokens / max(n_docs, 1))],
         "n_docs long, total_tokens long, avgdl double",
-    ).write.mode("overwrite").parquet(store.path("corpus_stats"))
+    ).write.mode("overwrite").parquet(store.versioned_path("corpus_stats", cs_v + 1))
+
+    # idempotent live appends: tagged part-file copies (cleaned on replay)
+    for t in ("postings", "terms", "docs"):
+        store.copy_tagged(staging + "/" + t, t, tag)
+        spark.catalog.refreshByPath(store.path(t))
 
     counters = {
         "new_docs": n_new,
@@ -133,10 +166,79 @@ def append_batch(
         "n_docs_after": n_docs,
         "secs": time.time() - t0,
     }
-    store.commit_stage(stage, ["postings", "docs"], counters)
-    import shutil
-
+    store.commit_stage(
+        stage,
+        ["postings", "docs"],
+        counters,
+        table_flips={"term_stats": ts_v + 1, "corpus_stats": cs_v + 1},
+    )
     shutil.rmtree(staging, ignore_errors=True)
+    return counters
+
+
+def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
+    """Merge every (shard, term)'s runs into a single compressed run and
+    atomically flip the postings table to the compacted version.
+
+    Exact by construction: append_batch only ever adds doc ids above the
+    high-water mark, so the union of a term's runs has no duplicate
+    (term, doc_id) and re-sorting by doc_id is the exact merged posting
+    list. The postings-mass invariant (sum of df unchanged) is asserted
+    before the flip; a crash at any point leaves the current version
+    live and the next attempt rewrites the staging version."""
+    from tangent_spark.codec import decode_posting_list
+
+    cfg = store.get_config()
+    nxt = store.table_version("postings") + 1
+    t0 = time.time()
+    p = spark.read.parquet(store.path("postings"))
+    before = p.agg(
+        F.count("*").alias("runs"), F.sum("df").alias("mass")
+    ).collect()[0]
+
+    def decode_rows(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                ids, tfs, dls = decode_posting_list(
+                    row["docs_blob"], row["tfs_blob"], row["dls_blob"],
+                    np.asarray(row["d_cuts"]), np.asarray(row["t_cuts"]),
+                    np.asarray(row["l_cuts"]), row["counts"],
+                )
+                frames.append(pd.DataFrame({
+                    "shard": np.full(ids.size, row["shard"], dtype=np.int32),
+                    "term": row["term"],
+                    "doc_id": ids.astype(np.int64),
+                    "tf": tfs.astype(np.int32),
+                    "dl": dls.astype(np.int64),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
+    compacted = (
+        p.mapInPandas(decode_rows, schema="shard int, term string, doc_id long, tf int, dl long")
+        .repartition(shard_parts, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(_encode_runs(cfg), schema=POSTINGS_SCHEMA)
+    )
+    out = store.versioned_path("postings", nxt)
+    compacted.write.mode("overwrite").parquet(out)
+    q = spark.read.parquet(out)
+    after = q.agg(F.count("*").alias("runs"), F.sum("df").alias("mass")).collect()[0]
+    if int(after["mass"] or 0) != int(before["mass"] or 0):
+        raise AssertionError(
+            f"compaction lost postings: {before['mass']} -> {after['mass']}"
+        )
+    counters = {
+        "runs_before": int(before["runs"]),
+        "runs_after": int(after["runs"]),
+        "postings": int(after["mass"] or 0),
+        "secs": time.time() - t0,
+    }
+    store.commit_stage(
+        f"compact_v{nxt}", ["postings"], counters, table_flips={"postings": nxt}
+    )
     return counters
 
 

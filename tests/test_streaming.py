@@ -73,3 +73,111 @@ def test_streaming_driver(spark, all_pages, tmp_path_factory):
     assert n0 == 50
     res = bm25_topk_wand(spark, store, "matrix theorem", 5).collect()
     assert len(res) == 5
+
+
+def _topk(spark, store, q, k=10):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk_wand(spark, store, q, k).collect()
+    ]
+
+
+def test_append_crash_replay(spark, all_pages, tmp_path_factory, monkeypatch):
+    """A crash at ANY point inside append_batch must leave the index in a
+    state from which replaying the same batch_id produces EXACTLY the
+    from-scratch build (the ADVICE.md crash-idempotency contract)."""
+    base = str(tmp_path_factory.mktemp("crash"))
+    first = all_pages.filter(F.col("doc_id") < 60)
+    second = all_pages.filter(F.col("doc_id") >= 60).drop("doc_id")
+    full_store = build_index(spark, all_pages, f"{base}/full", CFG, url_col="url")
+
+    # crash point A: mid-append — postings copied, terms copy raises
+    store_a = build_index(spark, first, f"{base}/a", CFG, url_col="url")
+    orig_copy = IndexStore.copy_tagged
+
+    def boom_copy(self, src, table, tag):
+        n = orig_copy(self, src, table, tag)
+        if table == "terms":
+            raise RuntimeError("injected crash after terms append")
+        return n
+
+    monkeypatch.setattr(IndexStore, "copy_tagged", boom_copy)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_batch(spark, store_a, second, batch_id=7)
+    monkeypatch.setattr(IndexStore, "copy_tagged", orig_copy)
+    counters = append_batch(spark, store_a, second, batch_id=7)
+    assert counters["new_docs"] == 30
+    verify_index(spark, store_a)
+    for q in QUERIES:
+        assert _topk(spark, store_a, q) == _topk(spark, full_store, q), q
+
+    # crash point B: everything appended + stats merged, manifest commit raises
+    store_b = build_index(spark, first, f"{base}/b", CFG, url_col="url")
+    orig_commit = IndexStore.commit_stage
+
+    def boom_commit(self, stage, tables, counters, table_flips=None):
+        if stage.startswith("batch_"):
+            raise RuntimeError("injected crash before manifest commit")
+        return orig_commit(self, stage, tables, counters, table_flips)
+
+    monkeypatch.setattr(IndexStore, "commit_stage", boom_commit)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_batch(spark, store_b, second, batch_id=9)
+    monkeypatch.setattr(IndexStore, "commit_stage", orig_commit)
+    counters = append_batch(spark, store_b, second, batch_id=9)
+    assert counters["new_docs"] == 30
+    verify_index(spark, store_b)
+    for q in QUERIES:
+        assert _topk(spark, store_b, q) == _topk(spark, full_store, q), q
+    # stats must be consistent with postings (no double merge)
+    mass = (
+        spark.read.parquet(store_b.path("postings")).agg(F.sum("df")).collect()[0][0]
+    )
+    stat_mass = (
+        spark.read.parquet(store_b.path("term_stats")).agg(F.sum("df")).collect()[0][0]
+    )
+    assert int(mass) == int(stat_mass)
+
+
+def test_compaction_exact_and_bounded(spark, all_pages, tmp_path_factory):
+    """Compaction merges per-batch runs into one run per (shard, term),
+    preserves query results exactly, and survives further appends."""
+    from tangent_spark.streaming.incremental import compact_postings
+
+    base = str(tmp_path_factory.mktemp("compact"))
+    store = build_index(
+        spark, all_pages.filter(F.col("doc_id") < 30), f"{base}/idx", CFG, url_col="url"
+    )
+    for i, (lo, hi) in enumerate([(30, 50), (50, 70)]):
+        append_batch(
+            spark,
+            store,
+            all_pages.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).drop("doc_id"),
+            batch_id=i,
+        )
+    p = spark.read.parquet(store.path("postings"))
+    max_runs_before = (
+        p.groupBy("shard", "term").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_runs_before > 1  # fragmentation actually present
+    before = {q: _topk(spark, store, q) for q in QUERIES}
+
+    c = compact_postings(spark, store)
+    assert c["runs_after"] < c["runs_before"]
+    p2 = spark.read.parquet(store.path("postings"))
+    assert (
+        p2.groupBy("shard", "term").count().agg(F.max("count")).collect()[0][0] == 1
+    )
+    verify_index(spark, store)
+    for q in QUERIES:
+        assert _topk(spark, store, q) == before[q], q
+
+    # appends after compaction keep working and a second compaction is clean
+    append_batch(spark, store, all_pages.filter(F.col("doc_id") >= 70).drop("doc_id"),
+                 batch_id="post")
+    full = build_index(spark, all_pages, f"{base}/full", CFG, url_col="url")
+    for q in QUERIES:
+        assert _topk(spark, store, q) == _topk(spark, full, q), q
+    compact_postings(spark, store)
+    for q in QUERIES:
+        assert _topk(spark, store, q) == _topk(spark, full, q), q
