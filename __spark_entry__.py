@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+_GOLDEN_DIR = os.path.join(_REPO, "goldens")
 
 from tangent_spark import entry_queries as eq  # noqa: E402
 
@@ -54,11 +55,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": eq.text_langid,
         "doc_fingerprint": eq.doc_fingerprint,
         "token_count_by_source": eq.token_count_by_source,
-        # formula path (pair-tuple UDFs; no SQL oracle -> rows-only check)
+        # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
+        # frozen golden parquets whose ground truth is the pytest parity
+        # suite vs the reference implementation + its shipped result
+        # files; regenerate with scripts/build_goldens.py)
         "t1_slt_parse": eq.t1_slt_parse,
         "t7_pair_tuples": eq.t7_pair_tuples,
         "f8_dice_topk": eq.f8_dice_topk,
         "r5_mss_rerank": eq.r5_mss_rerank,
+        "r7_v11_rerank": eq.r7_v11_rerank,
     }
 
 
@@ -253,4 +258,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, sum(nt)::BIGINT AS total_tokens, count(*)::BIGINT AS n_docs, "
             "round(avg(nt), 4)::DOUBLE AS avg_tokens FROM d GROUP BY 1"
         ),
+        # formula-path oracles: frozen golden parquets (see queries() note;
+        # ground truth = pytest parity vs the reference and its shipped
+        # NTCIR-12 result files; scripts/build_goldens.py regenerates)
+        **{
+            name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+            for name in (
+                "t1_slt_parse", "t7_pair_tuples", "f8_dice_topk",
+                "r5_mss_rerank", "r7_v11_rerank",
+            )
+        },
     }

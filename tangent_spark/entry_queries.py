@@ -533,6 +533,44 @@ def r5_mss_rerank(spark, sf_dir):
     ).limit(10)
 
 
+def r7_v11_rerank(spark, sf_dir):
+    """R7: the NTCIR-12 submission rerank metric (v11 = subtree-
+    unification matching + m4 score vector) over the Dice candidates for
+    the fixed formula query. The scorer itself carries golden parity vs
+    the reference's shipped reranked_paper_m4_w0_e2.tsv (3,940 pairs,
+    tests/test_golden_rerank.py); its driver oracle is a precomputed
+    golden parquet (goldens/r7_v11_rerank.parquet)."""
+    from tangent_spark.operators.mss_subtree import subtree_similarity
+    from tangent_spark.operators.pairs import exprs_df
+    from tangent_spark.operators.slt import mathml_to_slt
+
+    qslt = mathml_to_slt(_FORMULA_QUERY)
+    exprs = exprs_df(_pages(spark)).select("slt").distinct()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for slt in pdf["slt"]:
+                f, neg_un, exact = subtree_similarity(qslt, slt, scoring="m4")
+                if f > 0:
+                    rows.append(
+                        {"slt": slt, "v11_f": round(f, 4), "neg_unmatched": neg_un,
+                         "exact_matches": exact}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["slt", "v11_f", "neg_unmatched", "exact_matches"]
+            )
+
+    scored = exprs.mapInPandas(
+        kernel, schema="slt string, v11_f double, neg_unmatched int, exact_matches int"
+    )
+    return scored.orderBy(
+        F.desc("v11_f"), F.desc("neg_unmatched"), F.desc("exact_matches"), F.asc("slt")
+    ).limit(10)
+
+
 def token_count_by_source(spark, sf_dir):
     """Token counting rolled up by source (pipeline accounting)."""
     docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))

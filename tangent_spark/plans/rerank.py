@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tangent_spark.operators.mss import mss_score
+from tangent_spark.operators.mss_subtree import subtree_similarity
 from tangent_spark.operators.slt import mathml_to_slt
 from tangent_spark.plans.formula import dice_topk_exprs
 from tangent_spark.sources.store import IndexStore
@@ -27,15 +28,26 @@ MSS_SCHEMA = (
     "expr_id long, slt string, mss_f double, neg_unmatched int, exact_matches int"
 )
 
+# metric name -> per-pair scorer returning (f, neg_unmatched, exact).
+# v04 = shipped `rerank` script default (operators/mss.py, greedy-gated
+# growth); v11 = the NTCIR-12 submission metric (subtree-unification
+# matching + m4 scores; golden-parity vs reranked_paper_m4_w0_e2.tsv).
+_SCORERS = {
+    "v04": mss_score,
+    "v11": lambda q, c: subtree_similarity(q, c, scoring="m4"),
+}
 
-def mss_rescore(candidates: DataFrame, query_slt: str) -> DataFrame:
-    """(expr_id, slt, ...) -> + MSS score vector columns."""
+
+def mss_rescore(candidates: DataFrame, query_slt: str, metric: str = "v04") -> DataFrame:
+    """(expr_id, slt, ...) -> + score vector columns for the chosen
+    rerank metric (v04 or v11; both emit (f, -unmatched, exact))."""
+    score_fn = _SCORERS[metric]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for expr_id, slt in zip(pdf["expr_id"], pdf["slt"]):
-                f, neg_un, exact = mss_score(query_slt, slt)
+                f, neg_un, exact = score_fn(query_slt, slt)
                 rows.append(
                     {
                         "expr_id": int(expr_id),
@@ -59,15 +71,17 @@ def rerank_topk(
     query_mathml: str,
     k: int,
     prefilter_k: Optional[int] = None,
+    metric: str = "v04",
 ) -> DataFrame:
     """Full second-stage pipeline: Dice top-(prefilter_k) candidates
-    re-scored by MSS, re-sorted by (mss_f desc, -unmatched desc,
-    exact desc, expr_id asc) — the reference's R9 score-vector sort."""
+    re-scored by the chosen metric, re-sorted by (mss_f desc,
+    -unmatched desc, exact desc, expr_id asc) — the reference's R9
+    score-vector sort."""
     query_slt = mathml_to_slt(query_mathml)
     if not query_slt:
         return spark.createDataFrame([], MSS_SCHEMA)
     cands = dice_topk_exprs(spark, store, query_mathml, prefilter_k or 10 * k)
-    rescored = mss_rescore(cands, query_slt)
+    rescored = mss_rescore(cands, query_slt, metric)
     return rescored.orderBy(
         F.desc("mss_f"),
         F.desc("neg_unmatched"),
