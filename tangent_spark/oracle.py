@@ -74,8 +74,9 @@ def dice_rank(
     """Exhaustive Dice ranking over unique expressions: returns
     [(expr_id, slt, score)] sorted (score desc, expr_id asc), where
     expr_id = rank of slt in sorted order (matching
-    functions/ids.dense_ids). Wildcard query tuples (?-tagged at one
-    end) contribute min(q_cnt, 1) per expression they match."""
+    functions/ids.dense_ids). Wildcard query tuples are scored per
+    instance with shared per-tuple budgets (plans/formula.wildcard_cc —
+    the golden-verified rule)."""
     from tangent_spark.config import IndexConfig
     from tangent_spark.operators.slt import mathml_to_slt, pairs, parse_slt
 
@@ -92,29 +93,29 @@ def dice_rank(
     qslt = mathml_to_slt(query_mathml)
     if qslt is None:
         return []
+    from tangent_spark.plans.formula import wildcard_cc
+
     qcnt: Counter = Counter()
+    wild: list = []
+    qtc = 0
     for fr, to, rel, _ in pairs(
         parse_slt(qslt), cfg.window, cfg.eol_mode, max_pair_len=cfg.max_pair_len
     ):
-        if fr.startswith("?") and to.startswith("?"):
+        fw, tw = fr.startswith("?"), to.startswith("?")
+        if fw and tw:
             continue
-        qcnt[(fr, to, rel)] += 1
-    qtc = sum(qcnt.values())
+        qtc += 1
+        if fw or tw:
+            wild.append((fr, to, rel))
+        else:
+            qcnt[(fr, to, rel)] += 1
     if qtc == 0:
         return []
     out = []
     for expr_id, (slt, ec) in enumerate(zip(uniq, expr_tuples)):
-        cc = 0
-        for (fr, to, rel), qn in qcnt.items():
-            fw, tw = fr.startswith("?"), to.startswith("?")
-            if not fw and not tw:
-                cc += min(qn, ec.get((fr, to, rel), 0))
-            elif fw:
-                if any(k2[1] == to and k2[2] == rel for k2 in ec):
-                    cc += min(qn, 1)
-            else:
-                if any(k2[0] == fr and k2[2] == rel for k2 in ec):
-                    cc += min(qn, 1)
+        cc = sum(min(qn, ec.get(t, 0)) for t, qn in qcnt.items())
+        if wild:
+            cc += wildcard_cc(dict(qcnt), wild, dict(ec))
         if cc > 0:
             etc = sum(ec.values())
             out.append((expr_id, slt, 2.0 * cc / (etc + qtc)))

@@ -12,14 +12,17 @@ Tables in the IndexStore:
   f_dict(expr_id, slt, expr_tc)        — id = deterministic rank of slt
   f_postings(fr, to, rel, expr_id, cnt) — split term columns so wildcard
                                           lookups are plain equi-joins
+  f_postings_to(...)                    — to-major projection (A3 analog)
+                                          so ?-from patterns prune too
   f_docs(expr_id, doc_id, positions)
 
 Scoring: Dice/F-measure F = 2*cc/(expr_tc + query_tc), cc = count-capped
-multiset overlap (mathindex.cpp:239-246); wildcard query tuples (?x at
-either end) match any concrete symbol at that end via an equi-join on
-the remaining two fields, contributing min(q_cnt, 1) per expression
-(the reference's IDIterANY cap, mathindexmid.h:134-141). Ties break on
-ascending expr_id (mathindexbase.h:100)."""
+multiset overlap (mathindex.cpp:239-246). Wildcard query tuples (?x at
+one end) are scored PER INSTANCE with shared per-tuple budgets — the
+deterministic equivalent of the reference's IDIterPL/IND/ANY remainder
+machinery (mathindexmid.h:100-167); see wildcard_cc for the exact rule
+and its golden-agreement envelope. Ties break on ascending expr_id
+(mathindexbase.h:100)."""
 
 from __future__ import annotations
 
@@ -88,6 +91,27 @@ def build_formula_index(
             "f_postings", ["f_postings"], {"postings": n, "secs": time.time() - t0}
         )
 
+    if not store.stage_done("f_postings_to"):
+        # to-major projection of f_postings: `?x`-from wildcard patterns
+        # filter on (to, rel), which the (fr, to, rel)-sorted primary
+        # never prunes — this copy restores row-group pruning for them
+        # (the reference's separate wildcard postings table, A3).
+        t0 = time.time()
+        (
+            spark.read.parquet(store.path("f_postings"))
+            .repartition(
+                max(cfg.n_shards, spark.sparkContext.defaultParallelism),
+                "to", "rel",
+            )
+            .sortWithinPartitions("to", "rel", "fr", "expr_id")
+            .write.mode("overwrite")
+            .parquet(store.path("f_postings_to"))
+        )
+        n = spark.read.parquet(store.path("f_postings_to")).count()
+        store.commit_stage(
+            "f_postings_to", ["f_postings_to"], {"postings": n, "secs": time.time() - t0}
+        )
+
     if not store.stage_done("f_docs"):
         t0 = time.time()
         (
@@ -104,25 +128,89 @@ def build_formula_index(
 
 def query_tuple_multiset(query_mathml: str, cfg: IndexConfig):
     """Driver-side Q2: query MathML -> (concrete, wildcard, query_tc).
-    concrete: {(fr,to,rel): cnt}; wildcard: {(fr,to,rel): cnt} with '?'
-    at exactly one end. Both-wildcard tuples are dropped (P7,
-    mathindex.cpp:280-281)."""
+    concrete: {(fr,to,rel): cnt}; wildcard: LIST of (fr,to,rel) tuple
+    INSTANCES in generation order, '?' at exactly one end — repeats kept,
+    exactly like the reference's doAddTupleVar (mathindex.cpp:180).
+    Both-wildcard tuples are dropped (P7, mathindex.cpp:280-281)."""
     slt = mathml_to_slt(query_mathml)
     if slt is None:
-        return {}, {}, 0
+        return {}, [], 0
     tree = parse_slt(slt)
     concrete: dict = {}
-    wildcard: dict = {}
+    wildcard: list = []
     qtc = 0
     for fr, to, rel, _loc in pairs(tree, cfg.window, cfg.eol_mode, max_pair_len=cfg.max_pair_len):
         fr_w, to_w = fr.startswith("?"), to.startswith("?")
         if fr_w and to_w:
             continue
         qtc += 1
-        target = wildcard if (fr_w or to_w) else concrete
-        key = (fr, to, rel)
-        target[key] = target.get(key, 0) + 1
+        if fr_w or to_w:
+            wildcard.append((fr, to, rel))
+        else:
+            concrete[(fr, to, rel)] = concrete.get((fr, to, rel), 0) + 1
     return concrete, wildcard, qtc
+
+
+def _wild_matches(pattern: tuple, t: tuple) -> bool:
+    fr, to, rel = pattern
+    if fr.startswith("?"):
+        return t[1] == to and t[2] == rel
+    return t[0] == fr and t[2] == rel
+
+
+def wildcard_cc(concrete: dict, instances: list, expr_tuples: dict) -> int:
+    """Wildcard contribution to the count-capped overlap for ONE
+    expression — the deterministic equivalent of the reference's shared
+    posting-list iterators (IDIterPL/IDIterIND/IDIterANY,
+    mathindexmid.h:100-167):
+
+    * each wildcard INSTANCE contributes at most 1 (IDIterANY max-cap);
+    * instances draw from a shared per-tuple budget: a tuple's count is
+      first consumed by the concrete query tuples (min(q_cnt, cnt)), the
+      first instance whose pattern matches a non-concrete tuple owns one
+      free unit of it (IDIterPL with qcount=1), and every other draw
+      takes min(1, remainder) (IDIterIND consuming pl->rem);
+    * instances are processed in query-generation order and each
+      instance draws from EVERY matching tuple (full evaluation).
+
+    The reference instead short-circuits each ANY scan at the first unit
+    found, visiting posting lists in descending index-wide size order
+    with std::sort-unstable ties (mathindex.cpp:203,211) — an order that
+    is unreproducible from its artifacts. Golden agreement of this
+    deterministic rule vs the reference's shipped NTCIR-12 result files
+    (tests/test_golden_parity.py): EXACT on every query-candidate pair
+    whose wildcard instances are uncoupled (no repeated patterns and no
+    tuple matched by two instances or shared with a concrete tuple —
+    5,073/5,073 rows across 7 conditions), and >=97.5% on coupled rows
+    at eol none/small (~88% at eol=all), where the divergence is exactly
+    the reference's order-dependent remainder consumption."""
+    owner: dict = {}
+    for i, w in enumerate(instances):
+        for t in expr_tuples:
+            if t not in concrete and t not in owner and _wild_matches(w, t):
+                owner[t] = i
+    rem = {}
+    for t, cnt in expr_tuples.items():
+        if t in concrete:
+            rem[t] = cnt - min(concrete[t], cnt)
+        elif t in owner:
+            rem[t] = cnt - 1
+        else:
+            rem[t] = cnt
+    cc = 0
+    for i, w in enumerate(instances):
+        contrib = 0
+        for t in sorted(expr_tuples):
+            if not _wild_matches(w, t):
+                continue
+            if owner.get(t) == i:
+                contrib = max(contrib, 1)
+            else:
+                take = min(1, rem[t])
+                rem[t] -= take
+                contrib = max(contrib, take)
+        cc += contrib
+    return cc
 
 
 def dice_topk_exprs(
@@ -145,16 +233,54 @@ def dice_topk_exprs(
         )
         parts.append(
             postings.join(F.broadcast(qdf), ["fr", "to", "rel"])
-            .select("expr_id", F.least("q_cnt", "cnt").alias("contrib"))
+            .select("expr_id", F.least("q_cnt", "cnt").cast("double").alias("contrib"))
         )
-    for (fr, to, rel), c in sorted(wildcard.items()):
-        cap = min(c, 1)
-        if fr.startswith("?"):
-            m = postings.filter((F.col("to") == to) & (F.col("rel") == rel))
-        else:
-            m = postings.filter((F.col("fr") == fr) & (F.col("rel") == rel))
+    if wildcard:
+        # Gather every posting row matched by ANY wildcard pattern, then
+        # run the shared-budget accounting (wildcard_cc) per expression.
+        # fr-concrete patterns scan f_postings (sorted fr,to,rel: pruned);
+        # to-concrete patterns scan the to-major projection f_postings_to
+        # (the reference's A3 wildcard postings table analog,
+        # mathindexbase.h:228-234) so `?x`-from patterns prune as well.
+        to_pats = sorted({(to, rel) for (fr, to, rel) in wildcard if fr.startswith("?")})
+        fr_pats = sorted({(fr, rel) for (fr, to, rel) in wildcard if not fr.startswith("?")})
+        matched = []
+        if to_pats:
+            src = (
+                spark.read.parquet(store.path("f_postings_to"))
+                if store.stage_done("f_postings_to")
+                else postings
+            )
+            pdf_ = spark.createDataFrame(to_pats, "to string, rel string")
+            matched.append(src.join(F.broadcast(pdf_), ["to", "rel"]))
+        if fr_pats:
+            pdf_ = spark.createDataFrame(fr_pats, "fr string, rel string")
+            matched.append(postings.join(F.broadcast(pdf_), ["fr", "rel"]))
+        m = matched[0]
+        for x in matched[1:]:
+            m = m.unionByName(x)
+        m = m.select("expr_id", "fr", "to", "rel", "cnt").dropDuplicates(
+            ["expr_id", "fr", "to", "rel"]
+        )
+
+        def wild_kernel(pdf):
+            import pandas as pd
+
+            etuples = {
+                (fr, to, rel): int(cnt)
+                for fr, to, rel, cnt in zip(pdf["fr"], pdf["to"], pdf["rel"], pdf["cnt"])
+            }
+            return pd.DataFrame(
+                {
+                    "expr_id": [int(pdf["expr_id"].iloc[0])],
+                    "contrib": [float(wildcard_cc(concrete, wildcard, etuples))],
+                }
+            )
+
         parts.append(
-            m.select("expr_id").distinct().select("expr_id", F.lit(cap).alias("contrib"))
+            m.groupBy("expr_id").applyInPandas(
+                wild_kernel, schema="expr_id long, contrib double"
+            )
         )
     contribs = parts[0]
     for p in parts[1:]:

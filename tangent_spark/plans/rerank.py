@@ -113,6 +113,24 @@ def rerank_docs(
     )
 
 
+def pad_topk(rows: list, k: int, score_key: str = "final_score") -> list:
+    """R13: force EXACTLY k output rows (reference comp_query.py:334-354).
+    When fewer than k documents exist, the reference cycles through the
+    result list (idx % len) and assigns every repeated filler the MINIMUM
+    (last) score; ranks are always 1..k. Returns [(rank, score, row)].
+    Driver-side by design — this is an output-harness quirk applied to an
+    already-collected top-k list, not a distributed operator."""
+    if not rows or k <= 0:
+        return []
+    min_score = rows[-1][score_key]
+    out = []
+    for idx in range(k):
+        row = rows[idx % len(rows)]
+        score = row[score_key] if idx < len(rows) else min_score
+        out.append((idx + 1, score, row))
+    return out
+
+
 def combine_math_text(
     math_scores: DataFrame,
     text_scores: DataFrame,

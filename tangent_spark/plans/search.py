@@ -310,11 +310,21 @@ class Searcher:
     """Warm query serving over an IndexStore.
 
     Caches what a long-lived serving cluster would keep resident:
-    corpus stats (two scalars, driver-side), the term-stats dictionary
-    (persisted DataFrame; idf lookups are memory scans), and the
-    postings DataFrame (MEMORY_AND_DISK — Spark keeps the hot shards
-    in executor memory and spills the rest, so this stays valid at
-    100 TB where the full index exceeds RAM)."""
+    corpus stats (two scalars, driver-side), the term->df dictionary
+    (driver-side dict — exactly the resident lexicon the reference's
+    C++ process holds, mathindexbase.h:146-178), and the postings
+    DataFrame persisted PRE-PARTITIONED BY SHARD (MEMORY_AND_DISK —
+    Spark keeps hot shards in executor memory and spills the rest, so
+    this stays valid at 100 TB where the full index exceeds RAM).
+
+    The warm plan is ONE single-stage Spark job per query: scan of the
+    cached shard partitions with the query-term filter -> per-shard
+    block-max kernel (idf map rides in the closure; no join, no
+    shuffle — shard grouping happens inside the partition) ->
+    TakeOrderedAndProject of k rows per shard. At cluster scale this is
+    one task wave over the shard executors plus a k-row driver merge;
+    in local mode it bounds per-query latency by the bare Spark
+    job-launch floor (see BENCH.md)."""
 
     def __init__(self, spark: SparkSession, store: IndexStore):
         self.spark = spark
@@ -323,22 +333,45 @@ class Searcher:
         cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
         self.n_docs = int(cs["n_docs"])
         self.avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
-        self.term_stats = spark.read.parquet(store.path("term_stats")).persist()
-        self.postings = spark.read.parquet(store.path("postings")).persist()
-        self.term_stats.count()  # materialize caches
-        self.postings.count()
+        self.dfs = {
+            r["term"]: int(r["df"])
+            for r in spark.read.parquet(store.path("term_stats")).collect()
+        }
+        self.postings = (
+            spark.read.parquet(store.path("postings"))
+            .repartition(self.cfg.n_shards, "shard")
+            .persist()
+        )
+        self.postings.count()  # materialize the cache
 
     def topk(self, query: str, k: int, with_metrics: bool = False) -> DataFrame:
         qts = query_terms(query, self.cfg.tokenizer)
+        qts = [t for t in qts if t in self.dfs]
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        return _wand_plan(
-            self.postings, self.term_stats, qts, self.n_docs, self.avgdl,
-            self.cfg, k, with_metrics,
+        idf_map = {t: idf(self.n_docs, self.dfs[t]) for t in qts}
+        shard_kernel = _score_shard(self.avgdl, self.cfg, k)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            rows = [pdf for pdf in batches if len(pdf)]
+            if not rows:
+                return
+            all_rows = pd.concat(rows, ignore_index=True)
+            all_rows["idf"] = all_rows["term"].map(idf_map)
+            for _, grp in all_rows.groupby("shard", sort=False):
+                yield shard_kernel(grp.reset_index(drop=True))
+
+        local = self.postings.filter(F.col("term").isin(qts)).mapInPandas(
+            kernel, schema=_WAND_SCHEMA
         )
+        cols = ["doc_id", "score"] + (
+            ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
+            if with_metrics
+            else []
+        )
+        return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def close(self) -> None:
-        self.term_stats.unpersist()
         self.postings.unpersist()
 
 

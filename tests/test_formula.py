@@ -23,6 +23,12 @@ FORMULA_QUERIES = [
     "<math><msqrt><mi>z</mi></msqrt></math>",
     # wildcard: any base squared
     "<math><msup><mws:qvar name=\"w\"/><mn>2</mn></msup></math>",
+    # COUPLED wildcards: repeated patterns + sharing with concrete tuples
+    # (exercises the shared-budget accounting in wildcard_cc end-to-end)
+    "<math><mrow><mws:qvar name=\"a\"/><mo>+</mo><mws:qvar name=\"b\"/>"
+    "<mo>+</mo><mi>x</mi></mrow></math>",
+    "<math><mfrac><mws:qvar name=\"u\"/><mrow><mws:qvar name=\"v\"/>"
+    "<mo>+</mo><mn>3</mn></mrow></mfrac></math>",
 ]
 
 

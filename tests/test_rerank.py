@@ -63,3 +63,26 @@ def test_rerank_docs_and_combination(spark, setup):
     # outer join keeps math-only docs; weights are 0.5/0.5
     top = combined[0]
     assert 0.0 <= top["final_score"] <= 1.0 + 1e-9
+
+
+def test_pad_topk_cycles_short_results():
+    """R13 (comp_query.py:334-354): exactly k rows, cycling short result
+    lists; repeats carry the minimum score; ranks always 1..k."""
+    from tangent_spark.plans.rerank import pad_topk
+
+    rows = [
+        {"doc_id": 7, "final_score": 0.9},
+        {"doc_id": 3, "final_score": 0.5},
+        {"doc_id": 9, "final_score": 0.2},
+    ]
+    got = pad_topk(rows, 8)
+    assert len(got) == 8
+    assert [r for r, _, _ in got] == list(range(1, 9))
+    # originals keep their score
+    assert [s for _, s, _ in got[:3]] == [0.9, 0.5, 0.2]
+    # fillers cycle docs and all carry the min score
+    assert [row["doc_id"] for _, _, row in got] == [7, 3, 9, 7, 3, 9, 7, 3]
+    assert all(s == 0.2 for _, s, _ in got[3:])
+    # k smaller than results truncates; empty stays empty
+    assert len(pad_topk(rows, 2)) == 2
+    assert pad_topk([], 5) == []
