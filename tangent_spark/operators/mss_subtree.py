@@ -30,6 +30,14 @@ Score vectors (compared lexicographically, best alignment wins):
   m6 (= v06): [dice(exact+wildcard recall, unified dice), -(uncovered),
                -wildcard-captured nodes, leftmost-match vector (3),
                -stdev of capture sizes]
+  m7 (= v07): edge-recall dice, exact+wildcard only (unification
+              disabled via all-'E' constraints)
+  m8 (= v08): edge-recall dice incl. unified edges
+  m9 (= v09): ancestor-triplet dice, exact+wildcard only (window 0)
+  m10 (= v10): ancestor-triplet dice incl. unified
+
+All six verified score-vector-identical against the reference
+implementation (tests/test_golden_rerank.py::test_live_vector_parity).
 """
 
 from __future__ import annotations
@@ -306,7 +314,7 @@ def _dice(a: float, b: float) -> float:
     return 2.0 * a * b / (a + b) if a + b > 0 else 0.0
 
 
-def _scores_m4(matched, unified, valid_caps, cap_children, q_size, c_size):
+def _scores_m4(matched, unified, valid_caps, cap_children, q_size, c_size, q_root, c_root):
     """[unified dice, -(uncovered candidate nodes), exact matches]
     (reference scoring_m4:2240-2249)."""
     q_hits = matched + unified + valid_caps
@@ -344,7 +352,7 @@ def _leftmost(matched, unified, cap_children, max_depth: int):
     return best if best is not None else [_NEG_INF] * max_depth
 
 
-def _scores_m6(matched, unified, valid_caps, cap_children, q_size, c_size):
+def _scores_m6(matched, unified, valid_caps, cap_children, q_size, c_size, q_root, c_root):
     """m6 vector (reference scoring_m6:2251-2270): exact+wildcard recall
     diced with the unified structure dice, then uncovered / capture-size
     / leftness / capture-spread tie-breaks."""
@@ -364,7 +372,118 @@ def _scores_m6(matched, unified, valid_caps, cap_children, q_size, c_size):
     )
 
 
-_SCORERS = {"m4": _scores_m4, "m6": _scores_m6}
+def _matched_edges_multi(locs: List[str]) -> int:
+    """matched_edges_from_locations with OCCURRENCE multiplicity kept
+    (reference ranking_functions.py:829-864 iterates lists): every
+    occurrence of a location counts once if a location one char shorter
+    is its prefix. Needed for m7/m8, where wildcard-captured children
+    all carry the same (wildcard) q_location."""
+    by_len_list: Dict[int, List[str]] = {}
+    by_len_set: Dict[int, set] = {}
+    for loc in locs:
+        by_len_list.setdefault(len(loc), []).append(loc)
+        by_len_set.setdefault(len(loc), set()).add(loc)
+    total = 0
+    for ln, group in by_len_list.items():
+        prev = by_len_set.get(ln - 1)
+        if prev:
+            total += sum(1 for loc in group if loc[:-1] in prev)
+    return total
+
+
+def _matched_triplets(locs: List[str]) -> int:
+    """matched_triplets_from_locations with window=0 (all ancestor
+    depths; reference:1940-1980): each location occurrence counts once
+    per shorter location that is a strict prefix of it."""
+    if not locs:
+        return 0
+    by_len_list: Dict[int, List[str]] = {}
+    by_len_set: Dict[int, set] = {}
+    for loc in locs:
+        by_len_list.setdefault(len(loc), []).append(loc)
+        by_len_set.setdefault(len(loc), set()).add(loc)
+    mn = min(by_len_list)
+    total = 0
+    for cur, group in by_len_list.items():
+        for anc_len in range(mn, cur):
+            prev = by_len_set.get(anc_len)
+            if prev:
+                total += sum(1 for loc in group if loc[:anc_len] in prev)
+    return total
+
+
+def _count_triplets(node: SLTNode, depth: int = 0) -> int:
+    """count_triplets with window=0: every node contributes its ancestor
+    count (reference:1984-2024)."""
+    total = depth
+    for _, ch in node.edges():
+        total += _count_triplets(ch, depth + 1)
+    return total
+
+
+def _scores_m7(matched, unified, valid_caps, cap_children, q_size, c_size, q_root, c_root):
+    """m7 (reference scoring_m7 -> score_DC_edges_w_wild_no_unif:2149-2164):
+    edge-recall dice over exact+wildcard matches. Faithfully keeps the
+    reference's use of q_location on the CANDIDATE side too."""
+    q_edges = _matched_edges_multi([p.q_loc for p in matched + valid_caps])
+    c_edges = _matched_edges_multi([p.q_loc for p in matched + cap_children])
+    rec = (q_edges + 1.0) / q_size
+    prec = (c_edges + 1.0) / c_size
+    return (2.0 * rec * prec / (rec + prec), q_edges, c_edges, q_size, c_size)
+
+
+def _scores_m8(matched, unified, valid_caps, cap_children, q_size, c_size, q_root, c_root):
+    """m8 (score_DC_Edges_w_wild_w_unif:2167-2189): adds unified edges."""
+    q_ew = _matched_edges_multi([p.q_loc for p in matched + valid_caps])
+    q_u = _matched_edges_multi([p.q_loc for p in matched + unified + valid_caps])
+    c_ew = _matched_edges_multi([p.q_loc for p in matched + cap_children])
+    c_u = _matched_edges_multi([p.q_loc for p in matched + unified + cap_children])
+    rec = (q_ew + q_u + 2.0) / (2 * q_size)
+    prec = (c_ew + c_u + 2.0) / (2 * c_size)
+    return (2.0 * rec * prec / (rec + prec), rec, prec, q_ew, q_u, c_ew, c_u)
+
+
+def _wild_tiebreaks(matched, unified, cap_children):
+    per_loc: Dict[str, int] = {}
+    for p in cap_children:
+        per_loc[p.q_loc] = per_loc.get(p.q_loc, 0) + 1
+    spread = statistics.stdev(per_loc.values()) if len(per_loc) >= 2 else 0.0
+    left = _leftmost(matched, unified, cap_children, 2)
+    return [-len(cap_children), -spread] + left
+
+
+def _scores_m9(matched, unified, valid_caps, cap_children, q_size, c_size, q_root, c_root):
+    """m9 (score_DC_triplets_w_wild_no_unif:2192-2211 + scoring_m9):
+    ancestor-triplet dice, exact+wildcard only, window=0."""
+    q_tr = _matched_triplets([p.q_loc for p in matched + valid_caps])
+    c_tr = _matched_triplets([p.c_loc for p in matched + cap_children])
+    rec = (q_tr + 1.0) / (_count_triplets(q_root) + 1.0)
+    prec = (c_tr + 1.0) / (_count_triplets(c_root) + 1.0)
+    return tuple(
+        [2.0 * rec * prec / (rec + prec)] + _wild_tiebreaks(matched, unified, cap_children)
+    )
+
+
+def _scores_m10(matched, unified, valid_caps, cap_children, q_size, c_size, q_root, c_root):
+    """m10 (score_DC_triplets_w_wild_w_unif:2214-2238): adds unified."""
+    q_trip = _count_triplets(q_root) + 1.0
+    c_trip = _count_triplets(c_root) + 1.0
+    q_ew = _matched_triplets([p.q_loc for p in matched + valid_caps])
+    q_u = _matched_triplets([p.q_loc for p in matched + unified + valid_caps])
+    c_ew = _matched_triplets([p.c_loc for p in matched + cap_children])
+    c_u = _matched_triplets([p.c_loc for p in matched + unified + cap_children])
+    rec = (q_ew + q_u + 2.0) / (2 * q_trip)
+    prec = (c_ew + c_u + 2.0) / (2 * c_trip)
+    return tuple(
+        [2.0 * rec * prec / (rec + prec)] + _wild_tiebreaks(matched, unified, cap_children)
+    )
+
+
+# m7/m9 (= v07/v09) disable unification: the reference overrides the
+# constraint tree with all-'E' (similarity_v07/v09:2034-2054)
+_SCORERS = {"m4": _scores_m4, "m6": _scores_m6, "m7": _scores_m7,
+            "m8": _scores_m8, "m9": _scores_m9, "m10": _scores_m10}
+_EXACT_ONLY = {"m7", "m9"}
 
 
 def subtree_similarity(
@@ -387,6 +506,9 @@ def subtree_similarity(
     c_nodes = list_nodes(c_root)
     q_size, c_size = len(q_nodes), len(c_nodes)
 
+    if scoring in _EXACT_ONLY:
+        exact = Constraint(unifiable=False)
+        constraints = {loc: exact for _, loc in q_nodes}
     restricted = frozenset(
         n.tag for n, loc in q_nodes
         if n.tag.startswith("V!") and not constraints.get(loc, _DEFAULT).unifiable
@@ -406,7 +528,7 @@ def subtree_similarity(
         matched, unified, caps, children = _test_root(
             qn, ql, cn, cl, constraints, restricted, c_root, pending
         )
-        scores = scorer(matched, unified, caps, children, q_size, c_size)
+        scores = scorer(matched, unified, caps, children, q_size, c_size, q_root, c_root)
         if best is None or scores > best:
             best = scores
     # reference choose_best_match returns [0.0, 0, 0] whenever no

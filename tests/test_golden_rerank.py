@@ -78,14 +78,17 @@ def _ref_metrics():
         sys.path.insert(0, REF)
     from tangent.math.symboltree import SymbolTree
     from tangent.ranking.query import Query
-    from tangent.ranking.ranking_functions import similarity_v06, similarity_v11
+    from tangent.ranking import ranking_functions as rf
+
+    fns = {"m4": rf.similarity_v11, "m6": rf.similarity_v06,
+           "m7": rf.similarity_v07, "m8": rf.similarity_v08,
+           "m9": rf.similarity_v09, "m10": rf.similarity_v10}
 
     def score(metric, q_slt, c_slt):
         q = SymbolTree.parse_from_slt(q_slt)
         c = SymbolTree.parse_from_slt(c_slt)
         cons = Query.create_default_constraints(q)
-        fn = similarity_v11 if metric == "m4" else similarity_v06
-        return tuple(fn(q, c, cons)[0])
+        return tuple(fns[metric](q, c, cons)[0])
 
     return score
 
@@ -108,7 +111,7 @@ SLTS = [
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference absent")
-@pytest.mark.parametrize("metric", ["m4", "m6"])
+@pytest.mark.parametrize("metric", ["m4", "m6", "m7", "m8", "m9", "m10"])
 def test_live_vector_parity(metric):
     ref = _ref_metrics()
     for q, c in itertools.product(SLTS, SLTS):
