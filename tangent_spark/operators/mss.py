@@ -261,6 +261,73 @@ def _matched_edges(locations: List[str]) -> int:
     return total
 
 
+def _enumerate_roots(query_slt: str, cand_slt: str, constraints: Dict[str, Constraint]):
+    """Shared v04-family setup: parse both trees, list nodes, restricted
+    vars, candidate alignment roots in (query DFS x candidate DFS) order."""
+    q_root, c_root = parse_slt(query_slt), parse_slt(cand_slt)
+    if q_root is None or c_root is None:
+        return None
+    q_nodes = list_nodes(q_root)
+    c_nodes = list_nodes(c_root)
+    restricted = frozenset(
+        qn.tag
+        for (qn, ql) in q_nodes
+        if qn.tag.startswith("V!") and not constraints.get(ql, _DEFAULT).unifiable
+    )
+    roots = [
+        (qn, ql, cn, cl)
+        for qn, ql in q_nodes
+        for cn, cl in c_nodes
+        if constraints.get(ql, _DEFAULT).allows(qn.tag, cn.tag)
+    ]
+    return q_nodes, c_nodes, restricted, roots
+
+
+def _test_root_v04(qn, ql, cn, cl, constraints, restricted, q_size, c_size, pending):
+    """One v04 alignment test (reference test_alignment_unification:
+    908-1003): grow, unify, mark covered pairs no longer pending, score.
+    Returns (scores, matched, unified, wildcard, match_data) where
+    match_data = (unified_matches, matched_edges, unification maps) —
+    the inputs similarity_v05's merge loop consumes."""
+    matched, u_qvars, u_vars, u_const, unmatched = _grow(
+        qn, ql, cn, cl, constraints, restricted, q_size
+    )
+    unified: List[_Pair] = []
+    wildcard: List[_Pair] = []
+    if u_qvars:
+        qv_q, qv_c = _greedy_unify(u_qvars)
+        for p in u_qvars:
+            if qv_q.get(p.q_tag) == p.c_tag:
+                unified.append(p)
+                wildcard.append(p)
+    else:
+        qv_q, qv_c = {}, {}
+    v_q, v_c = _greedy_unify(u_vars)
+    for p in u_vars:
+        if v_q.get(p.q_tag) == p.c_tag:
+            (matched if p.q_tag == p.c_tag else unified).append(p)
+    unified.extend(u_const)
+
+    for p in matched + unified:
+        pending.discard((p.q_loc, p.c_loc))
+    pending.discard((ql, cl))
+
+    n_unified = len(matched) + len(unified)
+    edges = _matched_edges([p.c_loc for p in matched + unified])
+    sym_rec = n_unified / q_size
+    if q_size > 1:
+        edge_rec = (edges if edges > 0 else 0.5) / (q_size - 1)
+    else:
+        edge_rec = 1.0
+    f = (
+        2.0 * sym_rec * edge_rec / (sym_rec + edge_rec)
+        if sym_rec + edge_rec > 0
+        else 0.0
+    )
+    scores = (f, -(c_size - n_unified), len(matched))
+    return scores, matched, unified, wildcard, (n_unified, edges, (v_q, v_c, qv_q, qv_c))
+
+
 def mss_score(
     query_slt: str,
     cand_slt: str,
@@ -268,71 +335,134 @@ def mss_score(
 ) -> Tuple[float, int, int]:
     """Score vector (f, -unmatched_candidate_nodes, exact_matches) of the
     best alignment (reference similarity_v04 top-1 policy)."""
-    q_root, c_root = parse_slt(query_slt), parse_slt(cand_slt)
-    if q_root is None or c_root is None:
-        return (0.0, 0, 0)
     constraints = constraints or {}
-    q_nodes = list_nodes(q_root)
-    c_nodes = list_nodes(c_root)
+    setup = _enumerate_roots(query_slt, cand_slt, constraints)
+    if setup is None:
+        return (0.0, 0, 0)
+    q_nodes, c_nodes, restricted, roots = setup
     q_size, c_size = len(q_nodes), len(c_nodes)
-
-    restricted = frozenset(
-        qn.tag
-        for (qn, ql) in q_nodes
-        if qn.tag.startswith("V!") and not constraints.get(ql, _DEFAULT).unifiable
-    )
-
-    # candidate alignment roots, in enumeration order
-    roots = [
-        (qn, ql, cn, cl)
-        for qn, ql in q_nodes
-        for cn, cl in c_nodes
-        if constraints.get(ql, _DEFAULT).allows(qn.tag, cn.tag)
-    ]
-
     pending = {(ql, cl) for _, ql, _, cl in roots}
-    best: Optional[Tuple[List, int]] = None  # (scores, order_idx)
     best_scores = None
-    for idx, (qn, ql, cn, cl) in enumerate(roots):
+    for qn, ql, cn, cl in roots:
         if (ql, cl) not in pending:
             continue
-        matched, u_qvars, u_vars, u_const, unmatched = _grow(
-            qn, ql, cn, cl, constraints, restricted, q_size
+        scores, *_ = _test_root_v04(
+            qn, ql, cn, cl, constraints, restricted, q_size, c_size, pending
         )
-        unified: List[_Pair] = []
-        not_unified = 0
-        if u_qvars:
-            qv_q, _qv_c = _greedy_unify(u_qvars)
-            for p in u_qvars:
-                if qv_q.get(p.q_tag) == p.c_tag:
-                    unified.append(p)
-                else:
-                    not_unified += 1
-        v_q, _v_c = _greedy_unify(u_vars)
-        for p in u_vars:
-            if v_q.get(p.q_tag) == p.c_tag:
-                (matched if p.q_tag == p.c_tag else unified).append(p)
-            else:
-                not_unified += 1
-        unified.extend(u_const)
-
-        for p in matched + unified:
-            pending.discard((p.q_loc, p.c_loc))
-        pending.discard((ql, cl))
-
-        n_unified = len(matched) + len(unified)
-        edges = _matched_edges([p.c_loc for p in matched + unified])
-        sym_rec = n_unified / q_size
-        if q_size > 1:
-            edge_rec = (edges if edges > 0 else 0.5) / (q_size - 1)
-        else:
-            edge_rec = 1.0
-        f = (
-            2.0 * sym_rec * edge_rec / (sym_rec + edge_rec)
-            if sym_rec + edge_rec > 0
-            else 0.0
-        )
-        scores = (f, -(c_size - n_unified), len(matched))
         if best_scores is None or scores > best_scores:
             best_scores = scores
     return best_scores if best_scores is not None else (0.0, 0, 0)
+
+
+def mss_multi_score(
+    query_slt: str,
+    cand_slt: str,
+    constraints: Optional[Dict[str, Constraint]] = None,
+) -> Tuple[float, float, float]:
+    """v05 (reference similarity_v05:1151-1318): instead of the single
+    best alignment, ACCEPT multiple non-overlapping sub-alignments in
+    descending score order, merging their variable unifications when
+    compatible (conflicting re-mappings invalidate a sub-alignment's
+    pairs), and score the union:
+        [dice(total unified recall, total edge recall),
+         -(candidate nodes not covered), total exact matches].
+    Quirk kept: the top alignment's edge count comes from CANDIDATE
+    locations; later sub-alignments re-count from QUERY locations
+    (reference lines 1174 vs 1283)."""
+    constraints = constraints or {}
+    setup = _enumerate_roots(query_slt, cand_slt, constraints)
+    if setup is None:
+        return (0.0, 0.0, 0.0)
+    q_nodes, c_nodes, restricted, roots = setup
+    q_size, c_size = len(q_nodes), len(c_nodes)
+    pending = {(ql, cl) for _, ql, _, cl in roots}
+    scored = []
+    for qn, ql, cn, cl in roots:
+        if (ql, cl) not in pending:
+            continue
+        scores, matched, unified, wildcard, md = _test_root_v04(
+            qn, ql, cn, cl, constraints, restricted, q_size, c_size, pending
+        )
+        scored.append((scores, matched, unified, wildcard, md))
+    scored.sort(key=lambda x: x[0], reverse=True)
+
+    aligned_q: dict = {}
+    aligned_c: dict = {}
+    uni_q: dict = {}
+    uni_c: dict = {}
+    qv_q: dict = {}
+    qv_c: dict = {}
+    accepted = []  # (n_unified, valid_edges, n_exact)
+    for idx, (scores, matched, unified, wildcard, md) in enumerate(scored):
+        a_unified, a_edges, (a_q, a_c, a_qv_q, a_qv_c) = md
+        if idx == 0:
+            valid_m, valid_u = list(matched), list(unified)
+            valid_edges = a_edges
+            uni_q, uni_c = dict(a_q), dict(a_c)
+            qv_q, qv_c = dict(a_qv_q), dict(a_qv_c)
+        else:
+            tempo_q, tempo_c = dict(uni_q), dict(uni_c)
+            tempo_qv_q, tempo_qv_c = dict(qv_q), dict(qv_c)
+            maps_changed = qv_changed = False
+            invalid: dict = {}
+            for var_q, var_c in a_q.items():
+                if (
+                    var_c is not None
+                    and tempo_c.get(var_c) is None
+                    and tempo_q.get(var_q) is None
+                ):
+                    maps_changed = True
+                    tempo_q[var_q] = var_c
+                    tempo_c[var_c] = var_q
+                elif var_c is not None and var_q in tempo_q and tempo_q[var_q] != var_c:
+                    invalid[var_q] = var_c
+            for var_q, var_c in a_qv_q.items():
+                if (
+                    var_c is not None
+                    and tempo_qv_c.get(var_c) is None
+                    and tempo_qv_q.get(var_q) is None
+                ):
+                    qv_changed = True
+                    tempo_qv_q[var_q] = var_c
+                    tempo_qv_c[var_c] = var_q
+                elif var_c is not None and var_q in tempo_qv_q and tempo_qv_q[var_q] != var_c:
+                    invalid[var_q] = var_c
+
+            valid_m, valid_u = [], []
+            subloc = []
+            for p in matched:
+                if p.q_loc not in aligned_q and p.c_loc not in aligned_c and p.q_tag not in invalid:
+                    valid_m.append(p)
+                    subloc.append(p.q_loc)
+            for p in unified:
+                if p.q_loc not in aligned_q and p.c_loc not in aligned_c and p.q_tag not in invalid:
+                    valid_u.append(p)
+                    subloc.append(p.q_loc)
+            if not (valid_m or valid_u):
+                continue
+            if maps_changed:
+                uni_q, uni_c = tempo_q, tempo_c
+            if qv_changed:
+                qv_q, qv_c = tempo_qv_q, tempo_qv_c
+            valid_edges = _matched_edges(subloc)
+        for p in valid_m + valid_u:
+            aligned_q[p.q_loc] = True
+            aligned_c[p.c_loc] = True
+        accepted.append((len(valid_m) + len(valid_u), valid_edges, len(valid_m)))
+
+    if not accepted:
+        return (0.0, 0.0, 0.0)
+    total_unified = sum(n for n, _, _ in accepted)
+    total_edges = sum(e for _, e, _ in accepted)
+    total_exact = sum(x for _, _, x in accepted)
+    u_sym_rec = total_unified / q_size
+    if q_size > 1:
+        u_edge_rec = (total_edges if total_edges > 0 else 0.5) / (q_size - 1)
+    else:
+        u_edge_rec = 1.0
+    f = (
+        2.0 * u_sym_rec * u_edge_rec / (u_sym_rec + u_edge_rec)
+        if u_sym_rec + u_edge_rec > 0
+        else 0.0
+    )
+    return (f, float(-(c_size - total_unified)), float(total_exact))

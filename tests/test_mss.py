@@ -126,3 +126,40 @@ def test_exact_self_match():
         f, neg_un, exact = mss_score(s, s)
         assert f == 1.0
         assert neg_un == 0
+
+
+def _ref_v05():
+    _ref_v04()  # shim + path
+    from tangent.math.symboltree import SymbolTree
+    from tangent.ranking.query import Query
+    from tangent.ranking.ranking_functions import similarity_v05
+
+    def score(q_slt, c_slt):
+        q = SymbolTree.parse_from_slt(q_slt)
+        c = SymbolTree.parse_from_slt(c_slt)
+        return tuple(similarity_v05(q, c, Query.create_default_constraints(q))[0])
+
+    return score
+
+
+V05_EXTRA = [
+    "[?a[+[N!1[+[?b]]]]]", "[?x]",
+    "[V!a[+[V!b[+[V!a[+[V!b]]]]]]]",   # multi-alignment + unification merge
+    "[N!3[+[N!4[=[N!7]]]]]",
+    "[V!x[+[V!y[+[V!z]]]],a[N!2]]",
+]
+
+
+def test_mss_multi_v05_parity():
+    """v05 multi-alignment parity: full score vectors vs the reference's
+    similarity_v05 over the battery plus merge-stressing extras."""
+    from tangent_spark.operators.mss import mss_multi_score
+
+    ref = _ref_v05()
+    cases = SLTS + V05_EXTRA
+    for q in cases:
+        for c in cases:
+            want = ref(q, c)
+            got = mss_multi_score(q, c)
+            for a, b in zip(got, want):
+                assert a == pytest.approx(b, abs=1e-10), (q, c, got, want)
