@@ -74,8 +74,11 @@ def main() -> None:
     bm25_topk_wand(spark, store, BM25_QUERIES[0], 10).collect()
     cold_ms = round(1000 * (time.time() - t0), 1)
     searcher = Searcher(spark, store)
+    # steady-state warm serving: first query pays one-time python-worker
+    # spin-up (that cost is what cold_ms reports); measure two rounds
+    searcher.topk(BM25_QUERIES[0], 10).collect()
     lat = []
-    for q in BM25_QUERIES:
+    for q in BM25_QUERIES * 2:
         t0 = time.time()
         searcher.topk(q, 10).collect()
         lat.append(time.time() - t0)

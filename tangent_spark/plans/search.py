@@ -340,9 +340,19 @@ class Searcher:
         self.postings = (
             spark.read.parquet(store.path("postings"))
             .repartition(self.cfg.n_shards, "shard")
+            # term-sorted cached batches: the in-memory scan prunes whole
+            # columnar batches by term min/max stats, so the per-query
+            # filter touches only the batches holding query terms
+            .sortWithinPartitions("term")
             .persist()
         )
         self.postings.count()  # materialize the cache
+        # one task wave per query: shards are merged into at most
+        # defaultParallelism scan tasks (the kernel regroups by shard
+        # in-partition, so correctness is unaffected)
+        self.query_tasks = min(
+            self.cfg.n_shards, spark.sparkContext.defaultParallelism
+        )
 
     def topk(self, query: str, k: int, with_metrics: bool = False) -> DataFrame:
         qts = query_terms(query, self.cfg.tokenizer)
@@ -361,8 +371,10 @@ class Searcher:
             for _, grp in all_rows.groupby("shard", sort=False):
                 yield shard_kernel(grp.reset_index(drop=True))
 
-        local = self.postings.filter(F.col("term").isin(qts)).mapInPandas(
-            kernel, schema=_WAND_SCHEMA
+        local = (
+            self.postings.filter(F.col("term").isin(qts))
+            .coalesce(self.query_tasks)
+            .mapInPandas(kernel, schema=_WAND_SCHEMA)
         )
         cols = ["doc_id", "score"] + (
             ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
