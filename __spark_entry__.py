@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": eq.text_langid,
         "doc_fingerprint": eq.doc_fingerprint,
         "token_count_by_source": eq.token_count_by_source,
+        "dedup_minhash_band_pairs": eq.dedup_minhash_band_pairs,
+        "events_rollup": eq.events_rollup,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -62,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_slt_parse": eq.t1_slt_parse,
         "t7_pair_tuples": eq.t7_pair_tuples,
         "f8_dice_topk": eq.f8_dice_topk,
+        "q5f_wildcard_dice": eq.q5f_wildcard_dice,
         "r5_mss_rerank": eq.r5_mss_rerank,
         "r7_v11_rerank": eq.r7_v11_rerank,
     }
@@ -265,7 +268,26 @@ def oracle_sql() -> dict[str, str]:
             name: f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
             for name in (
                 "t1_slt_parse", "t7_pair_tuples", "f8_dice_topk",
-                "r5_mss_rerank", "r7_v11_rerank",
+                "q5f_wildcard_dice", "r5_mss_rerank", "r7_v11_rerank",
             )
         },
+        "dedup_minhash_band_pairs": (
+            f"WITH {_TOK}, d AS (SELECT DISTINCT doc_id, term FROM tok), "
+            "sig AS (SELECT doc_id, "
+            "min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1, "
+            "min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3 "
+            "FROM d GROUP BY 1), "
+            "bands AS (SELECT doc_id, 0 AS band, mh0 AS bucket FROM sig "
+            "UNION ALL SELECT doc_id, 1, mh1 FROM sig "
+            "UNION ALL SELECT doc_id, 2, mh2 FROM sig "
+            "UNION ALL SELECT doc_id, 3, mh3 FROM sig) "
+            "SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+            "FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
+            "AND x.doc_id < y.doc_id"
+        ),
+        "events_rollup": (
+            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS total "
+            "FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))"
+        ),
     }

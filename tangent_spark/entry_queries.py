@@ -571,6 +571,94 @@ def r7_v11_rerank(spark, sf_dir):
     ).limit(10)
 
 
+_WILDCARD_QUERY = (
+    "<math><mrow><mws:qvar name=\"a\"/><mo>+</mo><mws:qvar name=\"b\"/>"
+    "<mo>+</mo><mi>x</mi></mrow></math>"
+)
+
+
+def q5f_wildcard_dice(spark, sf_dir):
+    """Q5 (formula wildcards): Dice top-10 for a COUPLED wildcard query
+    (repeated patterns + concrete sharing) over the synthetic corpus,
+    scored with the shared-budget rule (plans/formula.wildcard_cc — the
+    golden-verified deterministic equivalent of the reference's shared
+    posting-list iterators). Store-free composition: per-expression pure
+    scoring in a mapInPandas kernel; oracle = golden parquet."""
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.operators.pairs import exprs_df
+    from tangent_spark.operators.slt import pairs as slt_pairs
+    from tangent_spark.operators.slt import parse_slt
+    from tangent_spark.plans.formula import query_tuple_multiset, wildcard_cc
+
+    cfg = IndexConfig()
+    concrete, wildcard, qtc = query_tuple_multiset(_WILDCARD_QUERY, cfg)
+    exprs = exprs_df(_pages(spark)).select("slt").distinct()
+
+    def kernel(batches):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in batches:
+            rows = []
+            for slt in pdf["slt"]:
+                ec = Counter(
+                    (fr, to, rel)
+                    for fr, to, rel, _ in slt_pairs(
+                        parse_slt(slt), cfg.window, cfg.eol_mode,
+                        max_pair_len=cfg.max_pair_len,
+                    )
+                )
+                cc = sum(min(qn, ec.get(t, 0)) for t, qn in concrete.items())
+                cc += wildcard_cc(concrete, wildcard, dict(ec))
+                if cc > 0:
+                    etc = sum(ec.values())
+                    rows.append({"slt": slt, "score": round(2.0 * cc / (etc + qtc), 4)})
+            yield pd.DataFrame(rows, columns=["slt", "score"])
+
+    scored = exprs.mapInPandas(kernel, schema="slt string, score double")
+    return scored.orderBy(F.desc("score"), F.asc("slt")).limit(10)
+
+
+def dedup_minhash_band_pairs(spark, sf_dir):
+    """Banded-LSH candidate pairs with an md5 hash family both engines
+    share (each of the 4 MinHash components is one band): docs whose
+    signatures collide on ANY band become a candidate pair — the
+    bucket-equi-join pattern of operators/dedup.lsh_candidate_pairs,
+    SQL-expressible for the oracle."""
+    sig = minhash_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"mh{i}").alias("bucket"))
+                for i in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def events_rollup(spark, sf_dir):
+    """ROLLUP aggregation (hierarchical totals) over events by
+    (event_type, day) — subtotal and grand-total rows included."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("day", F.date_trunc("day", "ts"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
 def token_count_by_source(spark, sf_dir):
     """Token counting rolled up by source (pipeline accounting)."""
     docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
