@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": eq.token_count_by_source,
         "dedup_minhash_band_pairs": eq.dedup_minhash_band_pairs,
         "events_rollup": eq.events_rollup,
+        "events_asof_join": eq.events_asof_join,
+        "events_range_window": eq.events_range_window,
+        "events_pivot": eq.events_pivot,
+        "lineitem_percentiles": eq.lineitem_percentiles,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -289,5 +293,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('day', ts) AS day, "
             "count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS total "
             "FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))"
+        ),
+        "events_asof_join": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'), "
+            "c AS (SELECT user_id, ts, value FROM events WHERE event_type='click') "
+            "SELECT p.event_id, p.user_id, round(c.value, 4)::DOUBLE AS click_value, "
+            "c.ts AS click_ts "
+            "FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "events_range_window": (
+            "SELECT event_id, user_id, "
+            "coalesce(count(*) OVER w, 0)::BIGINT AS n_prev_5min, "
+            "round(coalesce(sum(value) OVER w, 0.0), 4)::DOUBLE AS sum_prev_5min "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT "
+            "RANGE BETWEEN 300 PRECEDING AND 1 PRECEDING)"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click')::BIGINT AS n_click, "
+            "count(*) FILTER (event_type = 'error')::BIGINT AS n_error, "
+            "count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase, "
+            "count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup, "
+            "count(*) FILTER (event_type = 'view')::BIGINT AS n_view "
+            "FROM events GROUP BY 1"
+        ),
+        "lineitem_percentiles": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.25), 4)::DOUBLE AS p25, "
+            "round(quantile_cont(l_extendedprice, 0.5), 4)::DOUBLE AS p50, "
+            "round(quantile_cont(l_extendedprice, 0.75), 4)::DOUBLE AS p75 "
+            "FROM lineitem GROUP BY 1"
         ),
     }

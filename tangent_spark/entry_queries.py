@@ -648,6 +648,92 @@ def dedup_minhash_band_pairs(spark, sf_dir):
     )
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase event matched to the user's most recent
+    click at-or-before it. Spark lacks a native as-of join; the scalable
+    shape is ONE shuffle — union both streams with a side marker, then a
+    running `last(..., ignorenulls)` window per user ordered by
+    (ts, marker) so a same-timestamp click is visible to the purchase.
+    Oracle twin: DuckDB's native ASOF JOIN."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("value").alias("cval")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    u = purch.select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("double").alias("cval"), F.lit(1).alias("m"),
+    ).unionByName(
+        clicks.select(
+            F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+            "cval", F.lit(0).alias("m"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("click_value", F.last("cval", ignorenulls=True).over(w))
+        .withColumn(
+            "click_ts",
+            F.last(F.when(F.col("m") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter((F.col("m") == 1) & F.col("click_value").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.round("click_value", 4).alias("click_value"), "click_ts",
+        )
+    )
+
+
+def events_range_window(spark, sf_dir):
+    """Range-frame window: per event, count and sum of the SAME user's
+    events in the preceding 300 seconds (exclusive of the current row) —
+    the range-join-style neighborhood aggregate, one shuffle on user."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-300, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.count("*").over(w), F.lit(0)).alias("n_prev_5min"),
+        F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 4).alias("sum_prev_5min"),
+    )
+
+
+def events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type count matrix (fixed column set)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+def lineitem_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of extended price per return flag
+    (Spark `percentile` == DuckDB `quantile_cont`)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
+
+
 def events_rollup(spark, sf_dir):
     """ROLLUP aggregation (hierarchical totals) over events by
     (event_type, day) — subtotal and grand-total rows included."""
