@@ -138,8 +138,53 @@ def test_lsh_recall(spark, emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
-def test_multimodal_stub(spark):
+def test_ppm_bmp_decoders_pixel_exact():
+    """The numpy decoders are REAL: PPM round-trips pixel-exactly, BMP
+    (bottom-up, BGR, padded rows) reproduces the same pixels."""
+    import struct
+
+    import numpy as np
+
+    from tangent_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_ppm,
+        image_features,
+        make_test_image,
+        resize_nearest,
+    )
+
+    img = make_test_image(7, w=13, h=9)  # odd width -> BMP row padding
+    assert decode_ppm(encode_ppm(img)).tolist() == img.tolist()
+    # PPM header grammar: comments + arbitrary whitespace
+    wire = b"P6\n# comment\n 13\t9\n# more\n255\n" + img.tobytes()
+    assert decode_ppm(wire).tolist() == img.tolist()
+
+    # hand-built 24-bit BMP of the same pixels
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in img[::-1]:  # bottom-up
+        body += row[:, ::-1].tobytes() + b"\0" * (stride - w * 3)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    assert decode_bmp(bmp).tolist() == img.tolist()
+
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    f = image_features(img, 16)
+    assert f.shape == (16,) and 0.0 <= float(f.min()) and float(f.max()) <= 1.0
+
+
+def test_multimodal_pipeline(spark):
     from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+    from tangent_spark.operators.multimodal import (
+        image_features,
+        make_test_image,
+    )
 
     pages = pages_with_doc_ids(generate_pages(spark, 20, partitions=3))
     media = synthetic_media(pages)
@@ -147,13 +192,19 @@ def test_multimodal_stub(spark):
     rows = feats.collect()
     assert len(rows) == 20
     r = rows[0]
-    assert 64 <= r["width"] <= 1024 and r["channels"] == 3
-    assert len(r["features"]) == 16 and r["decoder"] == "stub-blake2b"
+    # REAL decode of the generated PPMs — exact dims + features match a
+    # local decode of the same deterministic image
+    assert (r["width"], r["height"], r["channels"]) == (32, 24, 3)
+    assert r["decoder"] == "ppm-numpy"
+    local = image_features(make_test_image(int(r["doc_id"])), 16)
+    assert [round(x, 6) for x in r["features"]] == [round(float(x), 6) for x in local]
     # deterministic across runs
     again = decode_images(media).collect()
     assert sorted((x["doc_id"], x["width"]) for x in again) == sorted(
         (x["doc_id"], x["width"]) for x in rows
     )
+    # strict mode still passes: every payload decodes for real
+    assert decode_images(media, strict=True).count() == 20
     frames = sample_frames(media, every_ms=500, max_frames=4)
     fr = frames.collect()
     assert len(fr) >= 20  # row explosion happened
@@ -161,5 +212,11 @@ def test_multimodal_stub(spark):
     for x in fr:
         by_doc.setdefault(x["doc_id"], []).append(x["ts_ms"])
     assert all(ts == sorted(ts) for ts in by_doc.values())
-    with pytest.raises(NotImplementedError):
-        decode_images(media, use_real_decoder=True)
+    # codec formats: stub in default mode, NotImplementedError when strict
+    jpeg_like = media.withColumn(
+        "media", F.concat(F.lit(bytearray(b"\xff\xd8\xff")), F.col("media"))
+    )
+    stub_rows = decode_images(jpeg_like).collect()
+    assert all(x["decoder"] == "stub-blake2b" for x in stub_rows)
+    with pytest.raises(Exception, match="codec"):
+        decode_images(jpeg_like, strict=True).count()
