@@ -242,6 +242,18 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
     return counters
 
 
+def maybe_compact(spark: SparkSession, store: IndexStore, every: int) -> dict | None:
+    """Auto-compaction policy: compact when the number of committed
+    batches since the last compaction reaches `every`. Reads only the
+    manifest; compaction itself is the atomic-swap rewrite above."""
+    stages = store.read_manifest()["stages"]
+    batches = sum(1 for s in stages if s.startswith("batch_"))
+    compactions = sum(1 for s in stages if s.startswith("compact_"))
+    if every > 0 and batches - compactions * every >= every:
+        return compact_postings(spark, store)
+    return None
+
+
 def incremental_index_stream(
     spark: SparkSession,
     store: IndexStore,
@@ -249,16 +261,27 @@ def incremental_index_stream(
     checkpoint_dir: str,
     pages_schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
     text_col: str = "text",
+    compact_every: int = 0,
+    max_files_per_trigger: int = 0,
 ):
     """Structured Streaming driver: watch input_dir for new page files,
     append each micro-batch to the index. availableNow trigger drains
     what exists and stops (cron-style ingest); swap the trigger for
-    continuous tailing."""
-    stream = spark.readStream.schema(pages_schema).parquet(input_dir)
+    continuous tailing. compact_every=N runs postings compaction after
+    every N committed batches (0 = never; compaction never affects
+    query correctness, only run-count growth)."""
+    reader = spark.readStream.schema(pages_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def handle(df, epoch):
+        append_batch(spark, store, df, epoch, text_col=text_col)
+        if compact_every:
+            maybe_compact(spark, store, compact_every)
+
     return (
-        stream.writeStream.foreachBatch(
-            lambda df, epoch: append_batch(spark, store, df, epoch, text_col=text_col)
-        )
+        stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

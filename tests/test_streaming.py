@@ -181,3 +181,31 @@ def test_compaction_exact_and_bounded(spark, all_pages, tmp_path_factory):
     compact_postings(spark, store)
     for q in QUERIES:
         assert _topk(spark, store, q) == _topk(spark, full, q), q
+
+
+def test_streaming_auto_compaction(spark, all_pages, tmp_path_factory):
+    """compact_every triggers compaction through the streaming driver and
+    results stay exact."""
+    from tangent_spark.streaming.incremental import incremental_index_stream
+
+    base = str(tmp_path_factory.mktemp("autocompact"))
+    store = build_index(
+        spark, all_pages.filter(F.col("doc_id") < 40), f"{base}/idx", CFG, url_col="url"
+    )
+    incoming = f"{base}/incoming"
+    for lo, hi in [(40, 55), (55, 70), (70, 90)]:
+        all_pages.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).drop(
+            "doc_id"
+        ).coalesce(1).write.mode("append").parquet(incoming)
+    q = incremental_index_stream(
+        spark, store, incoming, f"{base}/ckpt", compact_every=2,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    stages = store.read_manifest()["stages"]
+    assert any(s.startswith("compact_") for s in stages), stages.keys()
+    full = build_index(spark, all_pages, f"{base}/full", CFG, url_col="url")
+    for query in QUERIES:
+        got = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk_wand(spark, store, query, 10).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk_wand(spark, full, query, 10).collect()]
+        assert got == want, query
