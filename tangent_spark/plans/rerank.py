@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tangent_spark.operators.mss import mss_score
+from tangent_spark.operators.mss import mss_multi_score, mss_score
 from tangent_spark.operators.mss_subtree import subtree_similarity
 from tangent_spark.operators.slt import mathml_to_slt
 from tangent_spark.plans.formula import dice_topk_exprs
@@ -30,10 +30,13 @@ MSS_SCHEMA = (
 
 # metric name -> per-pair scorer returning (f, neg_unmatched, exact).
 # v04 = shipped `rerank` script default (operators/mss.py, greedy-gated
-# growth); v11 = the NTCIR-12 submission metric (subtree-unification
-# matching + m4 scores; golden-parity vs reranked_paper_m4_w0_e2.tsv).
+# growth); v05 = multi-alignment merge; v11 = the NTCIR-12 submission
+# metric (subtree-unification matching + m4 scores; golden-parity vs
+# reranked_paper_m4_w0_e2.tsv). The full family incl. v00/v02/v03 and
+# v06-v10 lives in operators/{pairs_rank,mss_subtree}.
 _SCORERS = {
     "v04": mss_score,
+    "v05": mss_multi_score,
     "v11": lambda q, c: subtree_similarity(q, c, scoring="m4"),
 }
 

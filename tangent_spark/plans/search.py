@@ -1,21 +1,26 @@
 """BM25 top-k query execution (SURVEY.md §2.5 Q1-Q13, Spark-first).
 
-Two interchangeable scorers, rank-identical by construction:
+Three rank-identical paths (tested against one pure-Python oracle):
 
 1. `bm25_topk_df` — a single declarative DataFrame plan over raw docs
    (tokenize -> join query terms -> aggregate -> TakeOrderedAndProject).
    Catalyst handles pushdown/codegen; this is the oracle-checkable
    path (the DuckDB SQL twin lives in __spark_entry__.py).
 
-2. `bm25_topk_wand` — serves from the compressed IndexStore: postings
-   parquet is read with the query terms as a pushed-down filter
-   (row-group pruning works because postings are sorted by term within
-   each shard), then each document shard scores independently with
-   block-max pruning and emits a local top-k; only k rows per shard
-   move to the global TakeOrdered. No shuffle of postings at query
-   time — the reference's whole iterator machinery (Q3 OR-union, Q7
-   galloping skip, Q10 threshold pruning; mathindex.cpp:197-260)
+2. `bm25_topk_wand` — cold path straight off the compressed IndexStore:
+   postings parquet is read with the query terms as a pushed-down
+   filter (row-group pruning works because postings are sorted by term
+   within each shard), then each document shard scores independently
+   with block-max pruning and emits a local top-k; only k rows per
+   shard move to the global TakeOrdered. No shuffle of postings at
+   query time — the reference's whole iterator machinery (Q3 OR-union,
+   Q7 galloping skip, Q10 threshold pruning; mathindex.cpp:197-260)
    collapses into this per-shard numpy kernel.
+
+3. `Searcher` — warm path: same kernel, but the lexicon is a resident
+   driver dict, idf rides in the closure, and the cached shard
+   partitions are scanned in ONE single-stage job (see class doc);
+   per-query latency is bounded by the bare Spark job floor.
 
 Scoring: BM25, k1/b from IndexConfig, Lucene-style idf
     idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
