@@ -22,16 +22,24 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    """Create (or reuse) a local SparkSession.
+    """Create (or reuse) a SparkSession.
 
     cpus: parallelism level — local[cpus]; defaults to $SPARK_GRAFT_CPUS or 32.
     Shuffle partitions default to the same value (local rule of thumb:
     ~cores, not the 200 default).
+
+    $SPARK_GRAFT_MASTER (e.g. spark://host:7077) switches to a real
+    multi-executor cluster: cpus becomes spark.cores.max (the app's
+    total core allowance across executor JVMs), with per-executor
+    cores/memory from $SPARK_GRAFT_EXECUTOR_CORES/_MEM. This is the
+    spark-submit path the north_rule describes; scripts/run_cluster.py
+    drives it against a localhost standalone cluster.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    cluster_master = os.environ.get("SPARK_GRAFT_MASTER")
 
     # Make the package importable inside Python UDF worker processes.
     if _REPO_ROOT not in sys.path:
@@ -43,7 +51,7 @@ def get_spark(
         )
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(cluster_master or f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
@@ -57,6 +65,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
+    if cluster_master:
+        builder = (
+            builder.config("spark.cores.max", str(cpus))
+            .config("spark.executor.cores",
+                    os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "1"))
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))
