@@ -121,3 +121,29 @@ def test_config_mismatch_rejected(spark, corpus, index_store):
         build_index(
             spark, pages, index_store.root, IndexConfig(n_shards=2), url_col="url"
         )
+
+
+def test_topk_batch_equals_individual(spark, index_store):
+    """Batch serving returns exactly the per-query results, one job for
+    the whole batch."""
+    from tangent_spark.plans.search import Searcher
+
+    s = Searcher(spark, index_store)
+    queries = {
+        "q1": "matrix theorem proof",
+        "q2": "spark shuffle data",
+        "q3": "the of and",
+        "q4": "zzqqxx oov only",
+    }
+    batch = s.topk_batch(queries, 10).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, q in queries.items():
+        want = [
+            (i + 1, r["doc_id"], round(r["score"], 9))
+            for i, r in enumerate(s.topk(q, 10).collect())
+        ]
+        got = sorted(by_q.get(qid, []))
+        assert got == want, qid
+    s.close()
