@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_wildcard": eq.q5_wildcard,
         "q8_dice_topk": eq.q8_dice_topk,
         "q9_bm25_topk": eq.q9_bm25_topk,
+        "q9_bm25_batch": eq.q9_bm25_batch,
+        "phrase_match": eq.phrase_match,
         "q13_distinct_docs": eq.q13_distinct_docs,
         "r10_doc_agg": eq.r10_doc_agg,
         "tpch_q1": eq.tpch_q1,
@@ -162,6 +164,33 @@ def oracle_sql() -> dict[str, str]:
             "), 4)::DOUBLE AS score "
             "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
             "GROUP BY m.doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        "q9_bm25_batch": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "q(query_id, term) AS (VALUES "
+            "('b1','data'),('b1','index'),('b1','query'),('b1','spark'),"
+            "('b2','filter'),('b2','join'),('b2','scan'),('b2','table'),"
+            "('b3','fast'),('b3','hash'),('b3','value')), "
+            "m AS (SELECT * FROM tf WHERE term IN (SELECT term FROM q)), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "s AS (SELECT q.query_id, m.doc_id, round(sum("
+            "  ln(1.0 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN q USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id) "
+            "CROSS JOIN stats st GROUP BY 1, 2), "
+            "r AS (SELECT query_id, doc_id, score, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank FROM s) "
+            "SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10"
+        ),
+        "phrase_match": (
+            f"WITH {_POS} "
+            "SELECT a.doc_id, count(*)::INT AS phrase_tf "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
+            "WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort' "
+            "GROUP BY 1 ORDER BY a.doc_id"
         ),
         "q13_distinct_docs": (
             f"WITH {_TOK}, {_TF} "

@@ -82,10 +82,24 @@ def main() -> None:
         t0 = time.time()
         searcher.topk(q, 10).collect()
         lat.append(time.time() - t0)
-    searcher.close()
     lat.sort()
     p50_ms = round(1000 * lat[len(lat) // 2], 1)
     timings["bm25_wand_total"] = round(sum(lat), 3)
+
+    # batch serving: 42-query sweep (6 rounds of the 7-query set) in ONE
+    # job; decode-cache sharing means the batch decodes far fewer blocks
+    # than 42 single-query runs would (reported side by side — the
+    # single-equivalent is 6x one deterministic single round).
+    single_acc = spark.sparkContext.accumulator(0)
+    for q in BM25_QUERIES:
+        searcher.topk(q, 10, decode_counter=single_acc).collect()
+    batch = {f"q{i:02d}": q for i, q in enumerate(BM25_QUERIES * 6)}
+    batch_acc = spark.sparkContext.accumulator(0)
+    t0 = time.time()
+    n_batch_rows = searcher.topk_batch(batch, 10, decode_counter=batch_acc).count()
+    batch_secs = round(time.time() - t0, 3)
+    timings["bm25_batch_42q"] = batch_secs
+    searcher.close()
 
     # headline relational / pipeline operators (DataFrame plans)
     for name, fn in [
@@ -111,6 +125,11 @@ def main() -> None:
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
         "query_p50_ms": p50_ms,
         "query_cold_ms": cold_ms,
+        "batch_queries": len(batch),
+        "batch_qps": round(len(batch) / batch_secs, 2),
+        "batch_rows": n_batch_rows,
+        "batch_blocks_decoded": batch_acc.value,
+        "single_blocks_decoded_equiv": 6 * single_acc.value,
         "cpus": cpus,
     }
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)

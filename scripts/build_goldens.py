@@ -15,7 +15,11 @@ Deterministic by construction: the synthetic corpus is seeded, the
 queries order their output, and parquet is written via pyarrow from a
 sorted pandas frame. Re-run after changing formula semantics:
     python scripts/build_goldens.py
-and commit the refreshed files (test_goldens.py fails if stale).
+and commit the refreshed files. tests/test_goldens.py recomputes every
+golden live each run and fails on any divergence from the frozen file,
+so a stale golden (or an unintended semantics change) cannot slip
+through; tests/test_entry_contract.py additionally checks the driver
+output against the same parquet.
 """
 
 import os

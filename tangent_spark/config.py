@@ -37,6 +37,14 @@ class IndexConfig:
     #             for the DuckDB oracle comparisons)
     tokenizer: str = "porter"
 
+    # --- positional postings ----------------------------------------------
+    # Store per-(doc, term) token positions in a separate doc-sharded
+    # 'positions' table to enable phrase / proximity queries (the
+    # reference kept stemmed-term positions via Solr term vectors,
+    # text/TextResult.py:29-52). Off by default: positions dominate
+    # index size, and BM25 top-k never reads them.
+    store_positions: bool = False
+
     # --- formula tuples (Tangent semantics) -------------------------------
     # window: max tuple path length in edges; 0 = unbounded
     # (reference mathindexmid.h:18-37, default 4)

@@ -200,6 +200,50 @@ def q9_bm25_topk(spark, sf_dir):
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
 
+BATCH_QUERIES = {
+    "b1": ["data", "index", "query", "spark"],
+    "b2": ["filter", "join", "scan", "table"],
+    "b3": ["fast", "hash", "value"],
+}
+
+
+def q9_bm25_batch(spark, sf_dir):
+    """Q9 batch serving: one plan scores a whole query batch — the shape
+    Searcher.topk_batch serves warm (one job per batch, shared decode
+    cache; plans/search.py). Same BM25 math as q9_bm25_topk per
+    query_id; rank window is per query (top-10 each)."""
+    tf = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qrows = [(qid, t) for qid, ts in sorted(BATCH_QUERIES.items()) for t in ts]
+    q = spark.createDataFrame(qrows, "query_id string, term string")
+    all_terms = sorted({t for _, t in qrows})
+    matched = tf.filter(F.col("term").isin(all_terms))
+    dfs = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        matched.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def q5_wildcard(spark, sf_dir):
     """Q5: wildcard term expansion — prefix 'con*' -> per-term df + cf."""
     return (
@@ -208,6 +252,29 @@ def q5_wildcard(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").cast("int").alias("df"), F.sum("tf").alias("cf"))
     )
+
+
+PHRASE = ["row", "column", "sort"]
+
+
+def phrase_match(spark, sf_dir):
+    """Phrase query (positional intersection): docs containing the exact
+    consecutive phrase 'row column sort', with per-doc phrase tf. Same
+    fold the index-side plans/phrase.py runs over the positions table,
+    here expressed over raw documents so DuckDB can twin it."""
+    from tangent_spark.plans.phrase import phrase_match_positions
+
+    pos = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(PHRASE))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    return phrase_match_positions(pos, PHRASE).orderBy("doc_id")
 
 
 def q13_distinct_docs(spark, sf_dir):

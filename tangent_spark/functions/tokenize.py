@@ -131,3 +131,40 @@ def terms_df(df: DataFrame, id_col: str, text_col: str, tokenizer: str = "porter
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema="doc_id long, term string, tf int, dl long"
     )
+
+
+def positions_df(
+    df: DataFrame, id_col: str, text_col: str, tokenizer: str = "porter"
+) -> DataFrame:
+    """Documents -> (doc_id, term, positions array<int>) with NO shuffle
+    (same per-doc aggregation-inside-the-tokenizer trick as terms_df).
+    Positions are 0-based token offsets in tokenize order — the input
+    for phrase/proximity matching (plans/phrase.py)."""
+    if tokenizer not in ("porter", "simple"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    use_memo = tokenizer == "porter"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict = {}
+            doc_ids, terms, poss = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                by_term: dict[str, list[int]] = {}
+                for i, t in enumerate(tokenize_simple(text)):
+                    if use_memo:
+                        s = memo.get(t)
+                        if s is None:
+                            s = memo[t] = stem(t)
+                        t = s
+                    by_term.setdefault(t, []).append(i)
+                for term, pos in by_term.items():
+                    doc_ids.append(doc_id)
+                    terms.append(term)
+                    poss.append(pos)
+            yield pd.DataFrame({"doc_id": doc_ids, "term": terms, "positions": poss})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, term string, positions array<int>"
+    )

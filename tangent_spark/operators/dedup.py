@@ -178,19 +178,22 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int = 10_000,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only (semi-join
     restricts the shingle explosion to docs that appear in a pair).
 
-    Hot-shingle guard: a boilerplate shingle shared by D candidate docs
-    contributes O(D^2) rows to the shingle⋈shingle equi-join and lands on
-    one reducer. Shingles with document frequency > max_shingle_df are
-    dropped from BOTH the intersection and the set sizes, so the reported
-    value is the exact Jaccard over non-boilerplate shingles — a
-    documented, consistent estimator (biased toward the distinctive
-    content, which is what near-dup detection wants) with per-shingle join
-    fan-out bounded by max_shingle_df^2."""
+    Optional hot-shingle guard (OPT-IN; default None = exact Jaccard):
+    a boilerplate shingle shared by D candidate docs contributes O(D^2)
+    rows to the shingle⋈shingle equi-join and lands on one reducer.
+    With max_shingle_df set, shingles with document frequency >
+    max_shingle_df are dropped from BOTH the intersection and the set
+    sizes, so the reported value is the exact Jaccard over
+    non-boilerplate shingles — a documented, consistent estimator
+    (biased toward the distinctive content, which is what near-dup
+    detection wants) with per-shingle join fan-out bounded by
+    max_shingle_df^2. At 100-TB scale you want the cap ON; it is opt-in
+    so exact-threshold callers never silently change semantics."""
     docs_in_pairs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -210,14 +213,15 @@ def jaccard_verify(
     g = relevant.select(id_col, text_col).mapInPandas(
         shingle_rows, schema="doc_id long, shingle string"
     )
-    g = g.join(
-        g.groupBy("shingle")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_shingle_df)
-        .drop("_df"),
-        "shingle",
-        "left_semi",
-    )
+    if max_shingle_df is not None:
+        g = g.join(
+            g.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df"),
+            "shingle",
+            "left_semi",
+        )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         g.alias("p")
@@ -308,11 +312,89 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 
 # --- cluster + keep policy -------------------------------------------------------
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step: every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood. E' = {(v, min(Γ(u) ∪ {u})) :
+    v ∈ Γ(u), v > u}. Output edges oriented big->small."""
+    g = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = g.groupBy("u").agg(F.min("v").alias("_mn"))
+    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    return (
+        g.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: orient edges big->small, group each node's
+    SMALLER neighbors, link them all (and the node) to the minimum."""
+    g = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = g.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        g.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[DataFrame, int]:
+    """(labels, n_rounds): connected components via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Converges in O(log^2 n) rounds on
+    ANY graph shape — including long chains and billion-edge dedup
+    graphs where plain min-label propagation needs O(diameter) rounds.
+    Each round is two groupBy shuffles + an equality anti-join;
+    localCheckpoint truncates the iterative lineage so plans stay flat.
+
+    Returns labels (doc_id, component) covering every node that appears
+    in `pairs`, component = min doc_id of the node's component."""
+    e = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        nxt = _small_star(_large_star(e)).localCheckpoint()
+        # converged iff the edge sets are identical (both canonical
+        # big->small and deduped, so count + one-sided anti-join suffice)
+        if (
+            nxt.count() == e.count()
+            and nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            e = nxt
+            break
+        e = nxt
+    # converged stars: every non-root points straight at its root
+    roots = e.select(F.col("v").alias("doc_id")).distinct().join(
+        e.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component")).union(
+        roots.select("doc_id", F.col("doc_id").alias("component"))
+    )
+    return labels, rounds
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     """(doc_id, component) via iterative min-label propagation over the
     dup-pair graph. Near-dup clusters are tiny and star-shaped in
     practice, so a handful of iterations converges; max_iter bounds the
-    job count (each iteration is one shuffle)."""
+    job count (each iteration is one shuffle). For general graphs (long
+    chains, web-scale dedup) use connected_components_star, which
+    converges in O(log^2 n) rounds regardless of diameter."""
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -351,10 +433,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     return labels
 
 
-def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_keep_list(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", method: str = "star"
+) -> DataFrame:
     """(doc_id, keep): keep = True unless the doc is in a dup cluster
-    and is not the cluster's minimum id."""
-    comps = connected_components(pairs)
+    and is not the cluster's minimum id. method='star' (default) uses
+    the O(log^2 n)-round large-star/small-star CC — the right choice at
+    web scale; 'minlabel' keeps the simple propagation (identical keep
+    lists, tested)."""
+    if method == "star":
+        comps, _ = connected_components_star(pairs)
+    else:
+        comps = connected_components(pairs)
     losers = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return df.select(F.col(id_col).alias("doc_id")).join(
         losers.withColumn("keep", F.lit(False)), "doc_id", "left"

@@ -18,6 +18,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = ("byte", "short", "int", "integer", "long", "bigint")
+
+
+def _require_integral_id(df: DataFrame, col: str) -> None:
+    """Raise instead of letting cast('long') silently NULL non-integral
+    ids (e.g. string doc keys) — a silent-empty-result trap."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in _INTEGRAL_TYPES:
+        raise TypeError(
+            f"id column {col!r} has type {dt}; similarity operators require an "
+            "integral id (byte/short/int/long) — map string keys to dense ids "
+            "first (tangent_spark.functions.ids.dense_ids)"
+        )
+
+
 def _cos_cols(q: str, v: str):
     dot = F.aggregate(F.zip_with(q, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     nq = F.sqrt(F.aggregate(F.transform(q, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
@@ -42,7 +57,10 @@ def cosine_topk_bruteforce(
     scored rows per query to one reducer. A per-PARTITION top-k
     pre-reduction (same total order: cos desc, vec_id asc — so it keeps a
     superset of the global top-k) runs first, leaving at most
-    n_partitions*k rows per query for the window. Ids must be integral."""
+    n_partitions*k rows per query for the window. Ids must be integral
+    (validated — a silent cast would turn string ids into NULLs)."""
+    _require_integral_id(embeddings, id_col)
+    _require_integral_id(queries, query_id_col)
     emb = embeddings.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -57,6 +75,13 @@ def cosine_topk_bruteforce(
         .withColumn("cos", _cos_cols("q", "v"))
         .select("query_id", "vec_id", "cos")
     )
+    return _global_topk(scored, k)
+
+
+def _partial_topk(k: int):
+    """Per-partition top-k pre-reduction (cos desc, vec_id asc): keeps a
+    superset of the global top-k so the final window sees at most
+    n_partitions*k rows per query instead of N."""
 
     def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: pd.DataFrame | None = None
@@ -69,8 +94,12 @@ def cosine_topk_bruteforce(
         if best is not None and len(best):
             yield best
 
+    return partial_topk
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
     reduced = scored.mapInPandas(
-        partial_topk, schema="query_id long, vec_id long, cos double"
+        _partial_topk(k), schema="query_id long, vec_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -117,6 +146,158 @@ def hyperplane_signatures(
     return embeddings.select(id_col, vec_col).mapInPandas(
         kernel, schema="vec_id long, table int, bucket long"
     )
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    return mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    n_centroids: int = 32,
+    n_iter: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means (Lloyd's on the unit sphere) fitted with Spark:
+    assignment + per-cluster partial sums are computed map-side per Arrow
+    batch (one matmul each), so every iteration is ONE job shipping
+    n_partitions x n_centroids tiny partial rows to the driver — no
+    shuffle at all, valid at any table size. Init is a deterministic
+    xxhash64-ordered sample (seeded), so the fit is reproducible.
+    Returns (n_centroids, dim) unit-norm centroids."""
+    init = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    if not init:
+        raise ValueError("kmeans_fit: empty embeddings table")
+    C = _norm_rows(np.stack([np.asarray(r["_v"], dtype=np.float64) for r in init]))
+    vecs = embeddings.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iter):
+        bc = C  # rides in the closure (n_centroids x dim — tiny)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                nm = _norm_rows(
+                    np.stack(pdf["_v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+                )
+                a = np.argmax(nm @ bc.T, axis=1)
+                cs, ns, ss = [], [], []
+                for c in np.unique(a):
+                    sel = nm[a == c]
+                    cs.append(int(c))
+                    ns.append(int(sel.shape[0]))
+                    ss.append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame({"cluster": cs, "n": ns, "s": ss})
+
+        rows = vecs.mapInPandas(
+            partials, schema="cluster int, n long, s array<double>"
+        ).collect()
+        sums = np.zeros_like(C)
+        cnt = np.zeros(n_centroids)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["s"], dtype=np.float64)
+            cnt[r["cluster"]] += r["n"]
+        upd = cnt > 0
+        C = C.copy()
+        C[upd] = sums[upd] / cnt[upd, None]  # empty clusters keep old centroid
+        C = _norm_rows(C)
+    return C
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, v): the IVF index — every vector tagged with its
+    nearest centroid. At scale this is written bucketed/partitioned BY
+    cluster so a probe reads only its buckets; here it flows straight
+    into the candidate equi-join."""
+    C = centroids
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            a = np.argmax(_norm_rows(mat) @ C.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "cluster": a.astype("int32"),
+                    "v": [row.tolist() for row in mat],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema="vec_id long, cluster int, v array<double>"
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    n_iter: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer (spherical k-means) -> each query
+    probes its n_probe nearest centroids -> candidates come from a
+    broadcast equi-join on cluster id (NO all-pairs anywhere) -> exact
+    cosine re-score -> per-partition top-k pre-reduction -> window.
+
+    Recall is CONTROLLABLE via n_probe (n_probe == n_centroids is exact
+    brute force, smaller trades recall for a proportional scan cut) —
+    unlike hyperplane LSH whose recall is fixed by geometry. Cost ~
+    (n_probe / n_centroids) of the full scan per query. Pass a
+    precomputed `centroids` to reuse a fit across query batches
+    (the serve-path shape: fit once at index time, probe at query time)."""
+    _require_integral_id(embeddings, id_col)
+    _require_integral_id(queries, query_id_col)
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, n_centroids, n_iter, seed, id_col, vec_col)
+    n_centroids = centroids.shape[0]
+    n_probe = min(n_probe, n_centroids)
+    indexed = ivf_assign(embeddings, centroids, id_col, vec_col)
+    # queries are the small broadcast side by contract: probe assignment
+    # happens driver-side (n_queries x n_centroids dots)
+    qrows = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q"),
+    ).collect()
+    probes = []
+    for r in qrows:
+        qn = _norm_rows(np.asarray(r["q"], dtype=np.float64)[None, :])[0]
+        for c in np.argsort(-(centroids @ qn), kind="stable")[:n_probe]:
+            probes.append((int(r["query_id"]), int(c)))
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    qs = spark.createDataFrame(
+        [(r["query_id"], r["q"]) for r in qrows], "query_id long, q array<double>"
+    )
+    scored = (
+        indexed.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", _cos_cols("q", "v"))
+        .select("query_id", "vec_id", "cos")
+    )
+    return _global_topk(scored, k)
 
 
 def cosine_topk_lsh(

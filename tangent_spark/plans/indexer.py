@@ -243,6 +243,27 @@ def build_index(
             },
         )
 
+    # ---- stage: positions (optional; phrase/proximity support) -------------
+    if cfg.store_positions and not store.stage_done("positions"):
+        from tangent_spark.functions.tokenize import positions_df
+
+        t0 = time.time()
+        shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
+        # same doc-sharded, term-major-sorted layout as postings so a
+        # phrase query's term filter prunes at row-group granularity and
+        # the per-term scans co-locate with the shard's postings
+        pos = (
+            positions_df(docs, id_col, text_col, cfg.tokenizer)
+            .withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
+            .repartition(shard_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+        )
+        pos.write.mode("overwrite").parquet(store.path("positions"))
+        n_rows = spark.read.parquet(store.path("positions")).count()
+        store.commit_stage(
+            "positions", ["positions"], {"position_rows": n_rows, "secs": time.time() - t0}
+        )
+
     verify_index(spark, store)
     return store
 

@@ -115,7 +115,7 @@ _WAND_SCHEMA = (
 _MAXDOC = np.int64(2**62)
 
 
-def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
+def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None):
     """Per-shard kernel: block-max pruning via an interval sweep.
 
     Input rows carry a precomputed `idf` column (joined JVM-side so the
@@ -127,10 +127,21 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
     the threshold every remaining range is skipped without decoding.
     This is block-max WAND restructured score-at-a-time — same skip
     guarantee, fully vectorizable.
+
+    `cache` (decoded-block cache) may be passed in by a caller that
+    scores several queries over the same rows (topk_batch): keys are
+    (stable row id, block idx), where the stable id comes from a
+    `_rid` column when present. `counter` is an optional Spark
+    accumulator that receives the number of freshly decoded blocks.
     """
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, cache=None) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+        rids = (
+            pdf["_rid"].to_numpy()
+            if "_rid" in pdf.columns
+            else np.arange(len(pdf), dtype=np.int64)
+        )
         # --- collect block metadata for every query-term row ---------------
         blocks = []  # (lo, hi, bound, row_idx, blk_idx)
         for ri in range(len(pdf)):
@@ -171,7 +182,8 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
         ub = np.cumsum(delta)[:-1]
 
         order = np.argsort(-ub, kind="stable")
-        cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        if cache is None:
+            cache = {}
         top_scores = np.zeros(0, dtype=np.float64)
         top_docs = np.zeros(0, dtype=np.int64)
         decoded = 0
@@ -194,7 +206,7 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
             all_ids, all_contrib = [], []
             for ci in cover:
                 _, _, _, ri, bi = blocks[ci]
-                key = (ri, bi)
+                key = (int(rids[ri]), bi)
                 if key not in cache:
                     row = pdf.iloc[ri]
                     cnt = int(row["counts"][bi])
@@ -237,6 +249,8 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int):
 
         ordk = np.lexsort((top_docs, -top_scores))[:k]
         top_docs, top_scores = top_docs[ordk], top_scores[ordk]
+        if counter is not None and decoded:
+            counter.add(decoded)
         return pd.DataFrame(
             {
                 "doc_id": top_docs,
@@ -272,11 +286,16 @@ def _wand_plan(
             + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
+    kern = _score_shard(avgdl, cfg, k)
+
+    def apply_kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        return kern(pdf)
+
     local = (
         postings.filter(F.col("term").isin(qts))
         .join(F.broadcast(qstats), "term")
         .groupBy("shard")
-        .applyInPandas(_score_shard(avgdl, cfg, k), schema=_WAND_SCHEMA)
+        .applyInPandas(apply_kern, schema=_WAND_SCHEMA)
     )
     cols = ["doc_id", "score"] + (
         ["shard", "blocks_decoded", "blocks_skipped", "docs_scored"]
@@ -315,12 +334,22 @@ class Searcher:
     """Warm query serving over an IndexStore.
 
     Caches what a long-lived serving cluster would keep resident:
-    corpus stats (two scalars, driver-side), the term->df dictionary
-    (driver-side dict — exactly the resident lexicon the reference's
-    C++ process holds, mathindexbase.h:146-178), and the postings
-    DataFrame persisted PRE-PARTITIONED BY SHARD (MEMORY_AND_DISK —
-    Spark keeps hot shards in executor memory and spills the rest, so
-    this stays valid at 100 TB where the full index exceeds RAM).
+    corpus stats (two scalars, driver-side), a BOUNDED head of the
+    term->df dictionary (driver-side dict), and the postings DataFrame
+    persisted PRE-PARTITIONED BY SHARD (MEMORY_AND_DISK — Spark keeps
+    hot shards in executor memory and spills the rest, so this stays
+    valid at 100 TB where the full index exceeds RAM).
+
+    Lexicon scale story: the reference's C++ process holds its whole
+    lexicon resident (mathindexbase.h:146-178) — fine at 300k docs,
+    a driver OOM at a 100-TB vocabulary (O(10^8-10^9) terms once
+    formula pair-tuples join the word terms). So the driver keeps only
+    the max_lexicon highest-df terms (high-df terms are exactly the
+    ones queries hit most, so the head absorbs almost every lookup);
+    the FULL term_stats table stays persisted cluster-side, and query
+    terms that miss the head are resolved by one tiny filtered scan of
+    that cached table (<= len(query) rows back to the driver). Ranking
+    is identical either way — df is df, wherever it was looked up.
 
     The warm plan is ONE single-stage Spark job per query: scan of the
     cached shard partitions with the query-term filter -> per-shard
@@ -331,17 +360,31 @@ class Searcher:
     in local mode it bounds per-query latency by the bare Spark
     job-launch floor (see BENCH.md)."""
 
-    def __init__(self, spark: SparkSession, store: IndexStore):
+    def __init__(
+        self, spark: SparkSession, store: IndexStore, max_lexicon: int = 1_000_000
+    ):
         self.spark = spark
         self.store = store
         self.cfg = store.get_config()
         cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
         self.n_docs = int(cs["n_docs"])
         self.avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
-        self.dfs = {
-            r["term"]: int(r["df"])
-            for r in spark.read.parquet(store.path("term_stats")).collect()
-        }
+        self.term_stats = (
+            spark.read.parquet(store.path("term_stats"))
+            .select("term", "df")
+            .persist()
+        )
+        n_terms = self.term_stats.count()  # materialize the cluster-side cache
+        self._full_lexicon = n_terms <= max_lexicon
+        if self._full_lexicon:
+            head = self.term_stats.collect()
+        else:
+            head = (
+                self.term_stats.orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_lexicon)
+                .collect()
+            )
+        self.dfs = {r["term"]: int(r["df"]) for r in head}
         self.postings = (
             spark.read.parquet(store.path("postings"))
             .repartition(self.cfg.n_shards, "shard")
@@ -359,13 +402,30 @@ class Searcher:
             self.cfg.n_shards, spark.sparkContext.defaultParallelism
         )
 
-    def topk(self, query: str, k: int, with_metrics: bool = False) -> DataFrame:
-        qts = query_terms(query, self.cfg.tokenizer)
-        qts = [t for t in qts if t in self.dfs]
+    def _resolve_dfs(self, terms: Sequence[str]) -> dict[str, int]:
+        """term -> df for the terms that exist in the index. Head terms
+        answer from the driver dict (no job); with a bounded lexicon,
+        tail misses are resolved by ONE filtered scan of the persisted
+        term_stats (columnar batch pruning; <= len(terms) rows return).
+        A term absent from both has no postings and is dropped — the
+        same semantics the full driver dict had."""
+        out = {t: self.dfs[t] for t in terms if t in self.dfs}
+        if not self._full_lexicon:
+            misses = [t for t in terms if t not in out]
+            if misses:
+                for r in self.term_stats.filter(F.col("term").isin(misses)).collect():
+                    out[r["term"]] = int(r["df"])
+        return out
+
+    def topk(
+        self, query: str, k: int, with_metrics: bool = False, decode_counter=None
+    ) -> DataFrame:
+        dfs = self._resolve_dfs(query_terms(query, self.cfg.tokenizer))
+        qts = sorted(dfs)
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idf_map = {t: idf(self.n_docs, self.dfs[t]) for t in qts}
-        shard_kernel = _score_shard(self.avgdl, self.cfg, k)
+        idf_map = {t: idf(self.n_docs, dfs[t]) for t in qts}
+        shard_kernel = _score_shard(self.avgdl, self.cfg, k, counter=decode_counter)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = [pdf for pdf in batches if len(pdf)]
@@ -388,18 +448,26 @@ class Searcher:
         )
         return local.select(*cols).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def topk_batch(self, queries: dict[str, str], k: int) -> DataFrame:
+    def topk_batch(
+        self, queries: dict[str, str], k: int, decode_counter=None
+    ) -> DataFrame:
         """Serve a whole query BATCH in one single-stage job:
         (query_id, doc_id, score, rank). The per-query Spark job floor
         (~0.2-0.6 s in local mode, one task wave at cluster scale) is
         paid ONCE for the batch, so throughput scales with batch size —
         the shape the reference's own evaluation uses (40 NTCIR queries
-        per run). Per (shard, query) the same block-max kernel runs;
-        decoded blocks are shared across queries within a shard via the
-        kernel's cache when terms overlap."""
+        per run). Per (shard, query) the same block-max kernel runs
+        with ONE decode cache per shard group (keyed by stable run row
+        id + block idx), so a block touched by several queries of the
+        batch is decoded exactly once. `decode_counter` may be a Spark
+        accumulator; it receives the total number of blocks actually
+        decoded (tested + benched: batch decodes < sum of the same
+        queries run singly whenever terms overlap)."""
+        raw_terms = {qid: query_terms(q, self.cfg.tokenizer) for qid, q in queries.items()}
+        dfs = self._resolve_dfs(sorted({t for ts in raw_terms.values() for t in ts}))
         qterms = {}
-        for qid, q in queries.items():
-            qts = [t for t in query_terms(q, self.cfg.tokenizer) if t in self.dfs]
+        for qid, qts in raw_terms.items():
+            qts = [t for t in qts if t in dfs]
             if qts:
                 qterms[str(qid)] = qts
         if not qterms:
@@ -407,8 +475,8 @@ class Searcher:
                 [], "query_id string, doc_id long, score double, rank int"
             )
         all_terms = sorted({t for qts in qterms.values() for t in qts})
-        idf_map = {t: idf(self.n_docs, self.dfs[t]) for t in all_terms}
-        shard_kernel = _score_shard(self.avgdl, self.cfg, k)
+        idf_map = {t: idf(self.n_docs, dfs[t]) for t in all_terms}
+        shard_kernel = _score_shard(self.avgdl, self.cfg, k, counter=decode_counter)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = [pdf for pdf in batches if len(pdf)]
@@ -418,11 +486,13 @@ class Searcher:
             all_rows["idf"] = all_rows["term"].map(idf_map)
             for _, grp in all_rows.groupby("shard", sort=False):
                 grp = grp.reset_index(drop=True)
+                grp["_rid"] = np.arange(len(grp), dtype=np.int64)
+                shared_cache: dict = {}
                 for qid, qts in qterms.items():
                     sub = grp[grp["term"].isin(qts)]
                     if not len(sub):
                         continue
-                    out = shard_kernel(sub.reset_index(drop=True))
+                    out = shard_kernel(sub.reset_index(drop=True), cache=shared_cache)
                     if len(out):
                         out = out[["doc_id", "score"]].copy()
                         out.insert(0, "query_id", qid)
@@ -444,6 +514,7 @@ class Searcher:
 
     def close(self) -> None:
         self.postings.unpersist()
+        self.term_stats.unpersist()
 
 
 def bm25_topk_index_full(

@@ -162,6 +162,27 @@ class IndexStore:
             removed += 1
         return removed
 
+    def orphan_tags(self, table: str) -> list[str]:
+        """Tags present as part files in the live table dir whose batch
+        stage is NOT committed — leftovers of a crashed append_batch.
+        Tagged files are named '<tag>-NNNNN.parquet' with tag='b<id>'
+        (copy_tagged); Spark-native part files start with 'part-' and
+        never match. A rewrite (e.g. compaction) that baked these rows in
+        untagged would double them when the batch replays, so rewriters
+        must clean them first (see streaming.incremental.compact_postings)."""
+        stages = self.read_manifest()["stages"]
+        tags = set()
+        for f in glob.glob(os.path.join(self.path(table), "b*-*.parquet")):
+            name = os.path.basename(f)[: -len(".parquet")]
+            tag, _, suffix = name.rpartition("-")
+            if not tag.startswith("b") or not suffix.isdigit():
+                continue
+            stage = "batch_" + tag[1:]
+            st = stages.get(stage)
+            if not st or st.get("status") != "committed":
+                tags.add(tag)
+        return sorted(tags)
+
     def counters(self) -> dict[str, dict[str, Any]]:
         m = self.read_manifest()
         return {k: v.get("counters", {}) for k, v in m["stages"].items()}

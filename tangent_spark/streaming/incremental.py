@@ -185,8 +185,22 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
     (term, doc_id) and re-sorting by doc_id is the exact merged posting
     list. The postings-mass invariant (sum of df unchanged) is asserted
     before the flip; a crash at any point leaves the current version
-    live and the next attempt rewrites the staging version."""
+    live and the next attempt rewrites the staging version.
+
+    Orphan guard: if a previous append_batch CRASHED, its batch-tagged
+    part files are still in the live dirs. Baking those rows untagged
+    into the compacted version would duplicate them when the batch
+    replays (replay deletes tagged files — but they'd no longer be
+    tagged). So compaction first applies the same cleanup the replay
+    itself would: delete tagged files of every uncommitted batch from
+    all appended tables (postings/terms/docs keep their mutual
+    consistency — all three are restored to the pre-batch state)."""
     from tangent_spark.codec import decode_posting_list
+
+    for table in ("postings", "terms", "docs"):
+        for tag in store.orphan_tags(table):
+            store.clean_tagged(table, tag)
+            spark.catalog.refreshByPath(store.path(table))
 
     cfg = store.get_config()
     nxt = store.table_version("postings") + 1

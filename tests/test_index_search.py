@@ -123,6 +123,133 @@ def test_config_mismatch_rejected(spark, corpus, index_store):
         )
 
 
+def test_searcher_rank_identical_to_wand(spark, index_store, corpus):
+    from tangent_spark.plans.search import Searcher
+
+    _, local = corpus
+    s = Searcher(spark, index_store)
+    try:
+        for query in QUERIES:
+            got = [(r["doc_id"], r["score"]) for r in s.topk(query, 10).collect()]
+            assert_rank_identical(got, bm25_rank(local, query, 10))
+    finally:
+        s.close()
+
+
+def test_searcher_bounded_lexicon_10m_vocab(spark, index_store, corpus, tmp_path):
+    """The scale-killer check: construct a Searcher against a 10M-term
+    vocabulary with a small driver-side head (max_lexicon=1000). Driver
+    memory stays bounded (head dict only), and every query — whose real
+    terms are all OUTSIDE the synthetic high-df head — still ranks
+    identically to the cold WAND path via the tail broadcast-lookup."""
+    import shutil
+
+    from tangent_spark.plans.search import Searcher
+
+    _, local = corpus
+    # clone the index so the version flip doesn't pollute the shared fixture
+    root = str(tmp_path / "bigvocab")
+    shutil.copytree(index_store.root, root)
+    store = IndexStore(root)
+    # flood term_stats with 10M synthetic terms at df far above any real term;
+    # flip the table pointer through the store's own versioning mechanism
+    real = spark.read.parquet(store.path("term_stats"))
+    synth = spark.range(10_000_000).select(
+        F.concat(F.lit("zzsynth"), F.col("id")).alias("term"),
+        (F.lit(1000) + (F.col("id") % 1000)).cast("int").alias("df"),
+        (F.lit(1000) + (F.col("id") % 1000)).cast("long").alias("cf"),
+    )
+    nxt = store.table_version("term_stats") + 1
+    real.unionByName(synth).write.mode("overwrite").parquet(
+        store.versioned_path("term_stats", nxt)
+    )
+    store.commit_stage("synthetic_vocab", [], {}, table_flips={"term_stats": nxt})
+
+    s = Searcher(spark, store, max_lexicon=1000)
+    try:
+        assert not s._full_lexicon
+        assert len(s.dfs) == 1000  # bounded driver head, not 10M entries
+        assert all(t.startswith("zzsynth") for t in s.dfs)  # head = high-df terms
+        for query in QUERIES[:3]:
+            got = [(r["doc_id"], r["score"]) for r in s.topk(query, 10).collect()]
+            assert_rank_identical(got, bm25_rank(local, query, 10))
+        # batch path resolves tail terms the same way
+        batch = s.topk_batch({"q0": QUERIES[0]}, 10).collect()
+        got = [(r["doc_id"], r["score"]) for r in sorted(batch, key=lambda r: r["rank"])]
+        assert_rank_identical(got, bm25_rank(local, QUERIES[0], 10))
+    finally:
+        s.close()
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_batch_shares_decode_cache(spark, index_store):
+    """Overlapping queries in one batch must decode strictly fewer blocks
+    than the same queries run singly (VERDICT round-2 item #2)."""
+    from tangent_spark.plans.search import Searcher
+
+    overlapping = {
+        "q1": "matrix theorem proof",
+        "q2": "matrix theorem",
+        "q3": "theorem proof spark",
+        "q4": "matrix proof the",
+    }
+    s = Searcher(spark, index_store)
+    try:
+        single_acc = spark.sparkContext.accumulator(0)
+        for q in overlapping.values():
+            s.topk(q, 10, decode_counter=single_acc).collect()
+        single_total = single_acc.value
+        acc = spark.sparkContext.accumulator(0)
+        batch = s.topk_batch(overlapping, 10, decode_counter=acc)
+        batch.collect()
+        assert acc.value > 0
+        assert acc.value < single_total, (acc.value, single_total)
+    finally:
+        s.close()
+
+
+def test_phrase_topk_matches_python_oracle(spark, corpus, tmp_path):
+    """Positional index: phrase_topk off the positions table must equal a
+    pure-python consecutive-token scan (Porter-stemmed, like the index)."""
+    from tangent_spark.functions.tokenize import tokenize_porter
+    from tangent_spark.plans.phrase import phrase_topk
+
+    pages, local = corpus
+    cfg = IndexConfig(n_shards=4, block_size=32, store_positions=True)
+    store = build_index(spark, pages, str(tmp_path / "posidx"), cfg, url_col="url")
+    assert store.stage_done("positions")
+
+    # pick a phrase that actually occurs: the first bigram of doc 0
+    toks0 = tokenize_porter(local[0][1])
+    phrase = " ".join(toks0[:2])
+    pts = tokenize_porter(phrase)
+
+    def oracle_tf(text):
+        ts = tokenize_porter(text)
+        return sum(
+            1
+            for i in range(len(ts) - len(pts) + 1)
+            if ts[i : i + len(pts)] == pts
+        )
+
+    want = sorted(
+        ((tf, doc_id) for doc_id, text in local if (tf := oracle_tf(text)) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:10]
+    got = [
+        (r["phrase_tf"], r["doc_id"])
+        for r in phrase_topk(spark, store, phrase, 10).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    # an index built without positions refuses phrase queries loudly
+    no_pos = build_index(
+        spark, pages, str(tmp_path / "noposidx"), IndexConfig(n_shards=4), url_col="url"
+    )
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_topk(spark, no_pos, phrase, 5)
+
+
 def test_topk_batch_equals_individual(spark, index_store):
     """Batch serving returns exactly the per-query results, one job for
     the whole batch."""

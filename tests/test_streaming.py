@@ -183,6 +183,50 @@ def test_compaction_exact_and_bounded(spark, all_pages, tmp_path_factory):
         assert _topk(spark, store, q) == _topk(spark, full, q), q
 
 
+def test_compaction_with_orphaned_crashed_batch(spark, all_pages, tmp_path_factory, monkeypatch):
+    """ADVICE scenario: a batch crashes AFTER appending tagged postings,
+    then compaction runs out-of-band BEFORE the batch replays. Without
+    the orphan guard the crashed batch's rows get baked untagged into
+    the compacted version and the replay duplicates every (term, doc_id)
+    of that batch. With the guard, replay + compaction is exact."""
+    from tangent_spark.streaming.incremental import compact_postings
+
+    base = str(tmp_path_factory.mktemp("orphan"))
+    first = all_pages.filter(F.col("doc_id") < 60)
+    second = all_pages.filter(F.col("doc_id") >= 60).drop("doc_id")
+    store = build_index(spark, first, f"{base}/idx", CFG, url_col="url")
+
+    orig_copy = IndexStore.copy_tagged
+
+    def boom_copy(self, src, table, tag):
+        n = orig_copy(self, src, table, tag)
+        if table == "docs":  # postings + terms already appended
+            raise RuntimeError("injected crash after postings append")
+        return n
+
+    monkeypatch.setattr(IndexStore, "copy_tagged", boom_copy)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_batch(spark, store, second, batch_id=3)
+    monkeypatch.setattr(IndexStore, "copy_tagged", orig_copy)
+
+    # orphan tags visible; out-of-band compaction must clean them first
+    assert store.orphan_tags("postings") == ["b3"]
+    c = compact_postings(spark, store)
+    assert store.orphan_tags("postings") == []
+    # compacted mass == the committed (pre-batch) index only
+    assert c["postings"] == spark.read.parquet(
+        store.path("term_stats")
+    ).agg(F.sum("df")).collect()[0][0]
+
+    # replay lands the batch exactly once
+    counters = append_batch(spark, store, second, batch_id=3)
+    assert counters["new_docs"] == 30
+    verify_index(spark, store)
+    full = build_index(spark, all_pages, f"{base}/full", CFG, url_col="url")
+    for q in QUERIES:
+        assert _topk(spark, store, q) == _topk(spark, full, q), q
+
+
 def test_streaming_auto_compaction(spark, all_pages, tmp_path_factory):
     """compact_every triggers compaction through the streaming driver and
     results stay exact."""
