@@ -657,9 +657,34 @@ def q5f_wildcard_dice(spark, sf_dir):
     from tangent_spark.operators.slt import parse_slt
     from tangent_spark.plans.formula import query_tuple_multiset, wildcard_cc
 
+    from tangent_spark.operators.pairs import expr_tuples_df
+
     cfg = IndexConfig()
     concrete, wildcard, qtc = query_tuple_multiset(_WILDCARD_QUERY, cfg)
-    exprs = exprs_df(_pages(spark)).select("slt").distinct()
+    exprs = exprs_df(_pages(spark)).select("slt").distinct().persist()
+    # Corpus-wide posting sizes (unique exprs per tuple) for the matched
+    # patterns — one small aggregate, same stats the indexed path reads
+    # off f_postings (plans/formula.dice_topk_exprs).
+    tup = expr_tuples_df(exprs, cfg)
+    cond = None
+    for fr, to, rel in set(wildcard):
+        c = (
+            (F.col("to") == to) & (F.col("rel") == rel)
+            if fr.startswith("?")
+            else (F.col("fr") == fr) & (F.col("rel") == rel)
+        )
+        cond = c if cond is None else (cond | c)
+    sizes = {
+        (r["fr"], r["to"], r["rel"]): r["sz"]
+        for r in tup.filter(cond)
+        .groupBy("fr", "to", "rel")
+        .agg(F.count("*").alias("sz"))
+        .collect()
+    }
+    n_exprs = exprs.count()
+    from tangent_spark.plans.formula import wildcard_dense_flags
+
+    dense = wildcard_dense_flags(wildcard, sizes, n_exprs)
 
     def kernel(batches):
         import pandas as pd
@@ -676,7 +701,7 @@ def q5f_wildcard_dice(spark, sf_dir):
                     )
                 )
                 cc = sum(min(qn, ec.get(t, 0)) for t, qn in concrete.items())
-                cc += wildcard_cc(concrete, wildcard, dict(ec))
+                cc += wildcard_cc(concrete, wildcard, dict(ec), sizes, dense=dense)
                 if cc > 0:
                     etc = sum(ec.values())
                     rows.append({"slt": slt, "score": round(2.0 * cc / (etc + qtc), 4)})

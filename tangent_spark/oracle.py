@@ -111,11 +111,22 @@ def dice_rank(
             qcnt[(fr, to, rel)] += 1
     if qtc == 0:
         return []
+    # Index-wide posting sizes (unique expressions per tuple) — the same
+    # stats plans/formula.dice_topk_exprs reads off f_postings — so the
+    # oracle's wildcard visit order / density gate matches the engine's.
+    sizes: Counter = Counter()
+    for ec in expr_tuples:
+        for t in ec:
+            sizes[t] += 1
+    n_exprs = len(uniq)
+    from tangent_spark.plans.formula import wildcard_dense_flags
+
+    dense = wildcard_dense_flags(wild, dict(sizes), n_exprs)
     out = []
     for expr_id, (slt, ec) in enumerate(zip(uniq, expr_tuples)):
         cc = sum(min(qn, ec.get(t, 0)) for t, qn in qcnt.items())
         if wild:
-            cc += wildcard_cc(dict(qcnt), wild, dict(ec))
+            cc += wildcard_cc(dict(qcnt), wild, dict(ec), dict(sizes), dense=dense)
         if cc > 0:
             etc = sum(ec.values())
             out.append((expr_id, slt, 2.0 * cc / (etc + qtc)))

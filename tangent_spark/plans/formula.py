@@ -158,7 +158,35 @@ def _wild_matches(pattern: tuple, t: tuple) -> bool:
     return t[0] == fr and t[2] == rel
 
 
-def wildcard_cc(concrete: dict, instances: list, expr_tuples: dict) -> int:
+# An instance whose matched posting mass covers at least this fraction
+# of the index's unique expressions runs in short-circuit ("stop") mode;
+# see wildcard_cc. 0.9 minimizes golden mismatches across all four
+# tested (window, eol) conditions (tests/test_golden_parity.py).
+WILDCARD_STOP_SELECTIVITY = 0.9
+
+
+def wildcard_dense_flags(instances: list, sizes: dict, n_exprs: int) -> list:
+    """Per-instance short-circuit flags: True where the instance's
+    matched posting mass covers >= WILDCARD_STOP_SELECTIVITY of the
+    index's unique expressions. O(len(sizes) * len(instances)) — compute
+    ONCE per query and pass to wildcard_cc, not per candidate."""
+    if not sizes or not n_exprs:
+        return [False] * len(instances)
+    return [
+        sum(sz for t, sz in sizes.items() if _wild_matches(w, t)) / n_exprs
+        >= WILDCARD_STOP_SELECTIVITY
+        for w in instances
+    ]
+
+
+def wildcard_cc(
+    concrete: dict,
+    instances: list,
+    expr_tuples: dict,
+    sizes: dict | None = None,
+    n_exprs: int | None = None,
+    dense: list | None = None,
+) -> int:
     """Wildcard contribution to the count-capped overlap for ONE
     expression — the deterministic equivalent of the reference's shared
     posting-list iterators (IDIterPL/IDIterIND/IDIterANY,
@@ -168,22 +196,36 @@ def wildcard_cc(concrete: dict, instances: list, expr_tuples: dict) -> int:
     * instances draw from a shared per-tuple budget: a tuple's count is
       first consumed by the concrete query tuples (min(q_cnt, cnt)), the
       first instance whose pattern matches a non-concrete tuple owns one
-      free unit of it (IDIterPL with qcount=1), and every other draw
-      takes min(1, remainder) (IDIterIND consuming pl->rem);
-    * instances are processed in query-generation order and each
-      instance draws from EVERY matching tuple (full evaluation).
+      reserved unit of it (IDIterPL with qcount=1, reserved at first
+      touch no matter who touches it), and every other draw takes
+      min(1, remainder) (IDIterIND consuming pl->rem);
+    * instances are processed in query-generation order; each instance
+      scans its matching tuples in DESCENDING index-wide posting-size
+      order (``sizes`` = tuple -> number of unique expressions containing
+      it; the reference sorts its ANY iterators the same way,
+      mathindex.cpp:211), ties on tuple ascending;
+    * a DENSE instance — matched posting mass / n_exprs >=
+      WILDCARD_STOP_SELECTIVITY — stops at the first unit found
+      (IDIterANY's short-circuit, mathindexmid.h:165: with near-universal
+      lists the next candidate is the adjacent expression ID, so the
+      probe lands exactly and the right subtree is never advanced); a
+      sparse instance draws from EVERY matching tuple (full advancement:
+      with gaps in the union the probe overshoots, every leaf is
+      advanced and every IND consumes its remainder unit).
 
-    The reference instead short-circuits each ANY scan at the first unit
-    found, visiting posting lists in descending index-wide size order
-    with std::sort-unstable ties (mathindex.cpp:203,211) — an order that
-    is unreproducible from its artifacts. Golden agreement of this
-    deterministic rule vs the reference's shipped NTCIR-12 result files
-    (tests/test_golden_parity.py): EXACT on every query-candidate pair
-    whose wildcard instances are uncoupled (no repeated patterns and no
-    tuple matched by two instances or shared with a concrete tuple —
-    5,073/5,073 rows across 7 conditions), and >=97.5% on coupled rows
-    at eol none/small (~88% at eol=all), where the divergence is exactly
-    the reference's order-dependent remainder consumption."""
+    Without ``sizes``/``n_exprs`` every instance is treated as sparse
+    (pure full-advancement rule). Golden agreement vs the reference's
+    shipped NTCIR-12 result files (tests/test_golden_parity.py): EXACT
+    on every query-candidate pair whose wildcard instances are uncoupled
+    (5,073/5,073 rows across 7 conditions); on coupled rows the
+    density-gated rule mismatches 12/14/120/28 rows-of-2000 at
+    w4-small/w0-none/w2-all/w1-small (vs 13/14/225/28 for the pure
+    full-advancement rule). The residual at eol=all is balanced (-1/+1)
+    and is the reference's overshoot pre-consumption: an IND advanced
+    past the current candidate consumes a remainder unit at a FUTURE
+    expression, which requires posting-list contents and the quartile
+    expression reordering (mathindex.cpp:87-114) — neither is in the
+    shipped artifacts, only the sizes are partially recoverable."""
     owner: dict = {}
     for i, w in enumerate(instances):
         for t in expr_tuples:
@@ -197,18 +239,25 @@ def wildcard_cc(concrete: dict, instances: list, expr_tuples: dict) -> int:
             rem[t] = cnt - 1
         else:
             rem[t] = cnt
+    sizes = sizes or {}
+    if dense is None:
+        dense = wildcard_dense_flags(instances, sizes, n_exprs or 0)
     cc = 0
     for i, w in enumerate(instances):
         contrib = 0
-        for t in sorted(expr_tuples):
-            if not _wild_matches(w, t):
-                continue
+        leaves = sorted(
+            (t for t in expr_tuples if _wild_matches(w, t)),
+            key=lambda t: (-sizes.get(t, 0), t),
+        )
+        for t in leaves:
             if owner.get(t) == i:
-                contrib = max(contrib, 1)
+                contrib = 1
             else:
                 take = min(1, rem[t])
                 rem[t] -= take
                 contrib = max(contrib, take)
+            if contrib and dense[i]:
+                break
         cc += contrib
     return cc
 
@@ -262,6 +311,21 @@ def dice_topk_exprs(
         m = m.select("expr_id", "fr", "to", "rel", "cnt").dropDuplicates(
             ["expr_id", "fr", "to", "rel"]
         )
+        # Index-wide posting sizes of the matched tuples (= unique exprs
+        # per tuple) drive the reference's ANY-iterator visit order and
+        # its dense-list short-circuit; both are exactly reproducible
+        # here because we hold the index (see wildcard_cc). One extra
+        # small aggregate (|distinct matched tuples| rows to the driver);
+        # m is deliberately NOT persisted — a second pruned broadcast-join
+        # scan is cheaper than leaking a cache entry per served query.
+        sizes = {
+            (r["fr"], r["to"], r["rel"]): r["sz"]
+            for r in m.groupBy("fr", "to", "rel")
+            .agg(F.count("*").alias("sz"))
+            .collect()
+        }
+        n_exprs = spark.read.parquet(store.path("f_dict")).count()
+        dense = wildcard_dense_flags(wildcard, sizes, n_exprs)
 
         def wild_kernel(pdf):
             import pandas as pd
@@ -273,7 +337,13 @@ def dice_topk_exprs(
             return pd.DataFrame(
                 {
                     "expr_id": [int(pdf["expr_id"].iloc[0])],
-                    "contrib": [float(wildcard_cc(concrete, wildcard, etuples))],
+                    "contrib": [
+                        float(
+                            wildcard_cc(
+                                concrete, wildcard, etuples, sizes, dense=dense
+                            )
+                        )
+                    ],
                 }
             )
 

@@ -103,18 +103,30 @@ def test_scores_match_reference_engine(window, eol):
 
 # --- wildcard queries --------------------------------------------------------
 # Our wildcard scoring (plans/formula.wildcard_cc) is the deterministic
-# equivalent of the reference's shared posting-list iterators. Golden
+# equivalent of the reference's shared posting-list iterators, with the
+# reference's visit order recovered where the artifacts allow: leaves in
+# descending index-wide posting-size order, and the IDIterANY
+# short-circuit (first-unit stop) applied to DENSE instances — those
+# whose matched posting mass covers >= WILDCARD_STOP_SELECTIVITY of the
+# index's expressions, because only there the scan probe lands on
+# adjacent expression IDs and the short-circuit actually fires. The
+# index is absent, so posting sizes are ESTIMATED from the union of all
+# retrieved candidate expressions in each condition file. Golden
 # envelope, measured over every wildcard query of every condition:
 #   * UNCOUPLED rows (no repeated wildcard pattern in the query AND no
 #     expression tuple matched by two instances or shared with a concrete
 #     query tuple): EXACT — asserted to 0 mismatches below;
-#   * COUPLED rows: the reference consumes shared remainders in
-#     descending index-wide posting-list-size order with std::sort-
-#     unstable ties (mathindex.cpp:203,211) — unreproducible from the
-#     shipped artifacts; our query-order full-evaluation rule is asserted
-#     to stay within the measured mismatch bound per condition.
+#   * COUPLED rows: bounded per condition below. The residual (balanced
+#     -1/+1 cc at eol=all) is the reference's overshoot pre-consumption:
+#     an IND advanced past the current candidate consumes a remainder
+#     unit at a FUTURE expression (mathindexmid.h:136-139), which depends
+#     on posting-list contents and the quartile expression reordering
+#     (mathindex.cpp:87-114) — neither recoverable from shipped files.
+# Pure full-advancement (no sizes) measured 13/14/225/28 on the same
+# rows; the density-gated rule tightens eol=all by ~2x and the rest by
+# 0-1 without loosening anything.
 
-WILDCARD_BOUNDS = {(4, "small"): 13, (0, "none"): 14, (2, "all"): 225, (1, "small"): 28}
+WILDCARD_BOUNDS = {(4, "small"): 12, (0, "none"): 14, (2, "all"): 120, (1, "small"): 28}
 
 
 def _query_tuples(slt: str, window: int, eol: str):
@@ -138,17 +150,31 @@ def _query_tuples(slt: str, window: int, eol: str):
 @pytest.mark.skipif(not HAVE, reason="reference golden results not present")
 @pytest.mark.parametrize("window,eol", CONDITIONS)
 def test_wildcard_scores_match(window, eol):
-    from tangent_spark.plans.formula import _wild_matches, wildcard_cc
+    from tangent_spark.plans.formula import (
+        _wild_matches,
+        wildcard_cc,
+        wildcard_dense_flags,
+    )
 
     path = f"{GOLDEN_DIR}/core_w{window}_e{EOL_CODE[eol]}.tsv"
     cache: dict = {}
+    # estimated index-wide posting sizes: unique retrieved expressions
+    # containing each tuple, over the union of ALL candidates in the file
+    data = list(_parse_results(path))
+    universe = {cand for _, results in data for cand, _ in results}
+    sizes: Counter = Counter()
+    for e in universe:
+        for t in _expansion_counts(e, window, eol, cache):
+            sizes[t] += 1
+    n_univ = len(universe)
     uncoupled_bad = []
     coupled_bad = 0
     compared = 0
-    for qslt, results in _parse_results(path):
+    for qslt, results in data:
         if "?" not in qslt:
             continue
         conc, wild, qtc = _query_tuples(qslt, window, eol)
+        dense = wildcard_dense_flags(wild, dict(sizes), n_univ)
         repeated = len(wild) != len(set(wild))
         seen = set()
         for cand, score in results:
@@ -158,7 +184,7 @@ def test_wildcard_scores_match(window, eol):
             E = _expansion_counts(cand, window, eol, cache)
             etc = sum(E.values())
             cc = sum(min(n, E.get(t, 0)) for t, n in conc.items())
-            cc += wildcard_cc(conc, wild, dict(E))
+            cc += wildcard_cc(conc, wild, dict(E), dict(sizes), dense=dense)
             mine = 2.0 * cc / (etc + qtc) if (etc + qtc) else 0.0
             coupled = repeated or any(
                 sum(1 for w in set(wild) if _wild_matches(w, t)) > 1
