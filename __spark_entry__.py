@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_dice_topk": eq.q8_dice_topk,
         "q9_bm25_topk": eq.q9_bm25_topk,
         "q9_bm25_batch": eq.q9_bm25_batch,
+        "boolean_bm25_topk": eq.boolean_bm25_topk,
         "phrase_match": eq.phrase_match,
         "q13_distinct_docs": eq.q13_distinct_docs,
         "r10_doc_agg": eq.r10_doc_agg,
@@ -183,6 +184,22 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT query_id, doc_id, score, "
             "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank FROM s) "
             "SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10"
+        ),
+        "boolean_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "m AS (SELECT * FROM tf WHERE term IN ('data','query','spark')), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "bm AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id) "
+            "SELECT doc_id, score FROM bm "
+            "WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'spark') "
+            "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'join') "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
         "phrase_match": (
             f"WITH {_POS} "

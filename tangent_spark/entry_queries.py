@@ -244,6 +244,53 @@ def q9_bm25_batch(spark, sf_dir):
     )
 
 
+BOOL_SHOULD = ["data", "query"]
+BOOL_MUST = ["spark"]
+BOOL_NOT = ["join"]
+
+
+def boolean_bm25_topk(spark, sf_dir):
+    """Boolean query semantics (plans/boolean.py, store-free twin):
+    `data query +spark -join` — BM25 over the positive terms, restricted
+    to docs containing every must term, minus docs containing any
+    must-not term; top-20 with id tie-break."""
+    tf = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    pos_terms = sorted(set(BOOL_SHOULD) | set(BOOL_MUST))
+    matched = tf.filter(F.col("term").isin(pos_terms))
+    dfs = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfs), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "part",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    must_ok = (
+        tf.filter(F.col("term").isin(BOOL_MUST))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("_n"))
+        .filter(F.col("_n") == len(BOOL_MUST))
+        .select("doc_id")
+    )
+    deny = tf.filter(F.col("term").isin(BOOL_NOT)).select("doc_id").distinct()
+    return (
+        scored.join(must_ok, "doc_id", "left_semi")
+        .join(deny, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q5_wildcard(spark, sf_dir):
     """Q5: wildcard term expansion — prefix 'con*' -> per-term df + cf."""
     return (

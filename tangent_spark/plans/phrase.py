@@ -81,3 +81,95 @@ def _phrase_terms(phrase: str, tokenizer: str) -> list[str]:
     from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
 
     return tokenize_porter(phrase) if tokenizer == "porter" else tokenize_simple(phrase)
+
+
+def highlight_windows(
+    positions: DataFrame, query_terms: list[str], candidates: DataFrame | None = None
+) -> DataFrame:
+    """Best snippet window per doc: the SMALLEST token-position window
+    covering the MOST distinct query terms — the index-side half of
+    snippet generation (the caller joins doc text by doc_id to render;
+    the reference rendered snippets from Solr-returned term vectors,
+    text/TextResult.py:29-52).
+
+    Returns (doc_id, win_start, win_end, n_terms_covered). Deterministic
+    tie-break: among windows covering the same number of terms, smallest
+    span wins, then smallest start position.
+
+    Scale shape: positions are filtered to the query terms (row-group
+    pruned scan), optionally semi-joined to a candidate doc set (pass
+    the top-k docs — never the corpus), then ONE groupBy(doc_id) feeds a
+    per-doc pandas kernel running the classic two-pointer minimal-window
+    sweep over the merged position list. Data moved is proportional to
+    the candidates' matched positions only."""
+    qts = sorted(set(query_terms))
+    pos = positions.filter(F.col("term").isin(qts)).select(
+        "doc_id", "term", "positions"
+    )
+    if candidates is not None:
+        pos = pos.join(candidates.select("doc_id"), "doc_id", "left_semi")
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        doc_id = int(pdf["doc_id"].iloc[0])
+        events = []  # (pos, term_idx)
+        tidx = {}
+        for term, plist in zip(pdf["term"], pdf["positions"]):
+            ti = tidx.setdefault(term, len(tidx))
+            events.extend((int(p), ti) for p in plist)
+        events.sort()
+        ps = np.array([e[0] for e in events], dtype=np.int64)
+        ts = np.array([e[1] for e in events], dtype=np.int64)
+        n_terms = len(tidx)
+        # two-pointer sweep: grow right, shrink left while all-covered
+        best = (-1, 1 << 60, 1 << 60)  # (covered, span, start) to maximize/min/min
+        counts = np.zeros(n_terms, dtype=np.int64)
+        covered = 0
+        left = 0
+        for right in range(ps.size):
+            counts[ts[right]] += 1
+            if counts[ts[right]] == 1:
+                covered += 1
+            while counts[ts[left]] > 1:
+                counts[ts[left]] -= 1
+                left += 1
+            cand = (covered, int(ps[right] - ps[left]), int(ps[left]))
+            if (cand[0], -cand[1], -cand[2]) > (best[0], -best[1], -best[2]):
+                best = cand
+        return pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "win_start": [best[2]],
+                "win_end": [best[2] + best[1]],
+                "n_terms_covered": [best[0]],
+            }
+        )
+
+    return pos.groupBy("doc_id").applyInPandas(
+        kernel,
+        schema="doc_id long, win_start long, win_end long, n_terms_covered int",
+    )
+
+
+def snippet_topk(
+    spark: SparkSession, store: IndexStore, query: str, k: int
+) -> DataFrame:
+    """BM25 top-k + best highlight window per hit, off one IndexStore:
+    (doc_id, score, win_start, win_end, n_terms_covered). Requires
+    store_positions=True."""
+    from tangent_spark.plans.search import bm25_topk_wand, query_terms
+
+    cfg = store.get_config()
+    if not cfg.store_positions:
+        raise ValueError(
+            "index was built without positions (IndexConfig.store_positions)"
+        )
+    qts = query_terms(query, cfg.tokenizer)
+    top = bm25_topk_wand(spark, store, query, k)
+    pos = spark.read.parquet(store.path("positions"))
+    wins = highlight_windows(pos, qts, candidates=top)
+    return top.join(wins, "doc_id", "left").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )

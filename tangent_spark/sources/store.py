@@ -60,6 +60,10 @@ class IndexStore:
     def path(self, table: str) -> str:
         return self.versioned_path(table, self.table_version(table))
 
+    def read(self, spark, table: str):
+        """DataFrame over the CURRENT version of a table (snapshot read)."""
+        return spark.read.parquet(self.path(table))
+
     @property
     def manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.json")

@@ -1,0 +1,265 @@
+"""Boolean query language (plans/boolean.py) + index merge
+(plans/merge.py) against pure-Python oracles and from-scratch builds."""
+
+import pytest
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.functions.tokenize import tokenize_porter
+from tangent_spark.oracle import bm25_rank
+from tangent_spark.plans.boolean import boolean_topk, parse_boolean_query
+from tangent_spark.plans.indexer import build_index
+from tangent_spark.plans.merge import merge_indexes
+from tangent_spark.plans.search import Searcher, bm25_topk_wand
+
+from tests.conftest import assert_rank_identical
+
+N_DOCS = 240
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = pages_with_doc_ids(generate_pages(spark, N_DOCS, partitions=6)).persist()
+    local = [
+        (int(r["doc_id"]), r["text"]) for r in pages.select("doc_id", "text").collect()
+    ]
+    return pages, sorted(local)
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus, tmp_path_factory):
+    pages, _ = corpus
+    out = str(tmp_path_factory.mktemp("bool_idx") / "index")
+    cfg = IndexConfig(n_shards=8, block_size=16, store_positions=True)
+    return build_index(spark, pages, out, cfg, url_col="url")
+
+
+# --- parser ------------------------------------------------------------------
+
+def test_parse_boolean_query():
+    cfg = IndexConfig()
+    q = parse_boolean_query('matrix +theorem -slow "gradient descent"', cfg)
+    assert q.should == tokenize_porter("matrix")
+    assert q.must == tokenize_porter("theorem")
+    assert q.must_not == tokenize_porter("slow")
+    assert q.phrases == [tokenize_porter("gradient descent")]
+    assert not q.not_phrases
+    # positive terms include phrase terms, deduped + sorted
+    assert set(q.positive_terms) == set(
+        tokenize_porter("matrix theorem gradient descent")
+    )
+    # negated phrase; quoted single word degrades to a plain term
+    q2 = parse_boolean_query('-"gradient descent" +"matrix"', cfg)
+    assert q2.not_phrases == [tokenize_porter("gradient descent")]
+    assert q2.must == tokenize_porter("matrix")
+
+
+# --- boolean scoring vs oracle -----------------------------------------------
+
+def _doc_terms(local):
+    return {d: set(tokenize_porter(t)) for d, t in local}
+
+
+def _oracle_boolean(local, should, must, must_not, k):
+    """Brute force: BM25 over should+must terms, restricted to docs with
+    every must term, minus docs with any must-not term."""
+    terms = _doc_terms(local)
+    pos = " ".join(sorted(set(should) | set(must)))
+    must_s = set(tokenize_porter(" ".join(must)))
+    not_s = set(tokenize_porter(" ".join(must_not)))
+    full = bm25_rank(local, pos, len(local))
+    out = [
+        (d, s)
+        for d, s in full
+        if must_s <= terms[d] and not (not_s & terms[d])
+    ]
+    return out[:k]
+
+
+@pytest.mark.parametrize(
+    "should,must,must_not",
+    [
+        (["matrix", "convergence"], ["theorem"], []),
+        (["matrix"], [], ["theorem"]),
+        ([], ["matrix", "convergence"], ["theorem"]),
+        (["matrix", "nonexistentterm"], [], []),
+    ],
+)
+def test_boolean_topk_matches_oracle(spark, store, corpus, should, must, must_not):
+    _, local = corpus
+    qstr = " ".join(
+        should + [f"+{t}" for t in must] + [f"-{t}" for t in must_not]
+    )
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(spark, store, qstr, 10).collect()
+    ]
+    assert_rank_identical(got, _oracle_boolean(local, should, must, must_not, 10))
+
+
+def test_boolean_must_not_excludes(spark, store, corpus):
+    _, local = corpus
+    terms = _doc_terms(local)
+    got = boolean_topk(spark, store, "matrix -theorem", 50).collect()
+    assert got, "query should match something"
+    for r in got:
+        assert "theorem" not in terms[int(r["doc_id"])]
+
+
+def test_boolean_requires_positive_clause(spark, store):
+    with pytest.raises(ValueError):
+        boolean_topk(spark, store, "-matrix -theorem", 10)
+
+
+def test_boolean_phrase_filters(spark, store, corpus):
+    _, local = corpus
+    # first bigram of doc 0 — guaranteed to occur somewhere
+    toks0 = tokenize_porter(local[0][1])
+    phrase_raw = " ".join(local[0][1].split()[:2])
+    pts = tokenize_porter(phrase_raw)
+    assert len(pts) >= 2, "need a 2-token phrase"
+
+    def has_phrase(text):
+        tt = tokenize_porter(text)
+        return any(tt[i : i + len(pts)] == pts for i in range(len(tt)))
+
+    got = boolean_topk(spark, store, f'matrix "{phrase_raw}"', 50).collect()
+    matching = {d for d, t in local if has_phrase(t)}
+    assert {int(r["doc_id"]) for r in got} <= matching
+    # the oracle docs that also score on the positive terms must be there
+    terms = _doc_terms(local)
+    scorable = {
+        d for d in matching
+        if (set(tokenize_porter("matrix")) | set(pts)) & terms[d]
+    }
+    assert {int(r["doc_id"]) for r in got} == scorable
+
+
+# --- highlight / snippet windows ---------------------------------------------
+
+def _oracle_window(toks, qts):
+    """Brute force best (covered desc, span asc, start asc) window."""
+    occ = [(i, t) for i, t in enumerate(toks) if t in qts]
+    best = None
+    for a in range(len(occ)):
+        seen = set()
+        for b in range(a, len(occ)):
+            seen = {t for _, t in occ[a : b + 1]}
+            cand = (len(seen), occ[b][0] - occ[a][0], occ[a][0])
+            key = (cand[0], -cand[1], -cand[2])
+            if best is None or key > (best[0], -best[1], -best[2]):
+                best = cand
+    return best
+
+
+def test_highlight_windows_match_bruteforce(spark, store, corpus):
+    from tangent_spark.plans.phrase import highlight_windows
+
+    _, local = corpus
+    qts = sorted(set(tokenize_porter("matrix convergence theorem")))
+    pos = spark.read.parquet(store.path("positions"))
+    got = {
+        int(r["doc_id"]): (r["n_terms_covered"], r["win_end"] - r["win_start"], r["win_start"])
+        for r in highlight_windows(pos, qts).collect()
+    }
+    checked = 0
+    for d, text in local:
+        toks = tokenize_porter(text)
+        exp = _oracle_window(toks, set(qts))
+        if exp is None:
+            assert d not in got
+            continue
+        assert got[d] == exp, f"doc {d}: {got[d]} != {exp}"
+        checked += 1
+    assert checked > 10
+
+
+def test_snippet_topk_shape(spark, store):
+    from tangent_spark.plans.phrase import snippet_topk
+
+    rows = snippet_topk(spark, store, "matrix convergence theorem", 5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_terms_covered"] >= 1
+        assert r["win_end"] >= r["win_start"] >= 0
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --- index merge -------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def merged_setup(spark, corpus, tmp_path_factory):
+    pages, _ = corpus
+    base = tmp_path_factory.mktemp("merge")
+    cfg = IndexConfig(n_shards=8, block_size=16, store_positions=True)
+    from pyspark.sql import functions as F
+
+    half = N_DOCS // 2
+    a = build_index(spark, pages.filter(F.col("doc_id") < half), str(base / "a"), cfg, url_col="url")
+    b = build_index(spark, pages.filter(F.col("doc_id") >= half), str(base / "b"), cfg, url_col="url")
+    merged = merge_indexes(spark, [a, b], str(base / "m"))
+    full = build_index(spark, pages, str(base / "full"), cfg, url_col="url")
+    return a, b, merged, full
+
+
+def test_merge_stats_identical_to_full_build(spark, merged_setup):
+    _, _, merged, full = merged_setup
+    for t in ("term_stats", "corpus_stats"):
+        m = sorted(map(tuple, merged.read(spark, t).collect()))
+        f = sorted(map(tuple, full.read(spark, t).collect()))
+        assert m == f, t
+    assert (
+        merged.counters()["postings"]["postings"]
+        == full.counters()["postings"]["postings"]
+    )
+
+
+@pytest.mark.parametrize("query", ["matrix convergence theorem", "convergence"])
+def test_merge_queries_rank_identical_to_full_build(spark, merged_setup, query):
+    _, _, merged, full = merged_setup
+    gm = [(int(r["doc_id"]), float(r["score"]))
+          for r in bm25_topk_wand(spark, merged, query, 10).collect()]
+    gf = [(int(r["doc_id"]), float(r["score"]))
+          for r in bm25_topk_wand(spark, full, query, 10).collect()]
+    assert_rank_identical(gm, gf, tol=1e-12)
+    s = Searcher(spark, merged)
+    try:
+        gw = [(int(r["doc_id"]), float(r["score"]))
+              for r in s.topk(query, 10).collect()]
+    finally:
+        s.close()
+    assert_rank_identical(gw, gf, tol=1e-12)
+
+
+def test_merge_positions_serve_phrases(spark, merged_setup, corpus):
+    _, local = corpus
+    _, _, merged, full = merged_setup
+    from tangent_spark.plans.phrase import phrase_topk
+
+    phrase = " ".join(local[0][1].split()[:2])
+    gm = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, merged, phrase, 10).collect()]
+    gf = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, full, phrase, 10).collect()]
+    assert gm == gf and gm
+
+
+def test_merge_rejects_overlapping_docs(spark, merged_setup, tmp_path):
+    a, _, _, _ = merged_setup
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(spark, [a, a], str(tmp_path / "bad"))
+
+
+def test_merge_rejects_config_mismatch(spark, corpus, merged_setup, tmp_path):
+    pages, _ = corpus
+    a, _, _, _ = merged_setup
+    from pyspark.sql import functions as F
+
+    other = build_index(
+        spark,
+        pages.filter(F.col("doc_id") >= N_DOCS - 10),
+        str(tmp_path / "other"),
+        IndexConfig(n_shards=4, block_size=16),
+        url_col="url",
+    )
+    with pytest.raises(ValueError, match="config"):
+        merge_indexes(spark, [a, other], str(tmp_path / "bad2"))
