@@ -1,0 +1,137 @@
+"""Front-door search API: one call that routes a query to the right
+engine path, the way the reference's top-level query driver does
+(reference comp_query.py builds a combined math+text query from a topic
+and dispatches to the math index and the Solr text core).
+
+Routing rules (deterministic, inspectable via `route()`):
+
+  * query contains a MathML fragment (``<math``/``mws:qvar``)
+        -> formula Dice over the expression index
+           (plans.formula.dice_topk_docs); any plain-text remainder
+           outside the MathML contributes BM25 text scores, combined
+           with the reference's dynamic weight rule
+           (plans.rerank.combine_math_text).
+  * query uses boolean syntax (+term / -term / "a phrase")
+        -> plans.boolean.boolean_topk over the word index.
+  * anything else
+        -> warm BM25 (Searcher) when one is supplied, else one-shot
+           block-max WAND (plans.search.bm25_topk_wand).
+
+`stores` carries the word index and (optionally) the formula index —
+they are separate IndexStores because their build inputs differ
+(tokenized text vs extracted MathML), exactly as the reference keeps
+Solr cores separate from its math index files.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tangent_spark.sources.store import IndexStore
+
+_MATH = re.compile(r"<math|<mws:qvar", re.IGNORECASE)
+_BOOL = re.compile(r'(^|\s)[+-]\S|"')
+_MATH_BLOCK = re.compile(r"<math.*?</math>", re.IGNORECASE | re.DOTALL)
+
+
+@dataclass
+class SearchStores:
+    words: IndexStore
+    formulas: IndexStore | None = None
+
+
+def route(query: str) -> str:
+    """'formula' | 'boolean' | 'bm25' — which path search() will take."""
+    if _MATH.search(query):
+        return "formula"
+    if _BOOL.search(query):
+        return "boolean"
+    return "bm25"
+
+
+def search(
+    spark: SparkSession,
+    stores: SearchStores | IndexStore,
+    query: str,
+    k: int = 10,
+    searcher=None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for any supported query form. Pass a bare
+    IndexStore for text-only serving, or SearchStores to enable the
+    formula route; pass a warm plans.search.Searcher to serve plain
+    BM25 queries from the resident index."""
+    if isinstance(stores, IndexStore):
+        stores = SearchStores(words=stores)
+    kind = route(query)
+    if kind == "formula":
+        return _formula_search(spark, stores, query, k, searcher)
+    if kind == "boolean":
+        from tangent_spark.plans.boolean import boolean_topk
+
+        return boolean_topk(spark, stores.words, query, k)
+    if searcher is not None:
+        return searcher.topk(query, k)
+    from tangent_spark.plans.search import bm25_topk_wand
+
+    return bm25_topk_wand(spark, stores.words, query, k)
+
+
+def _formula_search(
+    spark: SparkSession,
+    stores: SearchStores,
+    query: str,
+    k: int,
+    searcher=None,
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tangent_spark.plans.formula import dice_topk_docs
+    from tangent_spark.plans.rerank import combine_math_text
+    from tangent_spark.plans.search import bm25_topk_wand, query_terms
+
+    if stores.formulas is None:
+        raise ValueError("query contains MathML but no formula store was given")
+    mathml = _MATH_BLOCK.findall(query)
+    if not mathml:
+        # a qvar fragment without a <math> wrapper: wrap it so the
+        # SLT parser sees a well-formed block
+        mathml = [f"<math>{query}</math>"]
+        text_rest = ""
+    else:
+        text_rest = _MATH_BLOCK.sub(" ", query).strip()
+
+    math_scores = None
+    for block in mathml:
+        d = dice_topk_docs(spark, stores.formulas, block, k)
+        math_scores = d if math_scores is None else math_scores.unionByName(d)
+    if math_scores is not None and len(mathml) > 1:
+        # several expressions: per doc, best formula score + total
+        math_scores = math_scores.groupBy("doc_id").agg(
+            F.max("best_score").alias("best_score"),
+            F.sum("total_score").alias("total_score"),
+            F.sum("n_exprs").alias("n_exprs"),
+        )
+
+    kw = query_terms(text_rest, stores.words.get_config().tokenizer) if text_rest else []
+    if not kw:
+        return (
+            math_scores.select("doc_id", F.col("best_score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    text_scores = (
+        searcher.topk(text_rest, k)
+        if searcher is not None
+        else bm25_topk_wand(spark, stores.words, text_rest, k)
+    )
+    combined = combine_math_text(
+        math_scores, text_scores, n_exprs=len(mathml), n_keywords=len(kw)
+    )
+    return (
+        combined.select("doc_id", F.col("final_score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -79,7 +79,10 @@ def append_batch(
     # so every read below sees the exact pre-batch state. File mutations
     # happen OUTSIDE Spark writes, so Spark's shared FileStatusCache must
     # be invalidated explicitly or readers keep the stale listing.
-    for t in ("postings", "terms", "docs"):
+    appended_tables = ["postings", "terms", "docs"] + (
+        ["positions"] if cfg.store_positions else []
+    )
+    for t in appended_tables:
         store.clean_tagged(t, tag)
         spark.catalog.refreshByPath(store.path(t))
 
@@ -127,6 +130,21 @@ def append_batch(
         staging + "/docs"
     )
 
+    # positions (phrase/snippet support): the batch's rows in the same
+    # doc-sharded term-major layout — without this, a positional index
+    # would serve phrase queries that silently miss appended docs
+    if cfg.store_positions:
+        from tangent_spark.functions.tokenize import positions_df
+
+        (
+            positions_df(fresh, "doc_id", text_col, cfg.tokenizer)
+            .withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
+            .repartition(shard_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+            .write.mode("overwrite")
+            .parquet(staging + "/positions")
+        )
+
     # merged dictionaries -> NEXT version dirs (current versions stay
     # intact until the manifest flip, so replay recomputes from the same
     # inputs after a crash anywhere in this function)
@@ -156,7 +174,7 @@ def append_batch(
     ).write.mode("overwrite").parquet(store.versioned_path("corpus_stats", cs_v + 1))
 
     # idempotent live appends: tagged part-file copies (cleaned on replay)
-    for t in ("postings", "terms", "docs"):
+    for t in appended_tables:
         store.copy_tagged(staging + "/" + t, t, tag)
         spark.catalog.refreshByPath(store.path(t))
 
@@ -168,7 +186,7 @@ def append_batch(
     }
     store.commit_stage(
         stage,
-        ["postings", "docs"],
+        ["postings", "docs"] + (["positions"] if cfg.store_positions else []),
         counters,
         table_flips={"term_stats": ts_v + 1, "corpus_stats": cs_v + 1},
     )
@@ -197,12 +215,14 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
     consistency — all three are restored to the pre-batch state)."""
     from tangent_spark.codec import decode_posting_list
 
-    for table in ("postings", "terms", "docs"):
+    cfg = store.get_config()
+    tables = ["postings", "terms", "docs"] + (
+        ["positions"] if cfg.store_positions else []
+    )
+    for table in tables:
         for tag in store.orphan_tags(table):
             store.clean_tagged(table, tag)
             spark.catalog.refreshByPath(store.path(table))
-
-    cfg = store.get_config()
     nxt = store.table_version("postings") + 1
     t0 = time.time()
     p = spark.read.parquet(store.path("postings"))

@@ -1,0 +1,83 @@
+"""Front-door routing (tangent_spark/api.py): every query form reaches
+the right engine path and matches that path's own output."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tangent_spark.api import SearchStores, route, search
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.plans.boolean import boolean_topk
+from tangent_spark.plans.formula import build_formula_index, dice_topk_docs
+from tangent_spark.plans.indexer import build_index
+from tangent_spark.plans.search import bm25_topk_wand
+
+
+def test_route():
+    assert route("plain words here") == "bm25"
+    assert route("matrix +theorem") == "boolean"
+    assert route('"exact phrase"') == "boolean"
+    assert route("-excluded word") == "boolean"
+    assert route("a-b range") == "bm25"  # infix dash is not an operator
+    assert route("<math><mi>x</mi></math>") == "formula"
+    assert route('<mws:qvar name="a"/>') == "formula"
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    pages = pages_with_doc_ids(generate_pages(spark, 150, partitions=6)).persist()
+    base = tmp_path_factory.mktemp("api")
+    cfg = IndexConfig(n_shards=4, block_size=32)
+    words = build_index(spark, pages, str(base / "w"), cfg, url_col="url")
+    formulas = build_formula_index(spark, pages, str(base / "f"), cfg)
+    return pages, SearchStores(words=words, formulas=formulas)
+
+
+def test_search_bm25_route(spark, stores):
+    _, ss = stores
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in search(spark, ss, "matrix convergence theorem", 5).collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk_wand(spark, ss.words, "matrix convergence theorem", 5).collect()]
+    assert got == want and got
+
+
+def test_search_boolean_route(spark, stores):
+    _, ss = stores
+    q = "matrix +theorem -slow"
+    got = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, ss, q, 5).collect()]
+    want = [(r["doc_id"], round(r["score"], 9))
+            for r in boolean_topk(spark, ss.words, q, 5).collect()]
+    assert got == want and got
+
+
+def test_search_formula_route(spark, stores):
+    _, ss = stores
+    q = "<math><mrow><mws:qvar name=\"a\"/><mo>+</mo><mi>x</mi></mrow></math>"
+    got = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, ss, q, 5).collect()]
+    want = [(r["doc_id"], round(r["best_score"], 9))
+            for r in dice_topk_docs(spark, ss.formulas, q, 5).collect()]
+    assert got == want and got
+
+
+def test_search_combined_math_text(spark, stores):
+    _, ss = stores
+    q = "<math><mrow><mi>x</mi><mo>+</mo><mn>1</mn></mrow></math> matrix theorem"
+    rows = search(spark, ss, q, 5).collect()
+    assert rows
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # text-only docs can rank (weight rule blends, never masks)
+    assert all(0.0 <= s <= 1.0001 for s in scores)
+
+
+def test_search_formula_without_store_raises(spark, stores):
+    _, ss = stores
+    with pytest.raises(ValueError, match="formula"):
+        search(spark, SearchStores(words=ss.words), "<math><mi>x</mi></math>", 5)
+
+
+def test_search_bare_store(spark, stores):
+    _, ss = stores
+    got = search(spark, ss.words, "matrix", 3).collect()
+    assert len(got) == 3

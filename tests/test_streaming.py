@@ -253,3 +253,32 @@ def test_streaming_auto_compaction(spark, all_pages, tmp_path_factory):
         got = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk_wand(spark, store, query, 10).collect()]
         want = [(r["doc_id"], round(r["score"], 9)) for r in bm25_topk_wand(spark, full, query, 10).collect()]
         assert got == want, query
+
+
+def test_append_maintains_positions(spark, all_pages, tmp_path_factory):
+    """On a positional index, appended docs must be phrase-searchable:
+    phrase + snippet results after append == from-scratch positional
+    build over the union (the positions table is appended with the same
+    tag protocol as postings)."""
+    from tangent_spark.plans.phrase import phrase_topk
+
+    cfg = IndexConfig(n_shards=4, block_size=16, store_positions=True)
+    base = str(tmp_path_factory.mktemp("incpos"))
+    first = all_pages.filter(F.col("doc_id") < 60)
+    second = all_pages.filter(F.col("doc_id") >= 60).drop("doc_id")
+    store = build_index(spark, first, f"{base}/inc", cfg, url_col="url")
+    append_batch(spark, store, second, batch_id=1)
+    full = build_index(spark, all_pages, f"{base}/full", cfg, url_col="url")
+
+    # a phrase taken from an APPENDED doc must be found
+    appended_text = all_pages.filter(F.col("doc_id") == 75).select("text").collect()[0][0]
+    phrase = " ".join(appended_text.split()[:2])
+    got = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, store, phrase, 20).collect()]
+    want = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, full, phrase, 20).collect()]
+    assert got == want and got, phrase
+    # replay is a no-op for positions too
+    import glob as _glob
+
+    n_files = len(_glob.glob(store.path("positions") + "/*.parquet"))
+    append_batch(spark, store, second, batch_id=1)
+    assert len(_glob.glob(store.path("positions") + "/*.parquet")) == n_files
