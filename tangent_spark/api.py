@@ -69,6 +69,8 @@ def search(
     if kind == "formula":
         return _formula_search(spark, stores, query, k, searcher)
     if kind == "boolean":
+        if searcher is not None:
+            return searcher.boolean(query, k)
         from tangent_spark.plans.boolean import boolean_topk
 
         return boolean_topk(spark, stores.words, query, k)

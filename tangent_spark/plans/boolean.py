@@ -127,10 +127,38 @@ def decoded_postings(postings: DataFrame, terms: list[str]) -> DataFrame:
 def boolean_topk(
     spark: SparkSession, store: IndexStore, query: str, k: int
 ) -> DataFrame:
-    """Top-k (doc_id, score) for a boolean query string off the index.
+    """Top-k (doc_id, score) for a boolean query string off the index
+    (cold path: postings/stats read from parquet per query).
 
     Raises ValueError if the query has no positive clause, or if it
     carries a phrase but the index was built without positions."""
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    return _boolean_plan(
+        spark,
+        store,
+        query,
+        k,
+        postings=store.read(spark, "postings"),
+        term_stats=store.read(spark, "term_stats"),
+        n_docs=int(cs["n_docs"]),
+        avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+    )
+
+
+def _boolean_plan(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Shared boolean plan over any postings/term_stats DataFrames —
+    cold parquet reads (boolean_topk) or a Searcher's cached, shard-
+    partitioned copies (Searcher.boolean — same plan, zero file I/O
+    for postings)."""
     cfg = store.get_config()
     q = parse_boolean_query(query, cfg)
     qts = q.positive_terms
@@ -140,17 +168,12 @@ def boolean_topk(
         raise ValueError(
             "phrase clauses need an index built with store_positions=True"
         )
-    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
-    n_docs = int(cs["n_docs"])
-    avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
 
     all_terms = sorted(set(qts) | set(q.must_not))
-    postings = spark.read.parquet(store.path("postings"))
     decoded = decoded_postings(postings, all_terms)
 
     qstats = (
-        spark.read.parquet(store.path("term_stats"))
-        .filter(F.col("term").isin(qts))
+        term_stats.filter(F.col("term").isin(qts))
         .select(
             "term",
             F.log(

@@ -512,6 +512,24 @@ class Searcher:
             .select("query_id", "doc_id", "score", "rank")
         )
 
+    def boolean(self, query: str, k: int) -> DataFrame:
+        """Warm boolean serving (`bare +must -not "phrase"`): the same
+        plan as plans.boolean.boolean_topk, but postings and term_stats
+        come from this Searcher's cached shard partitions — zero
+        postings file I/O per query."""
+        from tangent_spark.plans.boolean import _boolean_plan
+
+        return _boolean_plan(
+            self.spark,
+            self.store,
+            query,
+            k,
+            postings=self.postings,
+            term_stats=self.term_stats.select("term", "df"),
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+        )
+
     def close(self) -> None:
         self.postings.unpersist()
         self.term_stats.unpersist()

@@ -135,6 +135,19 @@ def test_boolean_phrase_filters(spark, store, corpus):
     assert {int(r["doc_id"]) for r in got} == scorable
 
 
+def test_warm_boolean_identical_to_cold(spark, store):
+    q = 'matrix +theorem -slow'
+    cold = [(int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in boolean_topk(spark, store, q, 10).collect()]
+    s = Searcher(spark, store)
+    try:
+        warm = [(int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in s.boolean(q, 10).collect()]
+    finally:
+        s.close()
+    assert warm == cold and warm
+
+
 # --- highlight / snippet windows ---------------------------------------------
 
 def _oracle_window(toks, qts):
