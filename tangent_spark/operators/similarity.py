@@ -300,6 +300,205 @@ def cosine_topk_ivf(
     return _global_topk(scored, k)
 
 
+# --- product quantization (the 100-TB memory path) --------------------------
+#
+# At web scale the embeddings themselves are the bottleneck: 10^12 docs x
+# 768 float32 dims = 3 PB that no cluster scans per query. PQ compresses
+# each L2-normalized vector into m uint8 codes (one per subspace, 256
+# centroids each — m bytes/vector, e.g. 16 B instead of 3 KB) and scores
+# queries with ADC (asymmetric distance computation): per query, one
+# (m x 256) lookup table of subspace dot products; a candidate's
+# approximate cosine is m table lookups + a sum. The scan is a pure
+# numpy gather over the codes table — no decompression, no float vectors
+# touched — followed by an optional exact re-rank of the top `refine`
+# candidates (fetched by id: a semi-join, never a second scan).
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    n_iter: int = 12,
+    sample: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: (m, n_codes, dim//m) — k-means per subspace
+    over a deterministic xxhash64-seeded sample of the (L2-normalized)
+    vectors, driver-side (the FAISS discipline: codebooks train on a
+    sample; only encode/scan touch the full table). dim must be
+    divisible by m."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)), F.col("_id"))
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty embeddings table")
+    X = _norm_rows(np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows]))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, n_codes, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        k = min(n_codes, len(sub))
+        C = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(n_iter):
+            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d, axis=1)
+            for c in range(k):
+                sel = sub[a == c]
+                if len(sel):
+                    C[c] = sel.mean(axis=0)
+        books[s, :k] = C
+        if k < n_codes:  # tiny tables: pad with the first centroid
+            books[s, k:] = C[0]
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<short>): each L2-normalized vector encoded
+    as its per-subspace nearest-centroid indexes. Vectorized per Arrow
+    batch (one (batch x n_codes) distance matmul per subspace); at scale
+    this table is what gets stored and scanned — m bytes a vector."""
+    _require_integral_id(embeddings, id_col)
+    B = codebooks
+    m, _, dsub = B.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _norm_rows(
+                np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            )
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+                scores = sub @ B[s].T - 0.5 * (B[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "codes": [row.tolist() for row in codes],
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        encode, schema="vec_id long, codes array<short>"
+    )
+
+
+def cosine_topk_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 256,
+    refine: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-ranking:
+
+      1. ADC scan over the codes table: per partition, approximate
+         cosine = sum over subspaces of LUT[s, code] (LUT = query-side
+         subspace dot products, (n_queries x m x n_codes), rides in the
+         closure) -> per-partition top-`refine` pre-reduction;
+      2. global top-`refine` candidates per query (window over
+         <= n_partitions x refine rows);
+      3. exact cosine on ONLY those candidates via an id semi-join back
+         to the float vectors -> final top-k.
+
+    refine >= k controls the recall/cost trade; the float table is
+    touched for at most refine rows per query. Pass precomputed
+    `codebooks`/`codes` to amortize training+encode across query
+    batches (the serve shape: encode at index time, ADC at query
+    time)."""
+    _require_integral_id(embeddings, id_col)
+    _require_integral_id(queries, query_id_col)
+    refine = max(refine, k)
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, m=m, n_codes=n_codes, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    B = codebooks
+    m, n_codes, dsub = B.shape
+    if codes is None:
+        codes = pq_encode(embeddings, B, id_col, vec_col)
+
+    qrows = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q"),
+    ).collect()
+    qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
+    Q = _norm_rows(np.stack([np.asarray(r["q"], dtype=np.float64) for r in qrows]))
+    # LUT[qi, s, c] = dot(q_sub, codebook[s][c]) — approx cos is additive
+    lut = np.stack(
+        [Q[:, s * dsub : (s + 1) * dsub] @ B[s].T for s in range(m)], axis=1
+    )  # (n_queries, m, n_codes)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["codes"].map(np.asarray)).astype(np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            outs = []
+            for qi in range(len(qids)):
+                approx = lut[qi, np.arange(m)[None, :], C].sum(axis=1)  # (n,)
+                mask = ids != qids[qi]
+                a, i = approx[mask], ids[mask]
+                if not len(a):
+                    continue
+                top = np.argsort(-a, kind="stable")[:refine]
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "vec_id": i[top], "approx": a[top]}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scanned = codes.mapInPandas(adc, schema="query_id long, vec_id long, approx double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = (
+        scanned.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= refine)
+        .select("query_id", "vec_id")
+    )
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    spark = embeddings.sparkSession
+    qs = spark.createDataFrame(
+        [(int(r["query_id"]), r["q"]) for r in qrows], "query_id long, q array<double>"
+    )
+    scored = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", _cos_cols("q", "v"))
+        .select("query_id", "vec_id", "cos")
+    )
+    return _global_topk(scored, k)
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -368,3 +368,44 @@ def test_multimodal_pipeline(spark):
     assert all(x["decoder"] == "stub-blake2b" for x in stub_rows)
     with pytest.raises(Exception, match="codec"):
         decode_images(jpeg_like, strict=True).count()
+
+
+def test_pq_recall_on_clustered_corpus(spark, clustered_emb):
+    """PQ-ADC + exact refine: recall@10 >= 0.9 vs brute force on the
+    clustered corpus (the 100-TB memory path: m bytes/vector scanned,
+    floats touched only for `refine` candidates per query)."""
+    from tangent_spark.operators.similarity import cosine_topk_pq
+
+    df, _ = clustered_emb
+    queries = df.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    nq = queries.count()
+    exact = cosine_topk_bruteforce(df, queries, k=10).collect()
+    approx = cosine_topk_pq(
+        df, queries, k=10, m=8, n_codes=64, refine=60, seed=7
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(1 for r in approx if r["vec_id"] in exact_sets[r["query_id"]])
+    recall = hits / (10 * nq)
+    assert recall >= 0.9, f"PQ recall@10 too low: {recall}"
+    # re-ranked scores are EXACT cosines: spot-check against brute force
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert abs(r["cos"] - exact_scores[key]) < 1e-6
+
+
+def test_pq_encode_deterministic_and_compact(spark, clustered_emb):
+    from tangent_spark.operators.similarity import pq_encode, pq_train
+
+    df, vecs = clustered_emb
+    books = pq_train(df, m=4, n_codes=32, seed=7)
+    assert books.shape == (4, 32, 4)
+    c1 = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, books).collect()}
+    c2 = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert c1 == c2 and len(c1) == len(vecs)
+    assert all(len(v) == 4 and all(0 <= c < 32 for c in v) for v in c1.values())
