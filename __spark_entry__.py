@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_bm25_batch": eq.q9_bm25_batch,
         "boolean_bm25_topk": eq.boolean_bm25_topk,
         "phrase_match": eq.phrase_match,
+        "snippet_windows": eq.snippet_windows,
+        "api_search_routes": eq.api_search_routes,
+        "ann_ivf_topk": eq.ann_ivf_topk,
+        "ann_pq_topk": eq.ann_pq_topk,
         "q13_distinct_docs": eq.q13_distinct_docs,
         "r10_doc_agg": eq.r10_doc_agg,
         "tpch_q1": eq.tpch_q1,
@@ -201,6 +205,59 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'join') "
             "ORDER BY score DESC, doc_id ASC LIMIT 20"
         ),
+        "snippet_windows": (
+            "WITH pos0 AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, "
+            "unnest(arr) AS term FROM (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS arr "
+            "FROM documents)), "
+            "qp AS (SELECT doc_id, pos, term FROM pos0 WHERE term IN ('data','query','spark')), "
+            "w AS (SELECT a.doc_id, a.pos AS s, b.pos AS e FROM qp a "
+            "JOIN qp b ON a.doc_id = b.doc_id AND b.pos >= a.pos), "
+            "cov AS (SELECT w.doc_id, w.s, w.e, count(DISTINCT q.term)::INT AS c "
+            "FROM w JOIN qp q ON q.doc_id = w.doc_id AND q.pos BETWEEN w.s AND w.e "
+            "GROUP BY 1, 2, 3), "
+            "best AS (SELECT doc_id, s, e, c, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY c DESC, e - s ASC, s ASC) AS rn FROM cov) "
+            "SELECT doc_id, s::BIGINT AS win_start, e::BIGINT AS win_end, "
+            "c AS n_terms_covered FROM best WHERE rn = 1 ORDER BY doc_id"
+        ),
+        "api_search_routes": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "m AS (SELECT * FROM tf WHERE term IN ('data','query','spark')), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "bm AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "r1 AS (SELECT 'bm25' AS route, doc_id, score FROM bm "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10), "
+            "r2 AS (SELECT 'boolean' AS route, doc_id, score FROM bm "
+            "WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'spark') "
+            "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'join') "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10), "
+            f"r3 AS (SELECT 'formula' AS route, doc_id, score "
+            f"FROM read_parquet('{_GOLDEN_DIR}/api_formula_route.parquet')) "
+            "SELECT route, doc_id, score FROM r1 "
+            "UNION ALL SELECT route, doc_id, score FROM r2 "
+            "UNION ALL SELECT route, doc_id, score FROM r3"
+        ),
+        "ann_ivf_topk": (
+            # full probe (n_probe == n_centroids) is exact by construction,
+            # so the brute-force cosine SQL is a genuine independent oracle
+            # of the IVF assignment/probe-join/re-score machinery
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 3), "
+            "s AS (SELECT p.query_id, e.vec_id, "
+            "round(list_dot_product(p.q, e.v) / "
+            "(sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 4)::DOUBLE AS cos "
+            "FROM p CROSS JOIN e WHERE p.query_id <> e.vec_id), "
+            "r AS (SELECT query_id, vec_id, cos, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
+            "SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
+        ),
         "phrase_match": (
             f"WITH {_POS} "
             "SELECT a.doc_id, count(*)::INT AS phrase_tf "
@@ -319,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
             for name in (
                 "t1_slt_parse", "t7_pair_tuples", "f8_dice_topk",
                 "q5f_wildcard_dice", "r5_mss_rerank", "r7_v11_rerank",
+                "ann_pq_topk",
             )
         },
         "dedup_minhash_band_pairs": (

@@ -28,7 +28,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 GOLDEN_NAMES = ["t1_slt_parse", "t7_pair_tuples", "f8_dice_topk",
-                "q5f_wildcard_dice", "r5_mss_rerank", "r7_v11_rerank"]
+                "q5f_wildcard_dice", "r5_mss_rerank", "r7_v11_rerank",
+                "api_formula_route", "ann_pq_topk"]
 
 
 def golden_dir() -> str:

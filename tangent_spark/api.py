@@ -98,10 +98,14 @@ def _formula_search(
         raise ValueError("query contains MathML but no formula store was given")
     mathml = _MATH_BLOCK.findall(query)
     if not mathml:
-        # a qvar fragment without a <math> wrapper: wrap it so the
-        # SLT parser sees a well-formed block
-        mathml = [f"<math>{query}</math>"]
-        text_rest = ""
+        # a qvar/XML fragment without a <math> wrapper: wrap ONLY the
+        # markup span so the SLT parser sees a well-formed block, and
+        # keep the surrounding plain text as the BM25 remainder
+        # (mirrors the findall branch — prose is never fed to the
+        # SLT parser, fragment terms never to the text engine)
+        i, j = query.find("<"), query.rfind(">")
+        mathml = [f"<math>{query[i : j + 1]}</math>"]
+        text_rest = (query[:i] + " " + query[j + 1 :]).strip()
     else:
         text_rest = _MATH_BLOCK.sub(" ", query).strip()
 

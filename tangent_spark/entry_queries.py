@@ -721,13 +721,17 @@ def q5f_wildcard_dice(spark, sf_dir):
             else (F.col("fr") == fr) & (F.col("rel") == rel)
         )
         cond = c if cond is None else (cond | c)
-    sizes = {
-        (r["fr"], r["to"], r["rel"]): r["sz"]
-        for r in tup.filter(cond)
-        .groupBy("fr", "to", "rel")
-        .agg(F.count("*").alias("sz"))
-        .collect()
-    }
+    sizes = (
+        {
+            (r["fr"], r["to"], r["rel"]): r["sz"]
+            for r in tup.filter(cond)
+            .groupBy("fr", "to", "rel")
+            .agg(F.count("*").alias("sz"))
+            .collect()
+        }
+        if cond is not None
+        else {}
+    )
     n_exprs = exprs.count()
     from tangent_spark.plans.formula import wildcard_dense_flags
 
@@ -755,7 +759,11 @@ def q5f_wildcard_dice(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["slt", "score"])
 
     scored = exprs.mapInPandas(kernel, schema="slt string, score double")
-    return scored.orderBy(F.desc("score"), F.asc("slt")).limit(10)
+    # materialize the 10-row answer so the cached exprs can be released
+    # here (lazy return would leak one cache entry per invocation)
+    out = scored.orderBy(F.desc("score"), F.asc("slt")).limit(10).collect()
+    exprs.unpersist()
+    return spark.createDataFrame(out, "slt string, score double")
 
 
 def dedup_minhash_band_pairs(spark, sf_dir):
@@ -892,3 +900,157 @@ def token_count_by_source(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.round(F.avg(F.size("tokens")), 4).alias("avg_tokens"),
     )
+
+
+# --- round-4 serving-surface entries (snippets, api front door, ANN) ---------
+
+SNIPPET_TERMS = ["data", "query", "spark"]
+
+
+def snippet_windows(spark, sf_dir):
+    """Best highlight window per doc — the SMALLEST token window covering
+    the MOST distinct query terms (plans/phrase.highlight_windows, the
+    index-side half of snippet generation). Computed over raw documents
+    so the DuckDB twin can brute-force every occurrence-bracketed window
+    and pick per doc by (covered desc, span asc, start asc)."""
+    from tangent_spark.plans.phrase import highlight_windows
+
+    pos = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(SNIPPET_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    return highlight_windows(pos, SNIPPET_TERMS).orderBy("doc_id")
+
+
+API_BM25_QUERY = "data query spark"
+API_BOOL_QUERY = "data query +spark -join"
+
+
+def _api_stores(spark, sf_dir, base):
+    """Word + formula IndexStores for the front-door entry, built fresh
+    under `base` (simple tokenizer — the SQL-expressible one; see module
+    docstring)."""
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.formula import build_formula_index
+    from tangent_spark.plans.indexer import build_index
+
+    from tangent_spark.api import SearchStores
+
+    cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
+    words = build_index(spark, _docs(spark, sf_dir), f"{base}/w", cfg)
+    formulas = build_formula_index(spark, _pages(spark), f"{base}/f", cfg)
+    return SearchStores(words=words, formulas=formulas)
+
+
+def api_formula_route(spark, sf_dir):
+    """The api.search FORMULA route in isolation (golden-parquet twin:
+    the expression path is not SQL-expressible; ground truth is the
+    formula parity suite). Store built from the seeded synthetic pages,
+    so the result is sf-independent and deterministic."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.api import search
+
+    base = tempfile.mkdtemp(prefix="tangent_api_golden_")
+    try:
+        ss = _api_stores(spark, sf_dir or "/root/testdata/sf0.001", base)
+        rows = [
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in search(spark, ss, _FORMULA_QUERY, 10).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "doc_id long, score double")
+
+
+def api_search_routes(spark, sf_dir):
+    """End-to-end front-door routing (api.search): ONE query per route
+    over freshly built stores — 'bm25' (plain words -> warm/cold WAND
+    path), 'boolean' (+/- syntax -> conjunctive planner), 'formula'
+    (MathML -> Dice over the expression index). The bm25/boolean rows
+    are twinned by independent DuckDB BM25 SQL over the same documents
+    table; the formula rows by the api_formula_route golden parquet."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.api import search
+
+    base = tempfile.mkdtemp(prefix="tangent_api_entry_")
+    try:
+        ss = _api_stores(spark, sf_dir, base)
+        out = []
+        for route_name, q in (
+            ("bm25", API_BM25_QUERY),
+            ("boolean", API_BOOL_QUERY),
+            ("formula", _FORMULA_QUERY),
+        ):
+            for r in search(spark, ss, q, 10).collect():
+                out.append((route_name, int(r["doc_id"]), round(float(r["score"]), 4)))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "route string, doc_id long, score double")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN off the embeddings table (spherical k-means coarse
+    quantizer -> probe equi-join -> exact re-score) with FULL probing:
+    n_probe == n_centroids is exact by construction (the recall knob's
+    upper end), so the brute-force cosine SQL twin independently
+    oracles the whole IVF machinery — assignment, probe join, rescore,
+    window. Partial-probe recall is pytest-covered
+    (tests/test_dedup_similarity.py, tests/test_ann_store.py). Rank is
+    recomputed over the 4-decimal rounded cosines (both engines), so
+    knife-edge ulps cannot reorder the output."""
+    from tangent_spark.operators.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    wide = cosine_topk_ivf(
+        emb, probes, k=50, n_centroids=8, n_probe=8, n_iter=4, seed=7
+    ).select("query_id", "vec_id", F.round("cos", 4).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        wide.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "cos")
+    )
+
+
+def _ann_embeddings(spark):
+    """Seeded clustered embedding corpus (sf-independent) for the PQ
+    golden — the data shape PQ targets."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((10, 32)) * 4.0
+    vecs = np.concatenate([c + 0.3 * rng.standard_normal((40, 32)) for c in centers])
+    rows = [(int(i), vecs[i].tolist()) for i in range(len(vecs))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def ann_pq_topk(spark, sf_dir):
+    """PQ-ADC ANN with exact re-rank (operators/similarity.cosine_topk_pq)
+    over the seeded clustered corpus — m-byte codes scanned via LUT,
+    top-`refine` candidates re-scored with exact cosines. Golden-parquet
+    twin (ADC tables are not SQL-expressible); determinism comes from
+    the seeded corpus + seeded xxhash64 training sample, guarded by the
+    goldens staleness gate."""
+    from tangent_spark.operators.similarity import cosine_topk_pq
+
+    emb = _ann_embeddings(spark)
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    out = cosine_topk_pq(emb, probes, k=10, m=4, n_codes=32, refine=60, seed=7)
+    return out.select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))

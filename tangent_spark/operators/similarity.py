@@ -349,8 +349,10 @@ def pq_train(
         k = min(n_codes, len(sub))
         C = sub[rng.choice(len(sub), size=k, replace=False)]
         for _ in range(n_iter):
-            d = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d, axis=1)
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2): one matmul,
+            # no (sample x n_codes x dsub) difference tensor (~2 GB of
+            # float64 temporaries per subspace at dim=768/sample=10k)
+            a = np.argmax(sub @ C.T - 0.5 * (C**2).sum(axis=1), axis=1)
             for c in range(k):
                 sel = sub[a == c]
                 if len(sel):
@@ -447,6 +449,11 @@ def cosine_topk_pq(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("q"),
     ).collect()
+    spark = embeddings.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cos double"
+        )
     qids = np.array([int(r["query_id"]) for r in qrows], dtype=np.int64)
     Q = _norm_rows(np.stack([np.asarray(r["q"], dtype=np.float64) for r in qrows]))
     # LUT[qi, s, c] = dot(q_sub, codebook[s][c]) — approx cos is additive
@@ -467,7 +474,10 @@ def cosine_topk_pq(
                 a, i = approx[mask], ids[mask]
                 if not len(a):
                     continue
-                top = np.argsort(-a, kind="stable")[:refine]
+                # same total order as the global window one step later
+                # ((approx desc, vec_id asc)) so a tie on the refine
+                # boundary keeps a deterministic candidate set
+                top = np.lexsort((i, -a))[:refine]
                 outs.append(
                     pd.DataFrame(
                         {"query_id": qids[qi], "vec_id": i[top], "approx": a[top]}

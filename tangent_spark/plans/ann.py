@@ -1,0 +1,261 @@
+"""Persisted ANN index: IVF + PQ state through the IndexStore mechanism.
+
+Round-3 review item #7: the IVF coarse quantizer, PQ codebooks, and the
+codes/vectors tables previously lived only in driver memory for the
+duration of one call — a restart retrained and re-encoded everything.
+This module gives ANN the same durability discipline as postings:
+
+    <root>/manifest.json          -- stage ledger + ann params (counters)
+    ann_centroids/   (parquet)    -- (cluster, c array<double>)  IVF
+    ann_codebooks/   (parquet)    -- (sub, code, c array<double>) PQ
+    ann_vectors/     (parquet)    -- (vec_id, cluster, v) float vectors,
+                                     cluster-tagged (IVF lists; also the
+                                     PQ exact-re-rank source)
+    ann_codes/       (parquet)    -- (vec_id, codes array<short>) m-byte
+                                     PQ codes — the 10^12-vector scan path
+
+Every stage commits counters through the manifest and is skipped on
+resume; appends use the SAME tagged-part-file protocol as the postings
+incremental path (sources/store.py copy_tagged/clean_tagged), encoding
+new vectors with the EXISTING centroids/codebooks (the FAISS append
+discipline: quantizers train once on a sample, additions are encode-
+only — no retrain, so appended state is exactly reproducible and
+crash-idempotent per batch id).
+
+Scale shape: training is sample-based (driver-side k-means over a
+seeded xxhash64 sample); assignment/encode are single map-side passes;
+serving reads only the stored tables (queries never touch raw
+embeddings except for the <= refine re-rank rows per query).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tangent_spark.operators.similarity import (
+    _global_topk,
+    _norm_rows,
+    cosine_topk_pq,
+    ivf_assign,
+    kmeans_fit,
+    pq_encode,
+    pq_train,
+)
+from tangent_spark.sources.store import IndexStore
+
+
+def build_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = 32,
+    n_iter: int = 8,
+    m: int = 8,
+    n_codes: int = 256,
+    pq_sample: int = 10_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IndexStore:
+    """Build (or resume) a persisted ANN index at out_dir. Stage-level
+    checkpointing: a crashed build resumes after its last committed
+    stage, like build_index."""
+    store = IndexStore(out_dir)
+    if not store.stage_done("ann_config"):
+        store.commit_stage(
+            "ann_config",
+            [],
+            {
+                "n_centroids": n_centroids,
+                "m": m,
+                "n_codes": n_codes,
+                "seed": seed,
+                "n_iter": n_iter,
+                "pq_sample": pq_sample,
+            },
+        )
+    params = store.read_manifest()["stages"]["ann_config"]["counters"]
+
+    if not store.stage_done("ann_centroids"):
+        C = kmeans_fit(
+            embeddings, params["n_centroids"], params["n_iter"], params["seed"],
+            id_col, vec_col,
+        )
+        spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(C)],
+            "cluster int, c array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(store.path("ann_centroids"))
+        store.commit_stage("ann_centroids", ["ann_centroids"], {"k": int(C.shape[0])})
+
+    if not store.stage_done("ann_codebooks"):
+        B = pq_train(
+            embeddings, params["m"], params["n_codes"], sample=params["pq_sample"],
+            seed=params["seed"], id_col=id_col, vec_col=vec_col,
+        )
+        rows = [
+            (s, c, B[s, c].tolist())
+            for s in range(B.shape[0])
+            for c in range(B.shape[1])
+        ]
+        spark.createDataFrame(rows, "sub int, code int, c array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(store.path("ann_codebooks"))
+        store.commit_stage(
+            "ann_codebooks", ["ann_codebooks"], {"m": int(B.shape[0]), "dsub": int(B.shape[2])}
+        )
+
+    if not store.stage_done("ann_vectors"):
+        C = load_centroids(spark, store)
+        ivf_assign(embeddings, C, id_col, vec_col).write.mode("overwrite").parquet(
+            store.path("ann_vectors")
+        )
+        n = spark.read.parquet(store.path("ann_vectors")).count()
+        store.commit_stage("ann_vectors", ["ann_vectors"], {"n_vectors": n})
+
+    if not store.stage_done("ann_codes"):
+        B = load_codebooks(spark, store)
+        pq_encode(embeddings, B, id_col, vec_col).write.mode("overwrite").parquet(
+            store.path("ann_codes")
+        )
+        n = spark.read.parquet(store.path("ann_codes")).count()
+        store.commit_stage("ann_codes", ["ann_codes"], {"n_codes_rows": n})
+    return store
+
+
+def load_centroids(spark: SparkSession, store: IndexStore) -> np.ndarray:
+    rows = spark.read.parquet(store.path("ann_centroids")).orderBy("cluster").collect()
+    return np.stack([np.asarray(r["c"], dtype=np.float64) for r in rows])
+
+
+def load_codebooks(spark: SparkSession, store: IndexStore) -> np.ndarray:
+    rows = spark.read.parquet(store.path("ann_codebooks")).orderBy("sub", "code").collect()
+    m = max(r["sub"] for r in rows) + 1
+    n_codes = max(r["code"] for r in rows) + 1
+    dsub = len(rows[0]["c"])
+    B = np.zeros((m, n_codes, dsub))
+    for r in rows:
+        B[r["sub"], r["code"]] = np.asarray(r["c"], dtype=np.float64)
+    return B
+
+
+def ann_append(
+    spark: SparkSession,
+    store: IndexStore,
+    embeddings: DataFrame,
+    batch_id: int | str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Append new vectors: assign + encode with the STORED quantizers
+    (no retrain) and add tagged part files to ann_vectors/ann_codes —
+    idempotent per batch_id at any crash point, exactly the postings
+    append protocol."""
+    stage = f"ann_batch_{batch_id}"
+    if store.stage_done(stage):
+        return store.read_manifest()["stages"][stage]["counters"]
+    tag = f"ab{batch_id}"
+    for t in ("ann_vectors", "ann_codes"):
+        store.clean_tagged(t, tag)
+        spark.catalog.refreshByPath(store.path(t))
+    existing = spark.read.parquet(store.path("ann_vectors")).select("vec_id")
+    fresh = embeddings.join(
+        existing, embeddings[id_col] == existing.vec_id, "left_anti"
+    )
+    staging = os.path.join(store.root, f"_staging_{stage}")
+    C = load_centroids(spark, store)
+    B = load_codebooks(spark, store)
+    ivf_assign(fresh, C, id_col, vec_col).write.mode("overwrite").parquet(
+        staging + "/ann_vectors"
+    )
+    pq_encode(fresh, B, id_col, vec_col).write.mode("overwrite").parquet(
+        staging + "/ann_codes"
+    )
+    n_new = spark.read.parquet(staging + "/ann_vectors").count()
+    for t in ("ann_vectors", "ann_codes"):
+        store.copy_tagged(staging + "/" + t, t, tag)
+        spark.catalog.refreshByPath(store.path(t))
+    counters = {"new_vectors": int(n_new)}
+    store.commit_stage(stage, ["ann_vectors", "ann_codes"], counters)
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    return counters
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """IVF ANN off the stored index: probe the stored centroid table,
+    equi-join the stored cluster-tagged vectors, exact re-score. The
+    scan touches only the probed clusters' rows (cluster is the join
+    key; at scale ann_vectors is written partitioned by cluster so the
+    probe prunes at file level)."""
+    C = load_centroids(spark, store)
+    n_probe = min(n_probe, C.shape[0])
+    qrows = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q"),
+    ).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, vec_id long, cos double"
+        )
+    probes = []
+    for r in qrows:
+        qn = _norm_rows(np.asarray(r["q"], dtype=np.float64)[None, :])[0]
+        for c in np.argsort(-(C @ qn), kind="stable")[:n_probe]:
+            probes.append((int(r["query_id"]), int(c)))
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    qs = spark.createDataFrame(
+        [(r["query_id"], r["q"]) for r in qrows], "query_id long, q array<double>"
+    )
+    from tangent_spark.operators.similarity import _cos_cols
+
+    indexed = spark.read.parquet(store.path("ann_vectors"))
+    scored = (
+        indexed.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", _cos_cols("q", "v"))
+        .select("query_id", "vec_id", "cos")
+    )
+    return _global_topk(scored, k)
+
+
+def ann_topk_pq(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 50,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """PQ-ADC ANN off the stored index: LUT scan over the stored m-byte
+    codes, exact re-rank of the top `refine` candidates against the
+    stored float vectors (id semi-join — never a float scan)."""
+    B = load_codebooks(spark, store)
+    codes = spark.read.parquet(store.path("ann_codes"))
+    vectors = spark.read.parquet(store.path("ann_vectors")).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    return cosine_topk_pq(
+        vectors,
+        queries,
+        k=k,
+        refine=refine,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        codebooks=B,
+        codes=codes,
+    )

@@ -33,7 +33,8 @@ heap (mathindexbase.h:100: ties -> smaller id wins).
 from __future__ import annotations
 
 import math
-from typing import Sequence
+import os
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -330,6 +331,20 @@ def bm25_topk_wand(
     )
 
 
+def _idf_from_g_df(n_docs: int):
+    """Kernel-side idf from the cached rows' global-df column — the
+    query plan needs no term->df lookup anywhere (same formula as
+    idf())."""
+    N = float(n_docs)
+
+    def add_idf(all_rows: pd.DataFrame) -> pd.DataFrame:
+        d = all_rows["g_df"].to_numpy(np.float64)
+        all_rows["idf"] = np.log(1.0 + (N - d + 0.5) / (d + 0.5))
+        return all_rows
+
+    return add_idf
+
+
 class Searcher:
     """Warm query serving over an IndexStore.
 
@@ -343,25 +358,41 @@ class Searcher:
     Lexicon scale story: the reference's C++ process holds its whole
     lexicon resident (mathindexbase.h:146-178) — fine at 300k docs,
     a driver OOM at a 100-TB vocabulary (O(10^8-10^9) terms once
-    formula pair-tuples join the word terms). So the driver keeps only
-    the max_lexicon highest-df terms (high-df terms are exactly the
-    ones queries hit most, so the head absorbs almost every lookup);
-    the FULL term_stats table stays persisted cluster-side, and query
-    terms that miss the head are resolved by one tiny filtered scan of
-    that cached table (<= len(query) rows back to the driver). Ranking
-    is identical either way — df is df, wherever it was looked up.
+    formula pair-tuples join the word terms). So each CACHED POSTINGS
+    ROW CARRIES ITS TERM'S GLOBAL df (`g_df`, joined from the current
+    term_stats once at warm-up): the scoring kernel derives idf from
+    the rows themselves, so a query needs NO df lookup at all — head
+    term, tail term, or 100%-tail query, it is always exactly ONE
+    Spark job, with no driver lexicon on the scoring path (the
+    round-3 review's tail-miss collect is gone). The bounded
+    max_lexicon head dict remains only for the boolean planner's
+    seed-selection lookup (rarest-must-term choice), where a miss
+    costs one <=|must|-row filtered scan of the cluster-side
+    term_stats cache. The warm-up join is one postings-by-term
+    shuffle — the serving cluster's index-load step, the analog of
+    the reference loading its binary index at startup
+    (mathindex.cpp:120-157, 5-30 s) — paid once, amortized over
+    every query served.
 
     The warm plan is ONE single-stage Spark job per query: scan of the
     cached shard partitions with the query-term filter -> per-shard
-    block-max kernel (idf map rides in the closure; no join, no
-    shuffle — shard grouping happens inside the partition) ->
+    block-max kernel (idf computed in-kernel from the rows' g_df; no
+    join, no shuffle — shard grouping happens inside the partition) ->
     TakeOrderedAndProject of k rows per shard. At cluster scale this is
     one task wave over the shard executors plus a k-row driver merge;
     in local mode it bounds per-query latency by the bare Spark
-    job-launch floor (see BENCH.md)."""
+    job-launch floor (see BENCH.md).
+
+    With store_positions=True (and cache_positions not disabled) the
+    positions table is persisted the same shard-partitioned way, so
+    warm phrase / snippet / boolean-phrase clauses do zero file I/O."""
 
     def __init__(
-        self, spark: SparkSession, store: IndexStore, max_lexicon: int = 1_000_000
+        self,
+        spark: SparkSession,
+        store: IndexStore,
+        max_lexicon: int = 1_000_000,
+        cache_positions: bool = True,
     ):
         self.spark = spark
         self.store = store
@@ -387,6 +418,10 @@ class Searcher:
         self.dfs = {r["term"]: int(r["df"]) for r in head}
         self.postings = (
             spark.read.parquet(store.path("postings"))
+            # one-time warm-up join: every cached row carries the CURRENT
+            # global df, making every query self-contained (no lexicon
+            # lookup on the scoring path, ever)
+            .join(self.term_stats.withColumnRenamed("df", "g_df"), "term")
             .repartition(self.cfg.n_shards, "shard")
             # term-sorted cached batches: the in-memory scan prunes whole
             # columnar batches by term min/max stats, so the per-query
@@ -395,6 +430,19 @@ class Searcher:
             .persist()
         )
         self.postings.count()  # materialize the cache
+        self.positions = None
+        if (
+            cache_positions
+            and self.cfg.store_positions
+            and os.path.isdir(store.path("positions"))
+        ):
+            self.positions = (
+                spark.read.parquet(store.path("positions"))
+                .repartition(self.cfg.n_shards, "shard")
+                .sortWithinPartitions("term")
+                .persist()
+            )
+            self.positions.count()
         # one task wave per query: shards are merged into at most
         # defaultParallelism scan tasks (the kernel regroups by shard
         # in-partition, so correctness is unaffected)
@@ -403,12 +451,13 @@ class Searcher:
         )
 
     def _resolve_dfs(self, terms: Sequence[str]) -> dict[str, int]:
-        """term -> df for the terms that exist in the index. Head terms
-        answer from the driver dict (no job); with a bounded lexicon,
-        tail misses are resolved by ONE filtered scan of the persisted
+        """term -> df for the terms that exist in the index — used ONLY
+        by the boolean planner's seed selection (scoring reads idf off
+        the cached rows' g_df and needs no lookup). Head terms answer
+        from the driver dict (no job); with a bounded lexicon, tail
+        misses are resolved by ONE filtered scan of the persisted
         term_stats (columnar batch pruning; <= len(terms) rows return).
-        A term absent from both has no postings and is dropped — the
-        same semantics the full driver dict had."""
+        A term absent from both has no postings and is dropped."""
         out = {t: self.dfs[t] for t in terms if t in self.dfs}
         if not self._full_lexicon:
             misses = [t for t in terms if t not in out]
@@ -420,19 +469,17 @@ class Searcher:
     def topk(
         self, query: str, k: int, with_metrics: bool = False, decode_counter=None
     ) -> DataFrame:
-        dfs = self._resolve_dfs(query_terms(query, self.cfg.tokenizer))
-        qts = sorted(dfs)
+        qts = query_terms(query, self.cfg.tokenizer)
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        idf_map = {t: idf(self.n_docs, dfs[t]) for t in qts}
+        add_idf = _idf_from_g_df(self.n_docs)
         shard_kernel = _score_shard(self.avgdl, self.cfg, k, counter=decode_counter)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = [pdf for pdf in batches if len(pdf)]
             if not rows:
                 return
-            all_rows = pd.concat(rows, ignore_index=True)
-            all_rows["idf"] = all_rows["term"].map(idf_map)
+            all_rows = add_idf(pd.concat(rows, ignore_index=True))
             for _, grp in all_rows.groupby("shard", sort=False):
                 yield shard_kernel(grp.reset_index(drop=True))
 
@@ -463,27 +510,24 @@ class Searcher:
         accumulator; it receives the total number of blocks actually
         decoded (tested + benched: batch decodes < sum of the same
         queries run singly whenever terms overlap)."""
-        raw_terms = {qid: query_terms(q, self.cfg.tokenizer) for qid, q in queries.items()}
-        dfs = self._resolve_dfs(sorted({t for ts in raw_terms.values() for t in ts}))
-        qterms = {}
-        for qid, qts in raw_terms.items():
-            qts = [t for t in qts if t in dfs]
-            if qts:
-                qterms[str(qid)] = qts
+        qterms = {
+            str(qid): qts
+            for qid, q in queries.items()
+            if (qts := query_terms(q, self.cfg.tokenizer))
+        }
         if not qterms:
             return self.spark.createDataFrame(
                 [], "query_id string, doc_id long, score double, rank int"
             )
         all_terms = sorted({t for qts in qterms.values() for t in qts})
-        idf_map = {t: idf(self.n_docs, dfs[t]) for t in all_terms}
+        add_idf = _idf_from_g_df(self.n_docs)
         shard_kernel = _score_shard(self.avgdl, self.cfg, k, counter=decode_counter)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = [pdf for pdf in batches if len(pdf)]
             if not rows:
                 return
-            all_rows = pd.concat(rows, ignore_index=True)
-            all_rows["idf"] = all_rows["term"].map(idf_map)
+            all_rows = add_idf(pd.concat(rows, ignore_index=True))
             for _, grp in all_rows.groupby("shard", sort=False):
                 grp = grp.reset_index(drop=True)
                 grp["_rid"] = np.arange(len(grp), dtype=np.int64)
@@ -512,11 +556,12 @@ class Searcher:
             .select("query_id", "doc_id", "score", "rank")
         )
 
-    def boolean(self, query: str, k: int) -> DataFrame:
+    def boolean(self, query: str, k: int, decode_counter=None) -> DataFrame:
         """Warm boolean serving (`bare +must -not "phrase"`): the same
-        plan as plans.boolean.boolean_topk, but postings and term_stats
-        come from this Searcher's cached shard partitions — zero
-        postings file I/O per query."""
+        plan as plans.boolean.boolean_topk, but postings, term_stats,
+        and positions come from this Searcher's cached shard
+        partitions — zero file I/O per query — and the rarest-must-term
+        seed lookup answers from the resident head lexicon."""
         from tangent_spark.plans.boolean import _boolean_plan
 
         return _boolean_plan(
@@ -528,11 +573,51 @@ class Searcher:
             term_stats=self.term_stats.select("term", "df"),
             n_docs=self.n_docs,
             avgdl=self.avgdl,
+            positions=self.positions,
+            decode_counter=decode_counter,
+            df_lookup=self._resolve_dfs,
+        )
+
+    def _warm_positions(self) -> DataFrame:
+        if self.positions is not None:
+            return self.positions
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "index was built without positions (IndexConfig.store_positions)"
+            )
+        return self.spark.read.parquet(self.store.path("positions"))
+
+    def phrase(self, phrase: str, k: int) -> DataFrame:
+        """Warm exact-phrase top-k (phrase_tf desc, doc_id asc) off the
+        cached positions table — zero file I/O when cache_positions."""
+        from tangent_spark.plans.phrase import _phrase_terms, phrase_match_positions
+
+        terms = _phrase_terms(phrase, self.cfg.tokenizer)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, phrase_tf int")
+        return (
+            phrase_match_positions(self._warm_positions(), terms)
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def snippets(self, query: str, k: int) -> DataFrame:
+        """Warm BM25 top-k + best highlight window per hit:
+        (doc_id, score, win_start, win_end, n_terms_covered)."""
+        from tangent_spark.plans.phrase import highlight_windows
+
+        qts = query_terms(query, self.cfg.tokenizer)
+        top = self.topk(query, k)
+        wins = highlight_windows(self._warm_positions(), qts, candidates=top)
+        return top.join(wins, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
         )
 
     def close(self) -> None:
         self.postings.unpersist()
         self.term_stats.unpersist()
+        if self.positions is not None:
+            self.positions.unpersist()
 
 
 def bm25_topk_index_full(

@@ -270,9 +270,41 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
         "postings": int(after["mass"] or 0),
         "secs": time.time() - t0,
     }
-    store.commit_stage(
-        f"compact_v{nxt}", ["postings"], counters, table_flips={"postings": nxt}
-    )
+    flips = {"postings": nxt}
+    stage_tables = ["postings"]
+
+    # positions ride the same compaction: appends add one tagged part-file
+    # set per batch with no rewrite path of their own (round-3 review:
+    # small-files growth + degraded row-group pruning). Rows are exact
+    # as-is — (shard, term, doc_id) is unique across batches — so the
+    # rewrite just restores the term-major sorted, few-files layout. The
+    # position-mass invariant (row count + total positions) is asserted
+    # before the same atomic manifest flip.
+    if cfg.store_positions and os.path.isdir(store.path("positions")):
+        pnxt = store.table_version("positions") + 1
+        pos = spark.read.parquet(store.path("positions"))
+        pb = pos.agg(
+            F.count("*").alias("rows"), F.sum(F.size("positions")).alias("mass")
+        ).collect()[0]
+        pout = store.versioned_path("positions", pnxt)
+        (
+            pos.repartition(shard_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+            .write.mode("overwrite")
+            .parquet(pout)
+        )
+        pa = spark.read.parquet(pout).agg(
+            F.count("*").alias("rows"), F.sum(F.size("positions")).alias("mass")
+        ).collect()[0]
+        if (int(pa["rows"]), int(pa["mass"] or 0)) != (int(pb["rows"]), int(pb["mass"] or 0)):
+            raise AssertionError(
+                f"positions compaction lost rows: {tuple(pb)} -> {tuple(pa)}"
+            )
+        counters["position_rows"] = int(pa["rows"])
+        flips["positions"] = pnxt
+        stage_tables.append("positions")
+
+    store.commit_stage(f"compact_v{nxt}", stage_tables, counters, table_flips=flips)
     return counters
 
 

@@ -2,6 +2,7 @@
 (plans/merge.py) against pure-Python oracles and from-scratch builds."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tangent_spark.config import IndexConfig
 from tangent_spark.corpus import generate_pages, pages_with_doc_ids
@@ -276,3 +277,91 @@ def test_merge_rejects_config_mismatch(spark, corpus, merged_setup, tmp_path):
     )
     with pytest.raises(ValueError, match="config"):
         merge_indexes(spark, [a, other], str(tmp_path / "bad2"))
+
+
+# --- conjunctive restriction precedes decode + shuffle (round-3 #1) ----------
+
+def test_unbalanced_quote_falls_back_to_plain_term():
+    cfg = IndexConfig()
+    q = parse_boolean_query('he said "hello', cfg)
+    assert q.should == tokenize_porter("he said hello")
+    assert not q.phrases and not q.must and not q.must_not
+    q2 = parse_boolean_query('-"stray +matrix', cfg)
+    assert q2.must_not == tokenize_porter("stray")
+    assert q2.must == tokenize_porter("matrix")
+
+
+def test_must_restriction_skips_head_term_decode(spark, tmp_path_factory):
+    """`the +<rare>`: the head term's posting list must NOT be decoded in
+    full — candidates come from the rare must term, and head blocks with
+    no candidate are skipped from block metadata alone. Requires >=5x
+    fewer blocks decoded than the full-decode plan (accumulator), with
+    the SAME ranked answer as the brute-force oracle."""
+    from tangent_spark.oracle import bm25_rank
+
+    pages = pages_with_doc_ids(generate_pages(spark, 1000, partitions=8))
+    rare = "zweirdrare"
+    pages = pages.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when((F.col("doc_id") % 251) == 0, F.lit(f" {rare}")).otherwise(F.lit("")),
+        ),
+    ).persist()
+    out = str(tmp_path_factory.mktemp("headrare") / "index")
+    cfg = IndexConfig(n_shards=4, block_size=16)
+    store = build_index(spark, pages, out, cfg, url_col="url")
+
+    qterms = sorted(set(tokenize_porter(f"the {rare}")))
+    full_blocks = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(qterms))
+        .agg(F.sum(F.size("counts")))
+        .collect()[0][0]
+    )
+    acc = spark.sparkContext.accumulator(0)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(spark, store, f"the +{rare}", 20, decode_counter=acc).collect()
+    ]
+    assert acc.value * 5 <= full_blocks, (acc.value, full_blocks)
+
+    local = sorted(
+        (int(r["doc_id"]), r["text"])
+        for r in pages.select("doc_id", "text").collect()
+    )
+    rare_docs = {d for d, t in local if rare in t.split()}
+    want = [
+        (d, s)
+        for d, s in bm25_rank(local, f"the {rare}", len(local))
+        if d in rare_docs
+    ][:20]
+    assert_rank_identical(got, want)
+    pages.unpersist()
+
+
+def test_warm_phrase_and_snippets_match_cold(spark, store, corpus):
+    from tangent_spark.plans.phrase import phrase_topk, snippet_topk
+
+    _, local = corpus
+    phrase = " ".join(local[0][1].split()[:2])
+    query = "matrix convergence theorem"
+    s = Searcher(spark, store)
+    try:
+        assert s.positions is not None  # store_positions index -> warm cache
+        warm_p = [(r["doc_id"], r["phrase_tf"]) for r in s.phrase(phrase, 10).collect()]
+        cold_p = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, store, phrase, 10).collect()]
+        assert warm_p == cold_p and warm_p
+        def _norm(rows):
+            # warm (numpy log) vs cold (JVM log) idf may differ by 1 ulp
+            return [
+                (r["doc_id"], round(float(r["score"]), 9), r["win_start"],
+                 r["win_end"], r["n_terms_covered"])
+                for r in rows
+            ]
+
+        warm_s = _norm(s.snippets(query, 5).collect())
+        cold_s = _norm(snippet_topk(spark, store, query, 5).collect())
+        assert warm_s == cold_s and len(warm_s) == 5
+    finally:
+        s.close()

@@ -274,3 +274,28 @@ def test_topk_batch_equals_individual(spark, index_store):
         got = sorted(by_q.get(qid, []))
         assert got == want, qid
     s.close()
+
+
+def test_warm_query_is_one_job_even_on_full_tail_miss(spark, index_store, corpus):
+    """Round-3 review #3: a query whose terms ALL miss the driver head
+    lexicon must still run as ONE Spark job — idf comes off the cached
+    rows' g_df column, never a separate stats collect."""
+    from tangent_spark.plans.search import Searcher
+
+    _, local = corpus
+    s = Searcher(spark, index_store, max_lexicon=1)  # head holds 1 term only
+    try:
+        assert not s._full_lexicon and len(s.dfs) == 1
+        query = "matrix convergence theorem"
+        assert not any(t in s.dfs for t in query.split())  # 100% tail
+        sc = spark.sparkContext
+        sc.setJobGroup("tailq_one_job", "one-job serving check")
+        try:
+            got = [(r["doc_id"], r["score"]) for r in s.topk(query, 10).collect()]
+        finally:
+            sc.setJobGroup("tailq_done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("tailq_one_job")
+        assert len(jobs) == 1, f"warm tail query ran {len(jobs)} jobs: {jobs}"
+        assert_rank_identical(got, bm25_rank(local, query, 10))
+    finally:
+        s.close()

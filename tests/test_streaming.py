@@ -282,3 +282,36 @@ def test_append_maintains_positions(spark, all_pages, tmp_path_factory):
     n_files = len(_glob.glob(store.path("positions") + "/*.parquet"))
     append_batch(spark, store, second, batch_id=1)
     assert len(_glob.glob(store.path("positions") + "/*.parquet")) == n_files
+
+
+def test_compaction_also_compacts_positions(spark, all_pages, tmp_path_factory):
+    """Appends leave one tagged positions part-file set per batch;
+    compaction must coalesce them (round-3 review #3b) while keeping
+    phrase results exact and flipping the version atomically."""
+    import glob as _glob
+
+    from tangent_spark.plans.phrase import phrase_topk
+    from tangent_spark.streaming.incremental import compact_postings
+
+    cfg = IndexConfig(n_shards=4, block_size=16, store_positions=True)
+    base = str(tmp_path_factory.mktemp("compactpos"))
+    store = build_index(
+        spark, all_pages.filter(F.col("doc_id") < 30), f"{base}/idx", cfg, url_col="url"
+    )
+    for i, (lo, hi) in enumerate([(30, 50), (50, 70), (70, 90)]):
+        batch = all_pages.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).drop("doc_id")
+        append_batch(spark, store, batch, batch_id=i)
+
+    appended_text = all_pages.filter(F.col("doc_id") == 80).select("text").collect()[0][0]
+    phrase = " ".join(appended_text.split()[:2])
+    before = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, store, phrase, 20).collect()]
+    files_before = len(_glob.glob(store.path("positions") + "/*.parquet"))
+
+    c = compact_postings(spark, store)
+    assert c["position_rows"] > 0
+    assert store.table_version("positions") >= 1
+    files_after = len(_glob.glob(store.path("positions") + "/*.parquet"))
+    assert files_after < files_before, (files_after, files_before)
+    after = [(r["doc_id"], r["phrase_tf"]) for r in phrase_topk(spark, store, phrase, 20).collect()]
+    assert after == before and after
+    verify_index(spark, store)
