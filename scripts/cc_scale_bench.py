@@ -89,14 +89,23 @@ def main() -> None:
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     spark = get_spark(app="cc_scale_bench", cpus=cpus)
-    g = skewed_graph(spark, n_random)
-    n_edges = g.count()  # materialize generation cost outside the timer
+    # stage the generated edges to parquet: generation cost stays outside
+    # the timer, and the union-of-ranges lineage is severed (matches the
+    # real usage shape, where edges come from a candidate-pair table)
+    import shutil
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="cc_graph_") + "/edges"
+    skewed_graph(spark, n_random).write.mode("overwrite").parquet(stage_dir)
+    g = spark.read.parquet(stage_dir)
+    n_edges = g.count()
     t0 = time.time()
     labels, rounds = connected_components_star(g)
     n_nodes, n_components = labels.agg(
         F.count("*"), F.countDistinct("component")
     ).collect()[0]
     secs = round(time.time() - t0, 2)
+    shutil.rmtree(os.path.dirname(stage_dir), ignore_errors=True)
     print(
         json.dumps(
             {

@@ -217,15 +217,19 @@ def wildcard_cc(
     (pure full-advancement rule). Golden agreement vs the reference's
     shipped NTCIR-12 result files (tests/test_golden_parity.py): EXACT
     on every query-candidate pair whose wildcard instances are uncoupled
-    (5,073/5,073 rows across 7 conditions); on coupled rows the
-    density-gated rule mismatches 12/14/120/28 rows-of-2000 at
+    (5,073/5,073 rows across 7 conditions); on coupled rows, with sizes
+    pooled over all 15 condition files, the density-gated rule
+    mismatches 12/14/111/28 rows-of-2000 at
     w4-small/w0-none/w2-all/w1-small (vs 13/14/225/28 for the pure
-    full-advancement rule). The residual at eol=all is balanced (-1/+1)
-    and is the reference's overshoot pre-consumption: an IND advanced
-    past the current candidate consumes a remainder unit at a FUTURE
-    expression, which requires posting-list contents and the quartile
-    expression reordering (mathindex.cpp:87-114) — neither is in the
-    shipped artifacts, only the sizes are partially recoverable."""
+    full-advancement rule). The eol=all residual is a balanced ±1 and
+    is CLOSED as an information floor: it is the reference's overshoot
+    pre-consumption — an IND advanced past the current candidate
+    consumes a remainder unit at a FUTURE expression, which requires
+    the index's posting-list contents, the quartile expression
+    reordering (mathindex.cpp:87-114), and the threshold-pruned
+    candidate evaluation sequence — none shipped. See the counting
+    argument and exhaustive rule-space sweep recorded at
+    tests/test_golden_parity.py (WILDCARD_BOUNDS)."""
     owner: dict = {}
     for i, w in enumerate(instances):
         for t in expr_tuples:
