@@ -65,8 +65,14 @@ def main() -> None:
 
     idx_dir = os.path.join(tempfile.mkdtemp(prefix="tangent_bench_"), "index")
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = IndexConfig(n_shards=max(cpus, 8), block_size=128)
+    # positional build: phrase/snippet serving is a first-class surface
+    # since round 3, so the headline index includes the positions stage
+    # (its share is reported separately as index_positions_secs)
+    cfg = IndexConfig(n_shards=max(cpus, 8), block_size=128, store_positions=True)
     store = timed("index_build", lambda: build_index(spark, docs, idx_dir, cfg))
+    positions_secs = round(
+        store.counters().get("positions", {}).get("secs", 0.0), 3
+    )
 
     # BM25 serving latency over the compressed index (block-max WAND).
     # cold = one-shot reads from parquet; warm = resident Searcher.
@@ -86,6 +92,39 @@ def main() -> None:
     p50_ms = round(1000 * lat[len(lat) // 2], 1)
     timings["bm25_wand_total"] = round(sum(lat), 3)
 
+    # warm phrase serving (cached positions — round-4 criterion: within
+    # ~1.2x of a plain warm BM25 query): phrases are real bigrams taken
+    # from the corpus so every query does positional work
+    bigrams = [
+        " ".join(r["text"].split()[:2])
+        for r in docs.limit(7).collect()
+        if len(r["text"].split()) >= 2
+    ]
+    searcher.phrase(bigrams[0], 10).collect()  # warm the phrase path
+    plat = []
+    for p in bigrams * 2:
+        t0 = time.time()
+        searcher.phrase(p, 10).collect()
+        plat.append(time.time() - t0)
+    plat.sort()
+    phrase_p50_ms = round(1000 * plat[len(plat) // 2], 1)
+    timings["phrase_total"] = round(sum(plat), 3)
+
+    # warm boolean serving (restriction-before-shuffle conjunctive plan)
+    bool_queries = [
+        "data +query -join", "table +scan", "fast value +hash -slow",
+        "row +column sort",
+    ]
+    searcher.boolean(bool_queries[0], 10).collect()
+    blat = []
+    for q in bool_queries * 2:
+        t0 = time.time()
+        searcher.boolean(q, 10).collect()
+        blat.append(time.time() - t0)
+    blat.sort()
+    boolean_p50_ms = round(1000 * blat[len(blat) // 2], 1)
+    timings["boolean_total"] = round(sum(blat), 3)
+
     # batch serving: 42-query sweep (6 rounds of the 7-query set) in ONE
     # job; decode-cache sharing means the batch decodes far fewer blocks
     # than 42 single-query runs would (reported side by side — the
@@ -102,6 +141,27 @@ def main() -> None:
     searcher.close()
 
     # headline relational / pipeline operators (DataFrame plans)
+    # star connected-components on a skewed synthetic graph (chains +
+    # hot nodes + cliques; scripts/cc_scale_bench.py) — the dedup-graph
+    # operator measured per round. Wall time here is ROUND-overhead
+    # dominated in local mode (~6 s of shuffle scheduling per round at
+    # any small size), so this line is sized for round-count evidence;
+    # the 9M-edge scale run lives in BENCH.md (same script, larger n).
+    from scripts.cc_scale_bench import skewed_graph
+    from tangent_spark.operators.dedup import connected_components_star
+
+    cc_dir = os.path.join(tempfile.mkdtemp(prefix="tangent_cc_"), "edges")
+    skewed_graph(spark, 600_000, chain_len=10_000).write.mode("overwrite").parquet(
+        cc_dir
+    )
+    g = spark.read.parquet(cc_dir)
+    cc_edges = g.count()
+    t0 = time.time()
+    labels, cc_rounds = connected_components_star(g)
+    cc_components = labels.select("component").distinct().count()
+    timings["cc_star"] = round(time.time() - t0, 3)
+    shutil.rmtree(os.path.dirname(cc_dir), ignore_errors=True)
+
     for name, fn in [
         ("q9_bm25_topk_df", eq.q9_bm25_topk),
         ("q8_dice_topk", eq.q8_dice_topk),
@@ -123,8 +183,15 @@ def main() -> None:
         "sf": sf,
         "n_docs": n_docs,
         "index_docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "index_positions_secs": positions_secs,
         "query_p50_ms": p50_ms,
         "query_cold_ms": cold_ms,
+        "phrase_p50_ms": phrase_p50_ms,
+        "boolean_p50_ms": boolean_p50_ms,
+        "cc_edges": int(cc_edges),
+        "cc_rounds": int(cc_rounds),
+        "cc_components": int(cc_components),
+        "cc_secs": timings["cc_star"],
         "batch_queries": len(batch),
         "batch_qps": round(len(batch) / batch_secs, 2),
         "batch_rows": n_batch_rows,

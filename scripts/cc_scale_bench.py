@@ -37,10 +37,12 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def skewed_graph(spark: SparkSession, n_random: int = 8_000_000) -> DataFrame:
-    """Deterministic (doc_a, doc_b) edge list, ~n_random + 1.13M edges."""
+def skewed_graph(
+    spark: SparkSession, n_random: int = 8_000_000, chain_len: int = 100_000
+) -> DataFrame:
+    """Deterministic (doc_a, doc_b) edge list: n_random hash edges +
+    10 chains of chain_len + 1,000 30-cliques."""
     n_nodes = 5_000_000
-    chain_len = 100_000
     # 10 chains of length chain_len in id space [10^9, 10^9 + 10*chain_len)
     chains = (
         spark.range(10 * chain_len)

@@ -18,36 +18,40 @@ contain EVERY must term and every positive phrase, minus documents
 containing any must-not term or phrase. Ties: score desc, doc_id asc.
 
 Scale shape (the Lucene conjunction discipline, Spark-first): when the
-query has must terms, the RAREST must term (by df — a <=|must|-row
-lexicon lookup) seeds the candidate set, and every other term's
-postings are decoded RESTRICTED to those candidates — whole blocks
-whose [first_doc, next_first) range misses every candidate are skipped
-using the block-max metadata alone, without decompression. A query
-like `the +rarename` therefore never decodes (let alone shuffles) the
-head term's posting list; data moved is proportional to the CANDIDATE
-set, not the matched lists:
+query has must terms, the RAREST must term (by df — answered from the
+warm head lexicon, or one <=|query|-row stats lookup cold) seeds the
+candidate set, and every other term's postings are decoded RESTRICTED
+to those candidates — whole blocks whose [first_doc, next_first) range
+misses every candidate are skipped using the block-max metadata alone,
+without decompression. A query like `the +rarename` therefore never
+decodes (let alone shuffles) the head term's posting list; data moved
+is proportional to the CANDIDATE set, not the matched lists:
 
-  seed = argmin_{t in must} df(t)
-  cand = decode(seed)                          (per-shard, no shuffle)
-  rows = cogroup(postings[q-terms minus seed], cand) BY shard
-           -> block-skip decode, candidates only  (one small shuffle of
-              q-term rows + candidate ids, both query-bounded)
-    -> ONE groupBy(doc) aggregate computing, together:
-         BM25 sum over positive terms,
-         must-coverage count,
-         must-not flag
-    -> filter(coverage == |must|-1 AND NOT flagged)   (seed containment
-       is implied by construction)
-    <- semi/anti-join phrase sets (positions-table fold, plans/phrase.py;
-       runs on the already-restricted aggregate)
-    -> TakeOrderedAndProject(k)
+Because the index is DOC-SHARDED (every doc's postings for all terms
+live in one shard), the whole conjunction completes INSIDE one
+per-shard kernel — the same shape as the block-max WAND kernel:
 
-The decoded subtree is evaluated exactly once (round-3 review finding:
-the previous plan re-evaluated it up to 3x across join branches) —
-membership and scoring now ride the same rows through a single
-aggregate. Queries with no must terms decode the positive + must-not
-terms once (must-not membership decodes doc-id blocks only, skipping
-the tf/dl blobs) and apply the same single-aggregate restriction.
+  per shard:  decode seed fully -> candidate ids
+              other terms: skip blocks missing every candidate (block
+                metadata only), decode survivors, keep candidates
+              per-doc aggregate: BM25 part sum (idf driver-resolved
+                from the resident lexicon — no stats broadcast join),
+                must-coverage count, must-not flag
+              filter(coverage == |must|-1 AND NOT flagged) (seed
+                containment is implied by construction)
+              local top-k (score desc, doc asc)
+  global:     TakeOrderedAndProject(k) over <= k rows per shard
+  phrases:    semi/anti positional folds on the aggregate (local top-k
+              disabled when phrases are present — they filter further)
+
+Warm (Searcher.boolean): the cached postings are already partitioned
+by shard, so the query is ONE job with NO shuffle at all — scan of the
+cached partitions, kernel, k-row merge, exactly like warm WAND. Cold:
+one repartition of the <=|terms| x shards matched compressed rows. The
+decoded data never enters a shuffle in either path (round-3 finding:
+the old plan decoded up to 3x and shuffled every decoded posting of
+every positive term before restricting). Must-not terms decode doc-id
+blocks only, skipping the tf/dl blobs.
 
 Block-max WAND (plans/search.py) stays the pure-disjunctive fast path;
 conjunctive scoring decodes what it must and nothing else.
@@ -63,12 +67,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tangent_spark.codec import bm25_tf_norm
 from tangent_spark.config import IndexConfig
 from tangent_spark.sources.store import IndexStore
 
 _CLAUSE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
 
-_DECODE_SCHEMA = "shard int, term string, doc_id long, tf int, dl long"
+_OUT_SCHEMA = "doc_id long, score double"
 _MAXDOC = np.int64(2**62)
 
 
@@ -116,11 +121,44 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     return out
 
 
+class _TermRoles:
+    """Per-term scoring/membership roles, closure-shipped to the shard
+    kernel: idf (driver-resolved), must-check index, must-not flag."""
+
+    def __init__(self, idf_map, must_check, must_not, k1, b, avgdl):
+        self.idf = dict(idf_map)
+        self.must_id = {t: i for i, t in enumerate(must_check)}
+        self.not_set = set(must_not)
+        self.k1, self.b, self.avgdl = float(k1), float(b), float(avgdl)
+
+    def frame(self, term, ids, tfs, dls) -> pd.DataFrame:
+        idf = self.idf.get(term)
+        if idf is not None and ids.size:
+            part = idf * bm25_tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
+        else:
+            part = np.zeros(ids.size, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "part": part,
+                "must_id": np.full(
+                    ids.size, self.must_id.get(term, -1), dtype=np.int32
+                ),
+                "is_not": np.full(
+                    ids.size, 1 if term in self.not_set else 0, dtype=np.int32
+                ),
+            }
+        )
+
+    def scores(self, term: str) -> bool:
+        return term in self.idf
+
+
 def _decode_row_blocks(row, block_idx, score: bool, cand_ids=None):
     """Decode the given blocks of one compressed postings row; when
     `cand_ids` (sorted int64) is given, keep only candidate postings.
     Membership-only rows (score=False) decode just the doc-id blob.
-    Returns (ids, tfs, dls) int64/int32/int64 arrays."""
+    Returns (ids, tfs, dls) int64 arrays."""
     from tangent_spark.codec import decode_block
 
     counts = row["counts"]
@@ -160,92 +198,48 @@ def _decode_row_blocks(row, block_idx, score: bool, cand_ids=None):
     )
 
 
-def _rows_frame(shard, term, ids, tfs, dls) -> pd.DataFrame:
+def _empty_out() -> pd.DataFrame:
     return pd.DataFrame(
-        {
-            "shard": np.full(ids.size, shard, dtype=np.int32),
-            "term": term,
-            "doc_id": ids,
-            "tf": tfs.astype(np.int32),
-            "dl": dls,
-        }
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
     )
 
 
-def _empty_rows() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "shard": pd.Series(dtype="int32"),
-            "term": pd.Series(dtype="object"),
-            "doc_id": pd.Series(dtype="int64"),
-            "tf": pd.Series(dtype="int32"),
-            "dl": pd.Series(dtype="int64"),
-        }
-    )
-
-
-def decoded_postings(
-    postings: DataFrame,
-    terms: list[str],
-    score_terms: set[str] | None = None,
+def _boolean_shard_kernel(
+    roles: _TermRoles, seed: str | None, n_must_check: int, k_local: int | None,
     counter=None,
-) -> DataFrame:
-    """Decode the given terms' compressed postings back to
-    (shard, term, doc_id, tf, dl) rows. The term filter is pushed to the
-    parquet scan (term-sorted files -> row-group pruning); decode is a
-    per-partition pandas pass, no shuffle. Terms OUTSIDE `score_terms`
-    (membership-only, e.g. must-not terms) decode only the doc-id blob
-    and emit tf=0/dl=1. `counter` (optional Spark accumulator) receives
-    the number of doc-id blocks decoded."""
-    score_set = set(terms) if score_terms is None else set(score_terms)
+):
+    """The per-shard conjunction kernel (see module docstring): decode
+    seed -> candidates -> block-skip restricted decode of the rest ->
+    per-doc aggregate -> must/not filter -> optional local top-k.
+    Input: ONE shard's matched compressed postings rows (pandas frame
+    with POSTINGS_SCHEMA columns). Output: (doc_id, score) rows.
+    `counter` receives the number of doc-id blocks decoded."""
 
-    def decode(batches):
-        for pdf in batches:
-            frames = []
-            decoded = 0
-            for _, row in pdf.iterrows():
-                n_blocks = len(row["counts"])
-                ids, tfs, dls = _decode_row_blocks(
-                    row, range(n_blocks), score=row["term"] in score_set
-                )
-                decoded += n_blocks
-                frames.append(_rows_frame(int(row["shard"]), row["term"], ids, tfs, dls))
-            if counter is not None and decoded:
-                counter.add(decoded)
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    return postings.filter(F.col("term").isin(terms)).mapInPandas(
-        decode, schema=_DECODE_SCHEMA
-    )
-
-
-def _restricted_decode(
-    postings: DataFrame,
-    terms: list[str],
-    cand: DataFrame,
-    score_terms: set[str],
-    counter=None,
-) -> DataFrame:
-    """Decode `terms`' postings restricted to the candidate docs, and
-    pass the candidate rows themselves through (they are the seed
-    term's already-decoded postings). Runs as ONE cogroup by shard —
-    the only shuffle moves the query-term postings rows plus the
-    candidate ids, both bounded by the seed term's df, never a head
-    term's list. Blocks whose doc range contains no candidate are
-    skipped from metadata alone (no decompression)."""
-    pf = postings.filter(F.col("term").isin(terms)) if terms else None
-
-    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
-        if len(right):
-            frames.append(right[["shard", "term", "doc_id", "tf", "dl"]])
-            cand_ids = np.unique(right["doc_id"].to_numpy(np.int64))
-        else:
-            cand_ids = np.zeros(0, dtype=np.int64)
         decoded = 0
-        if cand_ids.size and len(left):
-            for _, row in left.iterrows():
+        cand_ids = None
+        rest = pdf
+        if seed is not None:
+            sel = pdf["term"] == seed
+            seed_ids = []
+            for _, row in pdf[sel].iterrows():
+                n_blocks = len(row["counts"])
+                ids, tfs, dls = _decode_row_blocks(row, range(n_blocks), score=True)
+                decoded += n_blocks
+                seed_ids.append(ids)
+                frames.append(roles.frame(seed, ids, tfs, dls))
+            cand_ids = (
+                np.unique(np.concatenate(seed_ids))
+                if seed_ids
+                else np.zeros(0, dtype=np.int64)
+            )
+            rest = pdf[~sel]
+            if not cand_ids.size:  # shard holds no candidates at all
+                rest = rest.iloc[0:0]
+        for _, row in rest.iterrows():
+            n_blocks = len(row["counts"])
+            if cand_ids is not None:
                 firsts = np.asarray(row["first_docs"], dtype=np.int64)
                 his = np.empty_like(firsts)
                 his[:-1] = firsts[1:] - 1
@@ -253,28 +247,70 @@ def _restricted_decode(
                 lo = np.searchsorted(cand_ids, firsts, side="left")
                 hi = np.searchsorted(cand_ids, his, side="right")
                 needed = np.flatnonzero(hi > lo)
-                if not needed.size:
-                    continue
-                ids, tfs, dls = _decode_row_blocks(
-                    row, needed, score=row["term"] in score_terms, cand_ids=cand_ids
-                )
-                decoded += int(needed.size)
-                if ids.size:
-                    frames.append(
-                        _rows_frame(int(row["shard"]), row["term"], ids, tfs, dls)
-                    )
+            else:
+                needed = np.arange(n_blocks)
+            if not needed.size:
+                continue
+            ids, tfs, dls = _decode_row_blocks(
+                row, needed, score=roles.scores(row["term"]), cand_ids=cand_ids
+            )
+            decoded += int(needed.size)
+            if ids.size:
+                frames.append(roles.frame(row["term"], ids, tfs, dls))
         if counter is not None and decoded:
             counter.add(decoded)
         if not frames:
-            return _empty_rows()
-        return pd.concat(frames, ignore_index=True)
+            return _empty_out()
+        rows = pd.concat(frames, ignore_index=True)
+        g = rows.groupby("doc_id", sort=False)
+        score = g["part"].sum()
+        deny = g["is_not"].max()
+        nm = (
+            rows.loc[rows["must_id"] >= 0]
+            .groupby("doc_id", sort=False)["must_id"]
+            .nunique()
+            .reindex(score.index, fill_value=0)
+        )
+        keep = (nm == n_must_check) & (deny == 0)
+        out = pd.DataFrame(
+            {"doc_id": score.index[keep].astype(np.int64), "score": score[keep]}
+        ).reset_index(drop=True)
+        if k_local is not None and len(out) > k_local:
+            ordk = np.lexsort((out["doc_id"].to_numpy(), -out["score"].to_numpy()))
+            out = out.iloc[ordk[:k_local]].reset_index(drop=True)
+        return out
 
-    if pf is None:
-        return cand
-    return (
-        pf.groupby("shard")
-        .cogroup(cand.groupby("shard"))
-        .applyInPandas(kernel, schema=_DECODE_SCHEMA)
+    return run
+
+
+def _boolean_rows(
+    postings: DataFrame,
+    terms: list[str],
+    kernel,
+    shard_partitioned: bool,
+) -> DataFrame:
+    """Run the shard kernel over the matched postings rows. Warm
+    (shard_partitioned=True): the cached postings are already
+    partitioned by shard, so this is a shuffle-free mapInPandas that
+    regroups by shard inside each partition — ONE job end to end. Cold:
+    one repartition of the <=|terms| x n_shards matched compressed
+    rows (never decoded data)."""
+    pf = postings.filter(F.col("term").isin(terms))
+    if shard_partitioned:
+
+        def mp(batches):
+            rows = [p for p in batches if len(p)]
+            if not rows:
+                return
+            allp = pd.concat(rows, ignore_index=True)
+            for _, grp in allp.groupby("shard", sort=False):
+                out = kernel(grp.reset_index(drop=True))
+                if len(out):
+                    yield out
+
+        return pf.mapInPandas(mp, schema=_OUT_SCHEMA)
+    return pf.groupBy("shard").applyInPandas(
+        lambda pdf: kernel(pdf), schema=_OUT_SCHEMA
     )
 
 
@@ -316,13 +352,18 @@ def _boolean_plan(
     positions: DataFrame | None = None,
     decode_counter=None,
     df_lookup=None,
+    shard_partitioned: bool = False,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
     partitioned copies (Searcher.boolean — same plan, zero file I/O for
-    postings/positions). `df_lookup(terms) -> {term: df}` lets the warm
-    path answer the seed-selection lookup from its resident lexicon;
-    the cold path does one <=|must|-row filtered collect."""
+    postings/positions and zero shuffle). `df_lookup(terms) -> {term:
+    df}` lets the warm path answer the df lookup from its resident
+    lexicon (no job); the cold path does one <=|query|-row filtered
+    collect — the price of driver-side idf, which in turn keeps the
+    whole plan free of a stats broadcast join."""
+    import math
+
     cfg = store.get_config()
     q = parse_boolean_query(query, cfg)
     qts = q.positive_terms
@@ -335,75 +376,39 @@ def _boolean_plan(
 
     must = sorted(set(q.must))
     must_not = sorted(set(q.must_not))
-    score_set = set(qts)
+
+    # one bounded lookup resolves every positive term's df (idf) AND the
+    # seed choice; terms absent from the index simply have no idf/rows
+    if df_lookup is not None:
+        dfs = df_lookup(qts)
+    else:
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in term_stats.filter(F.col("term").isin(qts)).collect()
+        }
+    if any(t not in dfs for t in must):
+        # a must term absent from the index matches nothing
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    idf_map = {
+        t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
+    }
 
     if must:
-        if df_lookup is not None:
-            m_dfs = df_lookup(must)
-        else:
-            m_dfs = {
-                r["term"]: int(r["df"])
-                for r in term_stats.filter(F.col("term").isin(must)).collect()
-            }
-        if len(m_dfs) < len(must):
-            # a must term absent from the index matches nothing
-            return spark.createDataFrame([], "doc_id long, score double")
-        seed = min(must, key=lambda t: (m_dfs[t], t))
-        rest = sorted((score_set | set(must_not)) - {seed})
-        cand = decoded_postings(postings, [seed], counter=decode_counter)
-        rows = _restricted_decode(
-            postings, rest, cand, score_set, counter=decode_counter
-        )
+        seed = min(must, key=lambda t: (dfs[t], t))
         must_check = [t for t in must if t != seed]
+        all_terms = sorted(set(qts) | set(must_not))
     else:
-        rows = decoded_postings(
-            postings,
-            sorted(score_set | set(must_not)),
-            score_terms=score_set,
-            counter=decode_counter,
-        )
+        seed = None
         must_check = []
-
-    qstats = (
-        term_stats.filter(F.col("term").isin(qts))
-        .select(
-            "term",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ).alias("idf"),
-        )
+        all_terms = sorted(set(qts) | set(must_not))
+    roles = _TermRoles(idf_map, must_check, must_not, cfg.k1, cfg.b, avgdl)
+    # local top-k per shard is only safe when no phrase clause can
+    # filter the aggregate further
+    k_local = k if not (q.phrases or q.not_phrases) else None
+    kernel = _boolean_shard_kernel(
+        roles, seed, len(must_check), k_local, counter=decode_counter
     )
-    # ONE aggregate computes score + must coverage + must-not flag —
-    # membership never pays a second decode or a pre-shuffle of its own.
-    aggs = [F.coalesce(F.sum("part"), F.lit(0.0)).alias("score")]
-    aggs.append(
-        (
-            F.countDistinct(F.when(F.col("term").isin(must_check), F.col("term")))
-            if must_check
-            else F.max(F.lit(0))
-        ).alias("_nm")
-    )
-    aggs.append(
-        (
-            F.max(F.when(F.col("term").isin(must_not), 1).otherwise(0))
-            if must_not
-            else F.max(F.lit(0))
-        ).alias("_deny")
-    )
-    scored = (
-        rows.join(F.broadcast(qstats), "term", "left")
-        .withColumn(
-            "part",
-            F.col("idf")
-            * F.col("tf") * (cfg.k1 + 1.0)
-            / (F.col("tf") + cfg.k1 * (1.0 - cfg.b + cfg.b * F.col("dl") / F.lit(avgdl))),
-        )
-        .groupBy("doc_id")
-        .agg(*aggs)
-        .filter((F.col("_nm") == len(must_check)) & (F.col("_deny") == 0))
-        .select("doc_id", "score")
-    )
+    scored = _boolean_rows(postings, all_terms, kernel, shard_partitioned)
     if q.phrases or q.not_phrases:
         from tangent_spark.plans.phrase import phrase_match_positions
 

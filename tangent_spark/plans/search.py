@@ -576,6 +576,7 @@ class Searcher:
             positions=self.positions,
             decode_counter=decode_counter,
             df_lookup=self._resolve_dfs,
+            shard_partitioned=True,
         )
 
     def _warm_positions(self) -> DataFrame:

@@ -365,3 +365,24 @@ def test_warm_phrase_and_snippets_match_cold(spark, store, corpus):
         assert warm_s == cold_s and len(warm_s) == 5
     finally:
         s.close()
+
+
+def test_warm_boolean_is_one_job_zero_shuffle(spark, store):
+    """Round-4 plan shape: the whole warm conjunction (seed decode,
+    restricted decode, aggregate, must/not filter, local top-k) runs
+    inside one per-shard kernel over the cached partitions — ONE Spark
+    job, no shuffle."""
+    s = Searcher(spark, store)
+    try:
+        s.boolean("matrix +theorem -slow", 10).collect()  # warm the path
+        sc = spark.sparkContext
+        sc.setJobGroup("bool_one_job", "boolean one-job check")
+        try:
+            rows = s.boolean("matrix +theorem -slow", 10).collect()
+        finally:
+            sc.setJobGroup("bool_done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("bool_one_job")
+        assert len(jobs) == 1, f"warm boolean ran {len(jobs)} jobs"
+        assert rows
+    finally:
+        s.close()
