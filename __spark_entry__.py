@@ -247,12 +247,15 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": (
             # full probe (n_probe == n_centroids) is exact by construction,
             # so the brute-force cosine SQL is a genuine independent oracle
-            # of the IVF assignment/probe-join/re-score machinery
+            # of the IVF assignment/probe-join/re-score machinery. The
+            # engine side rounds to 6 inside _global_topk then to 4 in the
+            # entry; the oracle mirrors the same two-step rounding so a
+            # value sitting in the ~1e-7 boundary band cannot diverge.
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
             "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 3), "
             "s AS (SELECT p.query_id, e.vec_id, "
-            "round(list_dot_product(p.q, e.v) / "
-            "(sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 4)::DOUBLE AS cos "
+            "round(round(list_dot_product(p.q, e.v) / "
+            "(sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 6), 4)::DOUBLE AS cos "
             "FROM p CROSS JOIN e WHERE p.query_id <> e.vec_id), "
             "r AS (SELECT query_id, vec_id, cos, "
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "

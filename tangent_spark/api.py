@@ -102,10 +102,20 @@ def _formula_search(
         # markup span so the SLT parser sees a well-formed block, and
         # keep the surrounding plain text as the BM25 remainder
         # (mirrors the findall branch — prose is never fed to the
-        # SLT parser, fragment terms never to the text engine)
-        i, j = query.find("<"), query.rfind(">")
-        mathml = [f"<math>{query[i : j + 1]}</math>"]
-        text_rest = (query[:i] + " " + query[j + 1 :]).strip()
+        # SLT parser, fragment terms never to the text engine). The
+        # span starts at the first MATH-ish open tag (not any '<' —
+        # prose like "1<2" must not anchor it) and ends at the last
+        # '>'; markup too malformed to bracket (no closing '>') falls
+        # back to wrapping the whole query with no text remainder.
+        m = re.search(r"<(?:mws:qvar|m[a-z]+)\b", query, re.IGNORECASE)
+        j = query.rfind(">")
+        if m and j > m.start():
+            i = m.start()
+            mathml = [f"<math>{query[i : j + 1]}</math>"]
+            text_rest = (query[:i] + " " + query[j + 1 :]).strip()
+        else:
+            mathml = [f"<math>{query}</math>"]
+            text_rest = ""
     else:
         text_rest = _MATH_BLOCK.sub(" ", query).strip()
 

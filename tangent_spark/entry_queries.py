@@ -932,10 +932,12 @@ API_BM25_QUERY = "data query spark"
 API_BOOL_QUERY = "data query +spark -join"
 
 
-def _api_stores(spark, sf_dir, base):
+def _api_stores(spark, sf_dir, base, with_words=True):
     """Word + formula IndexStores for the front-door entry, built fresh
     under `base` (simple tokenizer — the SQL-expressible one; see module
-    docstring)."""
+    docstring). with_words=False skips the word-index build for
+    pure-math callers (the formula route never reads it); the formula
+    store stands in as the (untouched) words slot."""
     from tangent_spark.config import IndexConfig
     from tangent_spark.plans.formula import build_formula_index
     from tangent_spark.plans.indexer import build_index
@@ -943,8 +945,10 @@ def _api_stores(spark, sf_dir, base):
     from tangent_spark.api import SearchStores
 
     cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
-    words = build_index(spark, _docs(spark, sf_dir), f"{base}/w", cfg)
     formulas = build_formula_index(spark, _pages(spark), f"{base}/f", cfg)
+    if not with_words:
+        return SearchStores(words=formulas, formulas=formulas)
+    words = build_index(spark, _docs(spark, sf_dir), f"{base}/w", cfg)
     return SearchStores(words=words, formulas=formulas)
 
 
@@ -960,7 +964,7 @@ def api_formula_route(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="tangent_api_golden_")
     try:
-        ss = _api_stores(spark, sf_dir or "/root/testdata/sf0.001", base)
+        ss = _api_stores(spark, sf_dir, base, with_words=False)
         rows = [
             (int(r["doc_id"]), round(float(r["score"]), 4))
             for r in search(spark, ss, _FORMULA_QUERY, 10).collect()

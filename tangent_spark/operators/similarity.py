@@ -255,6 +255,7 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "q",
     centroids: np.ndarray | None = None,
+    indexed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer (spherical k-means) -> each query
     probes its n_probe nearest centroids -> candidates come from a
@@ -265,15 +266,20 @@ def cosine_topk_ivf(
     brute force, smaller trades recall for a proportional scan cut) —
     unlike hyperplane LSH whose recall is fixed by geometry. Cost ~
     (n_probe / n_centroids) of the full scan per query. Pass a
-    precomputed `centroids` to reuse a fit across query batches
-    (the serve-path shape: fit once at index time, probe at query time)."""
-    _require_integral_id(embeddings, id_col)
+    precomputed `centroids` (and optionally the matching `indexed`
+    (vec_id, cluster, v) assignment table) to reuse a fit across query
+    batches — the serve-path shape: fit + assign once at index time,
+    probe at query time (plans/ann.py serves off stored tables this
+    way)."""
+    if indexed is None:
+        _require_integral_id(embeddings, id_col)
     _require_integral_id(queries, query_id_col)
     if centroids is None:
         centroids = kmeans_fit(embeddings, n_centroids, n_iter, seed, id_col, vec_col)
     n_centroids = centroids.shape[0]
     n_probe = min(n_probe, n_centroids)
-    indexed = ivf_assign(embeddings, centroids, id_col, vec_col)
+    if indexed is None:
+        indexed = ivf_assign(embeddings, centroids, id_col, vec_col)
     # queries are the small broadcast side by contract: probe assignment
     # happens driver-side (n_queries x n_centroids dots)
     qrows = queries.select(

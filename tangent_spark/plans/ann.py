@@ -142,6 +142,32 @@ def load_codebooks(spark: SparkSession, store: IndexStore) -> np.ndarray:
     return B
 
 
+def _clean_ann_orphans(spark: SparkSession, store: IndexStore) -> None:
+    """Remove tagged part files of every UNCOMMITTED ann batch from the
+    live ann tables. IndexStore.orphan_tags only recognizes the
+    postings 'b<id>' tag family, so the ann 'ab<id>' tags need their
+    own sweep — without it, a batch that crashed between its two
+    copy_tagged calls leaves vectors permanently without codes: a later
+    batch's anti-join dedup would treat the orphaned vec_ids as
+    indexed, making them IVF-visible but PQ-invisible forever."""
+    import glob
+
+    stages = store.read_manifest()["stages"]
+    for t in ("ann_vectors", "ann_codes"):
+        tags = set()
+        for f in glob.glob(os.path.join(store.path(t), "ab*-*.parquet")):
+            name = os.path.basename(f)[: -len(".parquet")]
+            tag, _, suffix = name.rpartition("-")
+            if not (tag.startswith("ab") and suffix.isdigit()):
+                continue
+            st = stages.get("ann_batch_" + tag[2:])
+            if not st or st.get("status") != "committed":
+                tags.add(tag)
+        for tag in sorted(tags):
+            store.clean_tagged(t, tag)
+            spark.catalog.refreshByPath(store.path(t))
+
+
 def ann_append(
     spark: SparkSession,
     store: IndexStore,
@@ -153,14 +179,14 @@ def ann_append(
     """Append new vectors: assign + encode with the STORED quantizers
     (no retrain) and add tagged part files to ann_vectors/ann_codes —
     idempotent per batch_id at any crash point, exactly the postings
-    append protocol."""
+    append protocol (including the orphan sweep: leftovers of ANY
+    crashed, uncommitted batch are removed before the dedup reads the
+    live tables)."""
     stage = f"ann_batch_{batch_id}"
     if store.stage_done(stage):
         return store.read_manifest()["stages"][stage]["counters"]
+    _clean_ann_orphans(spark, store)
     tag = f"ab{batch_id}"
-    for t in ("ann_vectors", "ann_codes"):
-        store.clean_tagged(t, tag)
-        spark.catalog.refreshByPath(store.path(t))
     existing = spark.read.parquet(store.path("ann_vectors")).select("vec_id")
     fresh = embeddings.join(
         existing, embeddings[id_col] == existing.vec_id, "left_anti"
@@ -195,41 +221,25 @@ def ann_topk_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "q",
 ) -> DataFrame:
-    """IVF ANN off the stored index: probe the stored centroid table,
-    equi-join the stored cluster-tagged vectors, exact re-score. The
-    scan touches only the probed clusters' rows (cluster is the join
-    key; at scale ann_vectors is written partitioned by cluster so the
-    probe prunes at file level)."""
-    C = load_centroids(spark, store)
-    n_probe = min(n_probe, C.shape[0])
-    qrows = queries.select(
-        F.col(query_id_col).cast("long").alias("query_id"),
-        F.col(query_vec_col).cast("array<double>").alias("q"),
-    ).collect()
-    if not qrows:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, vec_id long, cos double"
-        )
-    probes = []
-    for r in qrows:
-        qn = _norm_rows(np.asarray(r["q"], dtype=np.float64)[None, :])[0]
-        for c in np.argsort(-(C @ qn), kind="stable")[:n_probe]:
-            probes.append((int(r["query_id"]), int(c)))
-    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
-    qs = spark.createDataFrame(
-        [(r["query_id"], r["q"]) for r in qrows], "query_id long, q array<double>"
-    )
-    from tangent_spark.operators.similarity import _cos_cols
+    """IVF ANN off the stored index: the standard cosine_topk_ivf
+    operator fed the STORED centroids + assignment table (no refit, no
+    reassign — ONE code path keeps the live and stored variants
+    rank-identical). The scan touches only the probed clusters' rows
+    (cluster is the join key; at scale ann_vectors is written
+    partitioned by cluster so the probe prunes at file level)."""
+    from tangent_spark.operators.similarity import cosine_topk_ivf
 
     indexed = spark.read.parquet(store.path("ann_vectors"))
-    scored = (
-        indexed.join(F.broadcast(probe_df), "cluster")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .join(F.broadcast(qs), "query_id")
-        .withColumn("cos", _cos_cols("q", "v"))
-        .select("query_id", "vec_id", "cos")
+    return cosine_topk_ivf(
+        indexed,  # only `indexed`/`centroids` are read below
+        queries,
+        k=k,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        centroids=load_centroids(spark, store),
+        indexed=indexed,
     )
-    return _global_topk(scored, k)
 
 
 def ann_topk_pq(

@@ -167,7 +167,10 @@ def snippet_topk(
             "index was built without positions (IndexConfig.store_positions)"
         )
     qts = query_terms(query, cfg.tokenizer)
-    top = bm25_topk_wand(spark, store, query, k)
+    # materialize the <=k top rows once (bounded collect) — the WAND
+    # subtree would otherwise execute twice (window candidates + join)
+    top_rows = bm25_topk_wand(spark, store, query, k).collect()
+    top = spark.createDataFrame(top_rows, "doc_id long, score double")
     pos = spark.read.parquet(store.path("positions"))
     wins = highlight_windows(pos, qts, candidates=top)
     return top.join(wins, "doc_id", "left").orderBy(

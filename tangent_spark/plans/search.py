@@ -604,11 +604,15 @@ class Searcher:
 
     def snippets(self, query: str, k: int) -> DataFrame:
         """Warm BM25 top-k + best highlight window per hit:
-        (doc_id, score, win_start, win_end, n_terms_covered)."""
+        (doc_id, score, win_start, win_end, n_terms_covered). The <=k
+        top rows are materialized once (bounded collect) so the topk
+        kernel doesn't run twice — once as the window candidate set and
+        once as the join side."""
         from tangent_spark.plans.phrase import highlight_windows
 
         qts = query_terms(query, self.cfg.tokenizer)
-        top = self.topk(query, k)
+        top_rows = self.topk(query, k).collect()
+        top = self.spark.createDataFrame(top_rows, "doc_id long, score double")
         wins = highlight_windows(self._warm_positions(), qts, candidates=top)
         return top.join(wins, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")

@@ -134,3 +134,50 @@ def test_ivf_empty_queries(spark, clustered, ann_store):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
     assert ann_topk_ivf(spark, ann_store, empty, k=5).count() == 0
+
+
+def test_append_cleans_foreign_orphans(spark, clustered, tmp_path):
+    """A batch that crashed between its two copy_tagged calls must not
+    poison later appends: the orphan sweep removes its files before the
+    dedup reads the live tables (otherwise its vec_ids would stay
+    IVF-visible but PQ-invisible forever)."""
+    import glob
+    import os
+
+    base = clustered.filter(F.col("vec_id") < 400)
+    mid = clustered.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 500))
+    last = clustered.filter(F.col("vec_id") >= 500)
+    store = build_ann_index(
+        spark, base, str(tmp_path / "annorph"), n_centroids=16, m=4, n_codes=64, seed=3
+    )
+    # simulate batch 7 crashing after ann_vectors copy but before
+    # ann_codes copy and before commit
+    from tangent_spark.operators.similarity import ivf_assign
+    from tangent_spark.plans.ann import load_centroids as _lc
+
+    staging = str(tmp_path / "crash_staging")
+    ivf_assign(mid, _lc(spark, store)).write.mode("overwrite").parquet(staging)
+    store.copy_tagged(staging, "ann_vectors", "ab7")
+    spark.catalog.refreshByPath(store.path("ann_vectors"))
+    assert glob.glob(os.path.join(store.path("ann_vectors"), "ab7-*.parquet"))
+
+    # a later append must sweep the orphans, then index its own batch
+    ann_append(spark, store, last, batch_id=8)
+    assert not glob.glob(os.path.join(store.path("ann_vectors"), "ab7-*.parquet"))
+    vec_ids = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(store.path("ann_vectors")).collect()
+    }
+    code_ids = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(store.path("ann_codes")).collect()
+    }
+    assert vec_ids == code_ids  # never IVF-visible but PQ-invisible
+    assert 450 not in vec_ids and 550 in vec_ids
+    # the crashed batch can now replay cleanly
+    ann_append(spark, store, mid, batch_id=7)
+    vec_ids2 = {
+        int(r["vec_id"])
+        for r in spark.read.parquet(store.path("ann_vectors")).collect()
+    }
+    assert 450 in vec_ids2

@@ -81,3 +81,27 @@ def test_search_bare_store(spark, stores):
     _, ss = stores
     got = search(spark, ss.words, "matrix", 3).collect()
     assert len(got) == 3
+
+
+def test_fragment_with_surrounding_text_keeps_text(spark, stores):
+    """A qvar fragment WITHOUT a <math> wrapper amid plain text: only
+    the markup span is wrapped for the SLT parser; the prose scores as
+    BM25 remainder (it must not be silently discarded)."""
+    _, ss = stores
+    q = 'matrix theorem <mws:qvar name="a"/> convergence'
+    rows = search(spark, ss, q, 5).collect()
+    assert rows  # combined math+text path produced hits
+    # sanity: the text contribution is real — dropping the prose (the
+    # pre-fix behavior wrapped EVERYTHING in <math>) must change results
+    rows_fragment_only = search(
+        spark, ss, '<mws:qvar name="a"/><mi>x</mi>', 5
+    ).collect()
+    assert [tuple(r) for r in rows] != [tuple(r) for r in rows_fragment_only]
+
+
+def test_malformed_fragment_does_not_crash(spark, stores):
+    _, ss = stores
+    # '<' with no closing '>' — falls back to whole-query wrap; the SLT
+    # parser rejects it and the result is simply empty, never a crash
+    rows = search(spark, ss, "solve <mws:qvar", 5).collect()
+    assert rows == [] or rows
