@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_window": eq.events_range_window,
         "events_pivot": eq.events_pivot,
         "lineitem_percentiles": eq.lineitem_percentiles,
+        "dedup_cc_components": eq.dedup_cc_components,
+        "merge_bm25_topk": eq.merge_bm25_topk,
+        "incremental_bm25_all": eq.incremental_bm25_all,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -430,5 +433,55 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(l_extendedprice, 0.5), 4)::DOUBLE AS p50, "
             "round(quantile_cont(l_extendedprice, 0.75), 4)::DOUBLE AS p75 "
             "FROM lineitem GROUP BY 1"
+        ),
+        # CC over the verified near-dup pair graph: same pair SQL as
+        # dedup_ngram_jaccard, then recursive-CTE reachability (UNION
+        # dedupes, so cycles terminate); component = min reachable id.
+        "dedup_cc_components": (
+            f"WITH RECURSIVE {_POS}, "
+            "g AS (SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1), "
+            "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i "
+            "FROM g x JOIN g y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2), "
+            "e AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(n, r) AS (SELECT u, u FROM (SELECT DISTINCT u FROM e) nn "
+            "UNION SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.n) "
+            "SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n"
+        ),
+        # merged-store BM25 == single-build-over-the-union: the oracle
+        # deliberately knows nothing about the split/merge — full-corpus
+        # BM25, so any merge defect (double-counted stats, lost runs,
+        # doc overlap) breaks the hash.
+        "merge_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_UNION_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1) "
+            "SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        # appended+compacted store == batch build: every matched doc (no
+        # top-k boundary, so no tie-break sensitivity across the
+        # append path's id renumbering).
+        "incremental_bm25_all": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "m AS (SELECT * FROM tf WHERE term IN ('index','data','fast')), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1) "
+            "SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id"
         ),
     }

@@ -175,9 +175,22 @@ def main() -> None:
         timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: cc_star/phrase_total/boolean_total
+    # were ADDED to the bench in round 4 (they did not exist in
+    # BENCH_r03), so the r3-comparable subtotal is reported alongside
+    # the full total — a bigger "value" vs r3 is new coverage, not a
+    # serving/build regression.
+    new_surfaces = round(
+        timings.get("cc_star", 0.0)
+        + timings.get("phrase_total", 0.0)
+        + timings.get("boolean_total", 0.0),
+        3,
+    )
     out = {
         "metric": "index-build + BM25 top-k serving + pipeline operators, wall seconds",
         "value": total,
+        "value_r3_comparable": round(total - new_surfaces, 3),
+        "new_surfaces_secs": new_surfaces,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -1058,3 +1058,109 @@ def ann_pq_topk(spark, sf_dir):
     )
     out = cosine_topk_pq(emb, probes, k=10, m=4, n_codes=32, refine=60, seed=7)
     return out.select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos"))
+
+
+# --- round 4: store-lifecycle + graph entries (merge / append / CC) --------
+
+def dedup_cc_components(spark, sf_dir):
+    """Connected components over the VERIFIED near-dup graph: edges are
+    the dedup_ngram_jaccard pairs (exact 3-gram Jaccard >= 0.2), labels
+    via alternating large-star/small-star (operators/dedup.
+    connected_components_star — the O(log^2 n)-round formulation that
+    survives billion-edge dedup graphs; 9.1M-edge run in BENCH.md).
+    component = min doc_id of the component. Oracle: DuckDB
+    recursive-CTE reachability over the identical pair SQL."""
+    from tangent_spark.operators.dedup import connected_components_star
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _rounds = connected_components_star(pairs)
+    return labels.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("doc_id")
+
+
+MERGE_QUERY = "data query spark"
+
+
+def merge_bm25_topk(spark, sf_dir):
+    """Exact index merge end-to-end (plans/merge.merge_indexes): the
+    documents table is split by doc_id parity, each half indexed
+    INDEPENDENTLY (A9's parallel chunk indexing), the two stores merged
+    (one (term, shard) shuffle, additive stats), and BM25 top-20 served
+    from the MERGED store through the real Searcher kernel. The oracle
+    is independent DuckDB BM25 SQL over the FULL documents table — i.e.
+    the driver verifies merged == single-build-over-the-union exactly
+    (scores, ranks, tie-breaks), not just internal consistency."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.indexer import build_index
+    from tangent_spark.plans.merge import merge_indexes
+    from tangent_spark.plans.search import Searcher
+
+    base = tempfile.mkdtemp(prefix="tangent_merge_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
+        a = build_index(spark, docs.filter(F.col("doc_id") % 2 == 0), f"{base}/a", cfg)
+        b = build_index(spark, docs.filter(F.col("doc_id") % 2 == 1), f"{base}/b", cfg)
+        merged = merge_indexes(spark, [a, b], f"{base}/m")
+        s = Searcher(spark, merged)
+        rows = [
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in s.topk(MERGE_QUERY, 20).collect()
+        ]
+        s.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "doc_id long, score double")
+
+
+INCR_QUERY = "index data fast"
+
+
+def incremental_bm25_all(spark, sf_dir):
+    """Incremental indexing end-to-end (streaming/incremental): batch 0
+    builds the store, batches 1-2 arrive via append_batch (the
+    crash-idempotent tagged-append protocol), compact_postings restores
+    1 run/(shard,term), and EVERY matched doc's BM25 score is served
+    from the compacted store. Batches are contiguous doc_id ranges with
+    zero-padded doc:// urls, so append's url-rank renumbering reproduces
+    the original doc_ids and the DuckDB twin (full-corpus BM25, no
+    top-k boundary — every matched doc, so no tie-break sensitivity)
+    compares directly on doc_id."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.indexer import build_index
+    from tangent_spark.plans.search import Searcher
+    from tangent_spark.streaming.incremental import append_batch, compact_postings
+
+    base = tempfile.mkdtemp(prefix="tangent_incr_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("doc://"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("url"),
+        )
+        n = docs.count()
+        c1, c2 = n // 3, 2 * n // 3
+        cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
+        store = build_index(
+            spark, docs.filter(F.col("doc_id") < c1), f"{base}/s", cfg, url_col="url"
+        )
+        append_batch(spark, store, docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)), 1)
+        append_batch(spark, store, docs.filter(F.col("doc_id") >= c2), 2)
+        compact_postings(spark, store)
+        s = Searcher(spark, store)
+        rows = [
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in s.topk(INCR_QUERY, n).collect()
+        ]
+        s.close()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "doc_id long, score double")
