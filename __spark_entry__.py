@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_components": eq.dedup_cc_components,
         "merge_bm25_topk": eq.merge_bm25_topk,
         "incremental_bm25_all": eq.incremental_bm25_all,
+        "delete_bm25_topk": eq.delete_bm25_topk,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -483,5 +484,36 @@ def oracle_sql() -> dict[str, str]:
             "), 4)::DOUBLE AS score "
             "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
             "GROUP BY m.doc_id"
+        ),
+        # deletion lifecycle, both phases: 'masked' = tombstoned docs
+        # excluded but stats/df FROZEN at the full corpus (Lucene
+        # live-docs until merge); 'compacted' = physical removal, all
+        # stats recomputed over the survivors.
+        "delete_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m0 AS (SELECT * FROM tf WHERE term IN {_UNION_IN}), "
+            "dfs0 AS (SELECT term, count(*)::DOUBLE AS df FROM m0 GROUP BY 1), "
+            "masked AS (SELECT 'masked' AS phase, m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m0 m JOIN dfs0 dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "WHERE m.doc_id % 7 <> 3 "
+            "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 20), "
+            "tok2 AS (SELECT * FROM tok WHERE doc_id % 7 <> 3), "
+            "tf2 AS (SELECT doc_id, term, count(*)::INT AS tf FROM tok2 GROUP BY 1, 2), "
+            "dl2 AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1), "
+            "stats2 AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl2), "
+            f"m2 AS (SELECT * FROM tf2 WHERE term IN {_UNION_IN}), "
+            "dfs2 AS (SELECT term, count(*)::DOUBLE AS df FROM m2 GROUP BY 1), "
+            "compacted AS (SELECT 'compacted' AS phase, m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl2.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m2 m JOIN dfs2 dfs USING (term) JOIN dl2 USING (doc_id) CROSS JOIN stats2 s "
+            "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 20) "
+            "SELECT phase, doc_id, score FROM masked "
+            "UNION ALL SELECT phase, doc_id, score FROM compacted"
         ),
     }

@@ -1164,3 +1164,48 @@ def incremental_bm25_all(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(sorted(rows), "doc_id long, score double")
+
+
+DELETE_QUERY = "data query spark"
+
+
+def delete_bm25_topk(spark, sf_dir):
+    """Document deletion lifecycle end-to-end (streaming/incremental.
+    delete_docs + compact_postings), BOTH phases oracle-checked:
+
+    phase 'masked'    — tombstones only (docs where doc_id % 7 == 3):
+        serving MASKS them immediately while survivor scores stay at
+        index-time stats (Lucene live-docs: deleted docs still count
+        toward df/avgdl until merge). Twin: BM25 with stats/df over the
+        FULL corpus, scoring restricted to survivors.
+    phase 'compacted' — after compact_postings the removal is physical
+        and stats are recomputed, so the store must equal a fresh build
+        over the survivors. Twin: BM25 recomputed over survivors only.
+    """
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.indexer import build_index
+    from tangent_spark.plans.search import Searcher
+    from tangent_spark.streaming.incremental import compact_postings, delete_docs
+
+    base = tempfile.mkdtemp(prefix="tangent_delete_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
+        store = build_index(spark, docs, f"{base}/s", cfg)
+        delete_docs(spark, store, docs.filter(F.col("doc_id") % 7 == 3), 1)
+        out = []
+        for phase in ("masked", "compacted"):
+            s = Searcher(spark, store)
+            out += [
+                (phase, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in s.topk(DELETE_QUERY, 20).collect()
+            ]
+            s.close()
+            if phase == "masked":
+                compact_postings(spark, store)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")

@@ -154,12 +154,14 @@ class _TermRoles:
         return term in self.idf
 
 
-def _decode_row_blocks(row, block_idx, score: bool, cand_ids=None):
+def _decode_row_blocks(row, block_idx, score: bool, cand_ids=None, deleted=None):
     """Decode the given blocks of one compressed postings row; when
-    `cand_ids` (sorted int64) is given, keep only candidate postings.
+    `cand_ids` (sorted int64) is given, keep only candidate postings;
+    `deleted` (sorted int64 tombstones) ids are masked out first.
     Membership-only rows (score=False) decode just the doc-id blob.
     Returns (ids, tfs, dls) int64 arrays."""
     from tangent_spark.codec import decode_block
+    from tangent_spark.plans.search import _deleted_mask
 
     counts = row["counts"]
     d_cuts = np.asarray(row["d_cuts"])
@@ -169,14 +171,14 @@ def _decode_row_blocks(row, block_idx, score: bool, cand_ids=None):
     for bi in block_idx:
         cnt = int(counts[bi])
         ids = decode_block(row["docs_blob"], d_cuts, bi, cnt, True).astype(np.int64)
+        mask = _deleted_mask(ids, deleted)
         if cand_ids is not None:
             idx = np.searchsorted(cand_ids, ids)
             idx_c = np.minimum(idx, cand_ids.size - 1)
-            mask = cand_ids[idx_c] == ids
-            if not mask.any():
-                continue
-        else:
-            mask = None
+            cmask = cand_ids[idx_c] == ids
+            mask = cmask if mask is None else (mask & cmask)
+        if mask is not None and not mask.any():
+            continue
         if score:
             tfs = decode_block(row["tfs_blob"], t_cuts, bi, cnt, False).astype(np.int64)
             dls = decode_block(row["dls_blob"], l_cuts, bi, cnt, False).astype(np.int64)
@@ -206,7 +208,7 @@ def _empty_out() -> pd.DataFrame:
 
 def _boolean_shard_kernel(
     roles: _TermRoles, seed: str | None, n_must_check: int, k_local: int | None,
-    counter=None,
+    counter=None, deleted=None,
 ):
     """The per-shard conjunction kernel (see module docstring): decode
     seed -> candidates -> block-skip restricted decode of the rest ->
@@ -225,7 +227,9 @@ def _boolean_shard_kernel(
             seed_ids = []
             for _, row in pdf[sel].iterrows():
                 n_blocks = len(row["counts"])
-                ids, tfs, dls = _decode_row_blocks(row, range(n_blocks), score=True)
+                ids, tfs, dls = _decode_row_blocks(
+                    row, range(n_blocks), score=True, deleted=deleted
+                )
                 decoded += n_blocks
                 seed_ids.append(ids)
                 frames.append(roles.frame(seed, ids, tfs, dls))
@@ -252,7 +256,8 @@ def _boolean_shard_kernel(
             if not needed.size:
                 continue
             ids, tfs, dls = _decode_row_blocks(
-                row, needed, score=roles.scores(row["term"]), cand_ids=cand_ids
+                row, needed, score=roles.scores(row["term"]), cand_ids=cand_ids,
+                deleted=deleted,
             )
             decoded += int(needed.size)
             if ids.size:
@@ -326,6 +331,8 @@ def boolean_topk(
 
     Raises ValueError if the query has no positive clause, or if it
     carries a phrase but the index was built without positions."""
+    from tangent_spark.plans.search import load_deleted_ids
+
     cs = store.read(spark, "corpus_stats").collect()[0]
     return _boolean_plan(
         spark,
@@ -337,6 +344,7 @@ def boolean_topk(
         n_docs=int(cs["n_docs"]),
         avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
         decode_counter=decode_counter,
+        deleted=load_deleted_ids(spark, store),
     )
 
 
@@ -353,6 +361,7 @@ def _boolean_plan(
     decode_counter=None,
     df_lookup=None,
     shard_partitioned: bool = False,
+    deleted=None,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -406,7 +415,8 @@ def _boolean_plan(
     # filter the aggregate further
     k_local = k if not (q.phrases or q.not_phrases) else None
     kernel = _boolean_shard_kernel(
-        roles, seed, len(must_check), k_local, counter=decode_counter
+        roles, seed, len(must_check), k_local, counter=decode_counter,
+        deleted=deleted,
     )
     scored = _boolean_rows(postings, all_terms, kernel, shard_partitioned)
     if q.phrases or q.not_phrases:

@@ -51,6 +51,14 @@ def merge_indexes(
     if any(c != cfgs[0] for c in cfgs[1:]):
         raise ValueError("cannot merge indexes built with different configs")
     cfg = cfgs[0]
+    from tangent_spark.plans.search import load_deleted_ids
+
+    for s in stores:
+        if load_deleted_ids(spark, s).size:
+            raise ValueError(
+                f"store {s.root} has live tombstones — run compact_postings "
+                "first (merging uncompacted deletes would resurrect docs)"
+            )
 
     out = IndexStore(out_dir)
     out.set_config(cfg)

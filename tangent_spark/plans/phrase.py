@@ -68,9 +68,13 @@ def phrase_topk(
     terms = [t for t in _phrase_terms(phrase, cfg.tokenizer)]
     if not terms:
         return spark.createDataFrame([], "doc_id long, phrase_tf int")
+    from tangent_spark.plans.search import filter_deleted, load_deleted_ids
+
     pos = spark.read.parquet(store.path("positions"))
     return (
-        phrase_match_positions(pos, terms)
+        filter_deleted(
+            phrase_match_positions(pos, terms), load_deleted_ids(spark, store)
+        )
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
         .limit(k)
     )

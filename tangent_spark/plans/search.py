@@ -116,7 +116,49 @@ _WAND_SCHEMA = (
 _MAXDOC = np.int64(2**62)
 
 
-def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None):
+def load_deleted_ids(spark: SparkSession, store: IndexStore) -> np.ndarray:
+    """Sorted int64 doc ids currently tombstoned (empty array when the
+    index has no tombstones). Lucene live-docs discipline: serving
+    kernels MASK these ids at decode time; postings/positions/stats are
+    physically cleaned at the next compaction
+    (streaming.incremental.delete_docs / compact_postings). Driver-side
+    by design — the live tombstone set between compactions is bounded
+    (8 B/doc; Lucene holds the same information as an in-memory
+    per-segment bitset). Block-max pruning stays EXACT under masking:
+    block upper bounds computed over a superset of live postings can
+    only overestimate, so no live doc is ever pruned wrongly."""
+    tdir = store.path("tombstones")
+    if not os.path.isdir(tdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(tdir)
+    ):
+        return np.zeros(0, dtype=np.int64)
+    rows = spark.read.parquet(tdir).select("doc_id").collect()
+    if not rows:
+        return np.zeros(0, dtype=np.int64)
+    return np.unique(np.asarray([r["doc_id"] for r in rows], dtype=np.int64))
+
+
+def _deleted_mask(ids: np.ndarray, deleted: np.ndarray) -> np.ndarray | None:
+    """Boolean keep-mask over sorted-or-not `ids` vs sorted `deleted`;
+    None when nothing is masked (fast path)."""
+    if deleted is None or not deleted.size or not ids.size:
+        return None
+    pos = np.minimum(np.searchsorted(deleted, ids), deleted.size - 1)
+    keep = deleted[pos] != ids
+    return None if keep.all() else keep
+
+
+def filter_deleted(df: DataFrame, deleted: np.ndarray | None) -> DataFrame:
+    """Drop tombstoned doc_ids from a per-doc DataFrame. The literal
+    isin list is bounded by the live tombstone set (small between
+    compactions by contract); the decode-path kernels use the numpy
+    mask instead — this is only for positions-derived surfaces."""
+    if deleted is None or not deleted.size:
+        return df
+    return df.filter(~F.col("doc_id").isin([int(d) for d in deleted]))
+
+
+def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None):
     """Per-shard kernel: block-max pruning via an interval sweep.
 
     Input rows carry a precomputed `idf` column (joined JVM-side so the
@@ -220,6 +262,9 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None):
                     dls = decode_block(
                         row["dls_blob"], np.asarray(row["l_cuts"]), bi, cnt, False
                     ).astype(np.int64)
+                    dm = _deleted_mask(ids, deleted)
+                    if dm is not None:  # tombstoned docs never score
+                        ids, tfs, dls = ids[dm], tfs[dm], dls[dm]
                     contrib = float(row["idf"]) * bm25_tf_norm(
                         tfs, dls, avgdl, cfg.k1, cfg.b
                     )
@@ -275,6 +320,7 @@ def _wand_plan(
     cfg: IndexConfig,
     k: int,
     with_metrics: bool,
+    deleted=None,
 ) -> DataFrame:
     """The whole query as ONE declarative plan: filter postings to the
     query terms (parquet row-group pruning / in-memory scan), broadcast-
@@ -287,7 +333,7 @@ def _wand_plan(
             + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
-    kern = _score_shard(avgdl, cfg, k)
+    kern = _score_shard(avgdl, cfg, k, deleted=deleted)
 
     def apply_kern(pdf: pd.DataFrame) -> pd.DataFrame:
         return kern(pdf)
@@ -328,6 +374,7 @@ def bm25_topk_wand(
         cfg,
         k,
         with_metrics,
+        deleted=load_deleted_ids(spark, store),
     )
 
 
@@ -400,6 +447,9 @@ class Searcher:
         cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
         self.n_docs = int(cs["n_docs"])
         self.avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
+        # point-in-time tombstone snapshot (Lucene reader semantics):
+        # deletes made after warm-up need a new Searcher to be seen
+        self.deleted = load_deleted_ids(spark, store)
         self.term_stats = (
             spark.read.parquet(store.path("term_stats"))
             .select("term", "df")
@@ -473,7 +523,9 @@ class Searcher:
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
         add_idf = _idf_from_g_df(self.n_docs)
-        shard_kernel = _score_shard(self.avgdl, self.cfg, k, counter=decode_counter)
+        shard_kernel = _score_shard(
+            self.avgdl, self.cfg, k, counter=decode_counter, deleted=self.deleted
+        )
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = [pdf for pdf in batches if len(pdf)]
@@ -521,7 +573,9 @@ class Searcher:
             )
         all_terms = sorted({t for qts in qterms.values() for t in qts})
         add_idf = _idf_from_g_df(self.n_docs)
-        shard_kernel = _score_shard(self.avgdl, self.cfg, k, counter=decode_counter)
+        shard_kernel = _score_shard(
+            self.avgdl, self.cfg, k, counter=decode_counter, deleted=self.deleted
+        )
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows = [pdf for pdf in batches if len(pdf)]
@@ -577,6 +631,7 @@ class Searcher:
             decode_counter=decode_counter,
             df_lookup=self._resolve_dfs,
             shard_partitioned=True,
+            deleted=self.deleted,
         )
 
     def _warm_positions(self) -> DataFrame:
@@ -597,7 +652,9 @@ class Searcher:
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, phrase_tf int")
         return (
-            phrase_match_positions(self._warm_positions(), terms)
+            filter_deleted(
+                phrase_match_positions(self._warm_positions(), terms), self.deleted
+            )
             .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
             .limit(k)
         )
@@ -638,6 +695,8 @@ def bm25_topk_index_full(
     N, avgdl = int(cs["n_docs"]), float(cs["avgdl"]) if cs["avgdl"] else 1.0
     k1, b = cfg.k1, cfg.b
 
+    deleted = load_deleted_ids(spark, store)
+
     def decode_all(batches):
         from tangent_spark.codec import decode_posting_list
 
@@ -649,6 +708,9 @@ def bm25_topk_index_full(
                     np.asarray(row["d_cuts"]), np.asarray(row["t_cuts"]),
                     np.asarray(row["l_cuts"]), row["counts"],
                 )
+                dm = _deleted_mask(ids.astype(np.int64), deleted)
+                if dm is not None:
+                    ids, tfs, dls = ids[dm], tfs[dm], dls[dm]
                 out_docs.append(ids)
                 out_scores.append(
                     float(row["idf"]) * bm25_tf_norm(tfs, dls, avgdl, k1, b)

@@ -22,6 +22,9 @@ Layout under <root>/:
                                    -- stage 'postings': compressed blocks
     docs/         (parquet)        -- stage 'docs':     doc_id, url (dictionary)
     metrics/      (parquet)        -- per-shard lineage counters
+    tombstones/   (parquet)        -- stages 'delete_<id>': doc_id marks
+                                      (masked at serve; physically removed
+                                      + reset by the next compaction)
 """
 
 from __future__ import annotations

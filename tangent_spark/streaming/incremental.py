@@ -38,6 +38,22 @@ them into one run per (shard, term) (exact: batches only add new doc
 ids), writes a fresh postings version, verifies the postings-mass
 invariant, and flips the pointer atomically. Query correctness never
 depends on it; it restores the one-run invariant.
+
+Deletes (`delete_docs`): Lucene live-docs discipline. A delete batch
+appends its doc ids to a `tombstones` table via the same tagged
+crash-idempotent protocol; every serving kernel (WAND, boolean,
+phrase — plans/search.load_deleted_ids) MASKS tombstoned ids at decode
+time immediately, while survivor scores stay at index-time stats
+(deleted docs keep counting toward df/avgdl — exactly Lucene before a
+segment merge; block-max bounds over a superset only overestimate, so
+pruning stays exact). The next compact_postings makes deletes
+physical: postings/positions/docs/terms drop the docs, term_stats and
+corpus_stats are recomputed with build_index's exact math, tombstones
+reset to empty — all pointer-flipped in one atomic manifest commit,
+after which the store EQUALS a fresh build over the survivors
+(tests/test_delete.py). Fresh append ids come from the doc-id
+high-water mark, never the doc count, so ids of removed docs are never
+reused.
 """
 
 from __future__ import annotations
@@ -87,7 +103,14 @@ def append_batch(
         spark.catalog.refreshByPath(store.path(t))
 
     existing_docs = spark.read.parquet(store.path("docs"))
-    n0 = existing_docs.count()
+    hw = existing_docs.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    # high-water mark, NOT count: after delete_docs + compaction removes
+    # docs, count < max_id + 1 and count-based fresh ids would COLLIDE
+    # with surviving docs (for dense never-deleted stores the two are
+    # identical, so pre-delete behavior is unchanged)
+    n0 = int(hw["mx"]) + 1 if int(hw["n"]) else 0
     fresh = pages.join(
         existing_docs.select("url"), pages[url_col] == existing_docs.url, "left_anti"
     )
@@ -194,6 +217,90 @@ def append_batch(
     return counters
 
 
+def _clean_delete_orphans(spark: SparkSession, store: IndexStore) -> None:
+    """Remove tagged tombstone part files of every UNCOMMITTED delete
+    batch (tag family 'del<id>' — store.orphan_tags only knows the
+    postings 'b<id>' family). Without this, compaction would bake a
+    crashed delete's rows in untagged and the replay would then delete
+    the same docs twice (breaking the removed-mass invariant)."""
+    import glob
+
+    stages = store.read_manifest()["stages"]
+    tdir = store.path("tombstones")
+    if not os.path.isdir(tdir):
+        return
+    tags = set()
+    for f in glob.glob(os.path.join(tdir, "del*-*.parquet")):
+        name = os.path.basename(f)[: -len(".parquet")]
+        tag, _, suffix = name.rpartition("-")
+        if not (tag.startswith("del") and suffix.isdigit()):
+            continue
+        st = stages.get("delete_" + tag[3:])
+        if not st or st.get("status") != "committed":
+            tags.add(tag)
+    for tag in sorted(tags):
+        store.clean_tagged("tombstones", tag)
+        spark.catalog.refreshByPath(tdir)
+
+
+def delete_docs(
+    spark: SparkSession,
+    store: IndexStore,
+    doc_ids,
+    batch_id: int | str,
+) -> dict:
+    """Mark docs deleted (Lucene live-docs discipline): append their ids
+    to the tombstones table as one tagged part-file set — idempotent per
+    batch_id at any crash point, the postings append protocol. Serving
+    kernels mask tombstoned ids at decode time IMMEDIATELY (block-max
+    bounds over a superset only overestimate, so pruning stays exact);
+    postings/positions/docs/terms/stats are physically cleaned by the
+    next compact_postings. Stats stay at their index-time values until
+    that compaction — exactly Lucene's behavior, where deleted docs
+    still count toward df/avgdl until segments merge.
+
+    doc_ids: a DataFrame with a doc_id column, or an iterable of ints.
+    A warm Searcher holds a point-in-time tombstone snapshot; build a
+    new one to observe this delete."""
+    stage = f"delete_{batch_id}"
+    if store.stage_done(stage):
+        return store.read_manifest()["stages"][stage]["counters"]
+    _clean_delete_orphans(spark, store)
+    tag = f"del{batch_id}"
+    store.clean_tagged("tombstones", tag)
+    spark.catalog.refreshByPath(store.path("tombstones"))
+
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+    ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    # only ids that exist and aren't already tombstoned — keeps the
+    # counters and the compaction removed-mass arithmetic exact
+    ids = ids.join(
+        spark.read.parquet(store.path("docs")).select("doc_id"), "doc_id", "left_semi"
+    )
+    n_requested = ids.count()
+    tdir = store.path("tombstones")
+    if os.path.isdir(tdir) and any(
+        f.endswith(".parquet") for f in os.listdir(tdir)
+    ):
+        ids = ids.join(
+            spark.read.parquet(tdir).select("doc_id"), "doc_id", "left_anti"
+        )
+    staging = os.path.join(store.root, f"_staging_{stage}")
+    ids.coalesce(1).write.mode("overwrite").parquet(staging)
+    n_new = spark.read.parquet(staging).count()
+    store.copy_tagged(staging, "tombstones", tag)
+    # lineage marker so stage_done's file check passes for this table
+    open(os.path.join(store.path("tombstones"), "_SUCCESS"), "a").close()
+    spark.catalog.refreshByPath(store.path("tombstones"))
+    counters = {"marked": int(n_new), "requested_live": int(n_requested)}
+    store.commit_stage(stage, ["tombstones"], counters)
+    shutil.rmtree(staging, ignore_errors=True)
+    return counters
+
+
 def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
     """Merge every (shard, term)'s runs into a single compressed run and
     atomically flip the postings table to the compacted version.
@@ -223,12 +330,36 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
         for tag in store.orphan_tags(table):
             store.clean_tagged(table, tag)
             spark.catalog.refreshByPath(store.path(table))
+    _clean_delete_orphans(spark, store)
+
+    # tombstones (delete_docs): compaction is where marked deletes become
+    # physical — postings/positions/docs/terms drop the docs, stats are
+    # recomputed exactly, and the tombstone set resets to empty
+    tomb = None
+    n_deleted = 0
+    tdir = store.path("tombstones")
+    if os.path.isdir(tdir) and any(f.endswith(".parquet") for f in os.listdir(tdir)):
+        tomb = spark.read.parquet(tdir).select("doc_id").distinct().persist()
+        n_deleted = tomb.count()
+        if n_deleted == 0:
+            tomb.unpersist()
+            tomb = None
+
     nxt = store.table_version("postings") + 1
     t0 = time.time()
     p = spark.read.parquet(store.path("postings"))
     before = p.agg(
         F.count("*").alias("runs"), F.sum("df").alias("mass")
     ).collect()[0]
+    # the removed-mass invariant needs the exact posting count of the
+    # deleted docs; the terms table mirrors postings row-for-row
+    expected_removed = 0
+    if tomb is not None:
+        expected_removed = (
+            spark.read.parquet(store.path("terms"))
+            .join(tomb, "doc_id", "left_semi")
+            .count()
+        )
 
     def decode_rows(batches):
         for pdf in batches:
@@ -250,9 +381,13 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
                 yield pd.concat(frames, ignore_index=True)
 
     shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
+    decoded = p.mapInPandas(
+        decode_rows, schema="shard int, term string, doc_id long, tf int, dl long"
+    )
+    if tomb is not None:
+        decoded = decoded.join(F.broadcast(tomb), "doc_id", "left_anti")
     compacted = (
-        p.mapInPandas(decode_rows, schema="shard int, term string, doc_id long, tf int, dl long")
-        .repartition(shard_parts, "term", "shard")
+        decoded.repartition(shard_parts, "term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
         .mapInPandas(_encode_runs(cfg), schema=POSTINGS_SCHEMA)
     )
@@ -260,18 +395,73 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
     compacted.write.mode("overwrite").parquet(out)
     q = spark.read.parquet(out)
     after = q.agg(F.count("*").alias("runs"), F.sum("df").alias("mass")).collect()[0]
-    if int(after["mass"] or 0) != int(before["mass"] or 0):
+    if int(after["mass"] or 0) != int(before["mass"] or 0) - expected_removed:
         raise AssertionError(
-            f"compaction lost postings: {before['mass']} -> {after['mass']}"
+            f"compaction postings-mass mismatch: {before['mass']} -> "
+            f"{after['mass']} (expected removal of {expected_removed})"
         )
     counters = {
         "runs_before": int(before["runs"]),
         "runs_after": int(after["runs"]),
         "postings": int(after["mass"] or 0),
+        "deleted_docs": int(n_deleted),
+        "deleted_postings": int(expected_removed),
         "secs": time.time() - t0,
     }
     flips = {"postings": nxt}
     stage_tables = ["postings"]
+
+    if tomb is not None:
+        # physical removal beyond postings: docs/terms drop the deleted
+        # rows, stats are recomputed from the cleaned terms table with
+        # build_index's exact math, and tombstones reset to empty — all
+        # pointer-flipped in the same atomic manifest commit below
+        dv = store.table_version("docs") + 1
+        docs_clean = spark.read.parquet(store.path("docs")).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        docs_clean.write.mode("overwrite").parquet(store.versioned_path("docs", dv))
+        n_docs_after = spark.read.parquet(store.versioned_path("docs", dv)).count()
+
+        tv = store.table_version("terms") + 1
+        terms_clean = spark.read.parquet(store.path("terms")).join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        terms_clean.write.mode("overwrite").parquet(store.versioned_path("terms", tv))
+        terms_clean = spark.read.parquet(store.versioned_path("terms", tv))
+
+        sv = store.table_version("term_stats") + 1
+        (
+            terms_clean.groupBy("term")
+            .agg(F.count("*").cast("int").alias("df"), F.sum("tf").alias("cf"))
+            .write.mode("overwrite")
+            .parquet(store.versioned_path("term_stats", sv))
+        )
+        cv = store.table_version("corpus_stats") + 1
+        (
+            terms_clean.agg(
+                F.lit(n_docs_after).alias("n_docs"),
+                F.sum("tf").cast("long").alias("total_tokens"),
+                (F.sum("tf") / F.lit(n_docs_after)).alias("avgdl"),
+            )
+            .write.mode("overwrite")
+            .parquet(store.versioned_path("corpus_stats", cv))
+        )
+        tsv = store.table_version("tombstones") + 1
+        spark.createDataFrame([], "doc_id long").write.mode("overwrite").parquet(
+            store.versioned_path("tombstones", tsv)
+        )
+        flips.update(
+            {
+                "docs": dv,
+                "terms": tv,
+                "term_stats": sv,
+                "corpus_stats": cv,
+                "tombstones": tsv,
+            }
+        )
+        stage_tables += ["docs", "terms", "term_stats", "corpus_stats", "tombstones"]
+        counters["n_docs_after"] = int(n_docs_after)
 
     # positions ride the same compaction: appends add one tagged part-file
     # set per batch with no rewrite path of their own (round-3 review:
@@ -283,6 +473,11 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
     if cfg.store_positions and os.path.isdir(store.path("positions")):
         pnxt = store.table_version("positions") + 1
         pos = spark.read.parquet(store.path("positions"))
+        if tomb is not None:
+            # deleted docs leave the positions table with the same
+            # anti-join; the row/mass invariant below is computed on the
+            # already-filtered rows (write-lost-nothing check)
+            pos = pos.join(F.broadcast(tomb), "doc_id", "left_anti")
         pb = pos.agg(
             F.count("*").alias("rows"), F.sum(F.size("positions")).alias("mass")
         ).collect()[0]
@@ -304,6 +499,8 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
         flips["positions"] = pnxt
         stage_tables.append("positions")
 
+    if tomb is not None:
+        tomb.unpersist()
     store.commit_stage(f"compact_v{nxt}", stage_tables, counters, table_flips=flips)
     return counters
 
