@@ -54,6 +54,14 @@ after which the store EQUALS a fresh build over the survivors
 (tests/test_delete.py). Fresh append ids come from the doc-id
 high-water mark, never the doc count, so ids of removed docs are never
 reused.
+
+Updates (`update_docs`): Lucene's updateDocument = delete-then-add
+under one key (the url). Tombstone every live doc serving one of the
+batch's urls, then append the batch — append's already-indexed-url
+anti-join excludes tombstoned docs, so the re-crawl gets a fresh doc id
+and serves immediately while the stale crawl is masked; compaction
+removes the stale rows. Two committed stages, each independently
+crash-idempotent.
 """
 
 from __future__ import annotations
@@ -111,8 +119,19 @@ def append_batch(
     # with surviving docs (for dense never-deleted stores the two are
     # identical, so pre-delete behavior is unchanged)
     n0 = int(hw["mx"]) + 1 if int(hw["n"]) else 0
+    n_existing = int(hw["n"])
+    # the already-indexed-url set excludes tombstoned docs: a url whose
+    # only doc is deleted (delete_docs/update_docs) must be re-addable —
+    # Lucene's updateDocument is exactly delete-then-add under one key
+    live = existing_docs.select("doc_id", "url")
+    tdir = store.path("tombstones")
+    if os.path.isdir(tdir) and any(f.endswith(".parquet") for f in os.listdir(tdir)):
+        live = live.join(
+            spark.read.parquet(tdir).select("doc_id"), "doc_id", "left_anti"
+        )
+    live_urls = live.select("url")
     fresh = pages.join(
-        existing_docs.select("url"), pages[url_col] == existing_docs.url, "left_anti"
+        live_urls, pages[url_col] == live_urls["url"], "left_anti"
     )
     fresh = dense_ids(fresh.drop("doc_id") if "doc_id" in fresh.columns else fresh,
                       url_col, "_rank")
@@ -189,7 +208,10 @@ def append_batch(
     # dl(doc) == sum(tf) — deterministic across partitionings (see
     # plans/indexer.py stats stage for the unified-field definition)
     batch_tokens = terms.agg(F.sum("tf")).collect()[0][0] or 0
-    n_docs = n0 + n_new
+    # count, NOT high-water mark: after delete+compaction ids are sparse
+    # (max_id+1 > live count) and n0-based n_docs would inflate the BM25
+    # idf numerator and deflate avgdl for every later batch
+    n_docs = n_existing + n_new
     total_tokens = int(old_cs["total_tokens"] or 0) + int(batch_tokens)
     spark.createDataFrame(
         [(n_docs, total_tokens, total_tokens / max(n_docs, 1))],
@@ -299,6 +321,43 @@ def delete_docs(
     store.commit_stage(stage, ["tombstones"], counters)
     shutil.rmtree(staging, ignore_errors=True)
     return counters
+
+
+def update_docs(
+    spark: SparkSession,
+    store: IndexStore,
+    pages: DataFrame,
+    batch_id: int | str,
+    text_col: str = "text",
+    url_col: str = "url",
+    extra_terms_fn=None,
+) -> dict:
+    """Re-index re-crawled pages: Lucene's updateDocument = delete+add
+    under one key (the url). Tombstones every live doc serving one of
+    the batch's urls (delete_docs, stage `delete_u<id>`), then appends
+    the batch (append_batch, stage `batch_u<id>`) — the anti-join skips
+    tombstoned urls, so the new crawl gets a FRESH doc id above the
+    high-water mark and serves immediately while the stale doc is
+    masked. The next compact_postings removes the stale docs
+    physically. Composed of two committed stages, each idempotent at
+    any crash point, so a replay at any position converges: the
+    candidate-id plan is LAZY and delete_docs short-circuits on its
+    committed stage before evaluating it (evaluating after the append
+    would wrongly tombstone the fresh docs).
+
+    Returns delete + append counters ({"replaced": n, "new_docs": m,
+    ...}); new_docs counts the whole batch (replacements + brand-new
+    urls)."""
+    live = spark.read.parquet(store.path("docs"))
+    stale = live.join(
+        pages.select(F.col(url_col).alias("url")).distinct(), "url", "left_semi"
+    ).select("doc_id")
+    dc = delete_docs(spark, store, stale, f"u{batch_id}")
+    ac = append_batch(
+        spark, store, pages, batch_id=f"u{batch_id}",
+        text_col=text_col, url_col=url_col, extra_terms_fn=extra_terms_fn,
+    )
+    return {"replaced": int(dc["marked"]), **ac}
 
 
 def compact_postings(spark: SparkSession, store: IndexStore) -> dict:

@@ -30,6 +30,7 @@ from tangent_spark.streaming.incremental import (
     append_batch,
     compact_postings,
     delete_docs,
+    update_docs,
 )
 
 CFG = IndexConfig(n_shards=4, block_size=16, store_positions=True)
@@ -171,3 +172,69 @@ def test_append_after_delete_compact_never_reuses_ids(
     # appended ids start above the surviving high-water mark (99)
     appended = docs.filter(F.col("doc_id") >= 100)
     assert appended.count() == 50
+    # corpus_stats counts LIVE docs (97 survivors + 50), not the
+    # high-water mark (a count of 150 would corrupt idf/avgdl for
+    # every query after a delete+compact+append sequence)
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    assert int(cs["n_docs"]) == 147
+
+
+def _mutate(pages_df, victim_url, new_text):
+    """The batch that re-crawls victim_url with new_text."""
+    return (
+        pages_df.filter(F.col("url") == victim_url)
+        .drop("doc_id")
+        .withColumn("text", F.lit(new_text))
+    )
+
+
+def test_update_docs_replaces_recrawled_url(spark, pages, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("upd"))
+    store = build_index(spark, pages, f"{base}/idx", CFG, url_col="url")
+    old_id = _topk(spark, store, Q, 1)[0][0]
+    row = pages.filter(F.col("doc_id") == old_id).collect()[0]
+    new_text = "zyqfresh crawl content only " + " ".join(
+        row["text"].split()[:5]
+    )
+    c = update_docs(spark, store, _mutate(pages, row["url"], new_text), 1)
+    assert c["replaced"] == 1 and c["new_docs"] == 1
+    # the stale crawl no longer serves Q; the fresh crawl serves its
+    # unique token under a NEW id (never reused)
+    assert old_id not in {d for d, _ in _topk(spark, store, Q, 50)}
+    hits = _topk(spark, store, "zyqfresh", 10)
+    assert len(hits) == 1 and hits[0][0] > old_id
+    # replay of the same batch id is a committed no-op that returns the
+    # stored counters — crucially it must NOT tombstone the fresh doc
+    # (the stale-id plan is lazy; delete_docs short-circuits first)
+    c2 = update_docs(spark, store, _mutate(pages, row["url"], new_text), 1)
+    assert c2 == c
+    assert _topk(spark, store, "zyqfresh", 10) == hits
+    # docs carries both crawls until compaction makes the swap physical
+    docs = spark.read.parquet(store.path("docs"))
+    assert docs.filter(F.col("url") == row["url"]).count() == 2
+    compact_postings(spark, store)
+    docs = spark.read.parquet(store.path("docs"))
+    assert docs.filter(F.col("url") == row["url"]).count() == 1
+    verify_index(spark, store)
+    # compacted store == fresh build over (pages - victim) + new crawl
+    new_id = hits[0][0]
+    ref_pages = pages.filter(F.col("doc_id") != old_id).unionByName(
+        _mutate(pages, row["url"], new_text).withColumn(
+            "doc_id", F.lit(new_id).cast("long")
+        )
+    )
+    ref = build_index(spark, ref_pages, f"{base}/ref", CFG, url_col="url")
+    for q in (Q, "zyqfresh", "spark shuffle data"):
+        assert _topk(spark, store, q, 25) == _topk(spark, ref, q, 25), q
+
+
+def test_update_docs_upserts_brand_new_url(spark, pages, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("upsert"))
+    store = build_index(spark, pages, f"{base}/idx", CFG, url_col="url")
+    fresh = spark.createDataFrame(
+        [("https://new.example/zz", "zyqbrand new page about matrices")],
+        "url string, text string",
+    )
+    c = update_docs(spark, store, fresh, 1)
+    assert c["replaced"] == 0 and c["new_docs"] == 1
+    assert len(_topk(spark, store, "zyqbrand", 10)) == 1
