@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_bm25_topk": eq.merge_bm25_topk,
         "incremental_bm25_all": eq.incremental_bm25_all,
         "delete_bm25_topk": eq.delete_bm25_topk,
+        "filtered_bm25_topk": eq.filtered_bm25_topk,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -515,5 +516,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 20) "
             "SELECT phase, doc_id, score FROM masked "
             "UNION ALL SELECT phase, doc_id, score FROM compacted"
+        ),
+        # metadata-filtered serving: the lang predicate restricts which
+        # docs may appear, but stats/df stay corpus-level (Lucene filter
+        # semantics). Both engine routes (driver-broadcast candidates /
+        # distributed semi-join) must produce this same answer.
+        "filtered_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "hits AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "WHERE m.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en') "
+            "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 20) "
+            "SELECT 'driver' AS route, doc_id, score FROM hits "
+            "UNION ALL SELECT 'join' AS route, doc_id, score FROM hits"
         ),
     }

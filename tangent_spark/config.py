@@ -57,6 +57,18 @@ class IndexConfig:
     # (reference symboltree.py:40-48)
     max_pair_len: int = 200
 
+    # --- doc metadata (filtered search) -----------------------------------
+    # Extra input columns carried into the docs dictionary (e.g. lang,
+    # warc_ts) so queries can be restricted by a metadata predicate
+    # (plans/boolean.filtered_topk). In config — not a per-call arg —
+    # because every append must write the same docs schema.
+    meta_cols: tuple = ()
+
+    def __post_init__(self):
+        # JSON round-trips tuples as lists; normalize so a loaded config
+        # compares equal to a constructed one (merge's config-match check)
+        object.__setattr__(self, "meta_cols", tuple(self.meta_cols))
+
     # NOTE on head-term skew: there is deliberately NO salting config. The
     # postings shuffle keys on (term, shard=doc_id % n_shards), so a head
     # term is already spread over n_shards reducers — sharding by document

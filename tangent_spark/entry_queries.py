@@ -1167,6 +1167,44 @@ def incremental_bm25_all(spark, sf_dir):
 
 
 DELETE_QUERY = "data query spark"
+FILTERED_QUERY = "data query spark index"
+
+
+def filtered_bm25_topk(spark, sf_dir):
+    """Metadata-filtered serving end-to-end (plans/boolean.filtered_topk)
+    over a real index built with meta_cols=('lang',): BM25 top-20
+    restricted to lang='en' documents, served by BOTH delivery routes —
+    'driver' (candidate ids broadcast into the kernel, block-skip
+    restricted decode) and 'join' (candidates stay distributed,
+    semi-join before the global top-k) — which must agree exactly.
+    Lucene filter semantics: the predicate restricts candidates only;
+    scores keep corpus-level df/avgdl."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.boolean import filtered_topk
+    from tangent_spark.plans.indexer import build_index
+
+    base = tempfile.mkdtemp(prefix="tangent_filtered_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        cfg = IndexConfig(
+            n_shards=4, block_size=32, tokenizer="simple", meta_cols=("lang",)
+        )
+        store = build_index(spark, docs, f"{base}/s", cfg)
+        out = []
+        for route, cap in (("driver", 1_000_000), ("join", 1)):
+            out += [
+                (route, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in filtered_topk(
+                    spark, store, FILTERED_QUERY, 20, "lang = 'en'",
+                    max_driver_candidates=cap,
+                ).collect()
+            ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "route string, doc_id long, score double")
 
 
 def delete_bm25_topk(spark, sf_dir):

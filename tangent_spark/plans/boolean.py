@@ -206,31 +206,64 @@ def _empty_out() -> pd.DataFrame:
     )
 
 
+def _blocks_needed(row, cand_ids) -> np.ndarray:
+    """Block indices whose [first_doc, next_first) range can intersect
+    the sorted candidate set — the block-metadata-only skip (no
+    decompression for a skipped block)."""
+    n_blocks = len(row["counts"])
+    if cand_ids is None:
+        return np.arange(n_blocks)
+    firsts = np.asarray(row["first_docs"], dtype=np.int64)
+    his = np.empty_like(firsts)
+    his[:-1] = firsts[1:] - 1
+    his[-1] = _MAXDOC
+    lo = np.searchsorted(cand_ids, firsts, side="left")
+    hi = np.searchsorted(cand_ids, his, side="right")
+    return np.flatnonzero(hi > lo)
+
+
 def _boolean_shard_kernel(
     roles: _TermRoles, seed: str | None, n_must_check: int, k_local: int | None,
-    counter=None, deleted=None,
+    counter=None, deleted=None, ext_cand=None, n_shards: int = 0,
 ):
     """The per-shard conjunction kernel (see module docstring): decode
     seed -> candidates -> block-skip restricted decode of the rest ->
     per-doc aggregate -> must/not filter -> optional local top-k.
     Input: ONE shard's matched compressed postings rows (pandas frame
     with POSTINGS_SCHEMA columns). Output: (doc_id, score) rows.
-    `counter` receives the number of doc-id blocks decoded."""
+    `counter` receives the number of doc-id blocks decoded.
+    `ext_cand` (sorted int64, filtered_topk's metadata-filter doc set)
+    pre-restricts EVERY decode — the Lucene filter-iterator discipline:
+    the seed itself only decodes blocks intersecting the filter set, and
+    candidates are seed∩filter. Because doc ids interleave across shards
+    (shard = doc_id % n_shards), the filter set is first reduced to THIS
+    shard's members — block ranges of other shards numerically overlap
+    the candidates, so without the reduction the interval skip can never
+    rule them out (the driver additionally prunes whole candidate-free
+    shards out of the scan; this handles partial shards)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
         decoded = 0
-        cand_ids = None
+        cand_ids = ext_cand
+        if ext_cand is not None and n_shards:
+            shard_id = int(pdf["shard"].iloc[0])
+            cand_ids = ext_cand[ext_cand % n_shards == shard_id]
+            if not cand_ids.size:
+                return _empty_out()
+        filt_cand = cand_ids
         rest = pdf
         if seed is not None:
             sel = pdf["term"] == seed
             seed_ids = []
             for _, row in pdf[sel].iterrows():
-                n_blocks = len(row["counts"])
+                needed = _blocks_needed(row, filt_cand)
+                if not needed.size:
+                    continue
                 ids, tfs, dls = _decode_row_blocks(
-                    row, range(n_blocks), score=True, deleted=deleted
+                    row, needed, score=True, cand_ids=filt_cand, deleted=deleted
                 )
-                decoded += n_blocks
+                decoded += int(needed.size)
                 seed_ids.append(ids)
                 frames.append(roles.frame(seed, ids, tfs, dls))
             cand_ids = (
@@ -242,17 +275,7 @@ def _boolean_shard_kernel(
             if not cand_ids.size:  # shard holds no candidates at all
                 rest = rest.iloc[0:0]
         for _, row in rest.iterrows():
-            n_blocks = len(row["counts"])
-            if cand_ids is not None:
-                firsts = np.asarray(row["first_docs"], dtype=np.int64)
-                his = np.empty_like(firsts)
-                his[:-1] = firsts[1:] - 1
-                his[-1] = _MAXDOC
-                lo = np.searchsorted(cand_ids, firsts, side="left")
-                hi = np.searchsorted(cand_ids, his, side="right")
-                needed = np.flatnonzero(hi > lo)
-            else:
-                needed = np.arange(n_blocks)
+            needed = _blocks_needed(row, cand_ids)
             if not needed.size:
                 continue
             ids, tfs, dls = _decode_row_blocks(
@@ -362,6 +385,8 @@ def _boolean_plan(
     df_lookup=None,
     shard_partitioned: bool = False,
     deleted=None,
+    ext_cand=None,
+    cand_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -370,7 +395,14 @@ def _boolean_plan(
     df}` lets the warm path answer the df lookup from its resident
     lexicon (no job); the cold path does one <=|query|-row filtered
     collect — the price of driver-side idf, which in turn keeps the
-    whole plan free of a stats broadcast join."""
+    whole plan free of a stats broadcast join.
+
+    Metadata filters (filtered_topk) arrive one of two ways: `ext_cand`
+    (sorted int64 array, selective filters) restricts every decode
+    inside the kernel; `cand_df` (a doc_id DataFrame, broad filters)
+    semi-joins the per-doc aggregate BEFORE the global top-k — per-shard
+    local top-k is disabled then, since pre-truncation could drop the
+    filter's survivors."""
     import math
 
     cfg = store.get_config()
@@ -411,14 +443,24 @@ def _boolean_plan(
         must_check = []
         all_terms = sorted(set(qts) | set(must_not))
     roles = _TermRoles(idf_map, must_check, must_not, cfg.k1, cfg.b, avgdl)
-    # local top-k per shard is only safe when no phrase clause can
-    # filter the aggregate further
-    k_local = k if not (q.phrases or q.not_phrases) else None
+    # local top-k per shard is only safe when nothing downstream (phrase
+    # clause, broad-filter semi-join) can filter the aggregate further
+    k_local = (
+        k if not (q.phrases or q.not_phrases) and cand_df is None else None
+    )
     kernel = _boolean_shard_kernel(
         roles, seed, len(must_check), k_local, counter=decode_counter,
-        deleted=deleted,
+        deleted=deleted, ext_cand=ext_cand, n_shards=cfg.n_shards,
     )
+    if ext_cand is not None:
+        # candidate-free shards never enter the scan at all (partition/
+        # row-group pruning on the pushed shard filter)
+        qshards = [int(s) for s in np.unique(ext_cand % cfg.n_shards)]
+        if len(qshards) < cfg.n_shards:
+            postings = postings.filter(F.col("shard").isin(qshards))
     scored = _boolean_rows(postings, all_terms, kernel, shard_partitioned)
+    if cand_df is not None:
+        scored = scored.join(cand_df, "doc_id", "left_semi")
     if q.phrases or q.not_phrases:
         from tangent_spark.plans.phrase import phrase_match_positions
 
@@ -436,3 +478,78 @@ def _boolean_plan(
                 phrase_match_positions(pos, p).select("doc_id"), "doc_id", "left_anti"
             )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _route_filter(
+    spark: SparkSession,
+    docs: DataFrame,
+    where: str,
+    max_driver_candidates: int,
+):
+    """Evaluate a metadata predicate over the docs dictionary and pick
+    the delivery route: ('empty', None, None) when nothing matches;
+    ('driver', sorted_ids, None) when the match set is small enough to
+    broadcast into the kernel (data moved ∝ candidates — the Lucene
+    filter-iterator shape); ('join', None, cand_df) for broad filters,
+    where the doc set stays distributed and semi-joins the scored
+    aggregate. The docs scan is column-pruned + predicate-pushed (only
+    doc_id and the filter columns are read)."""
+    cand = docs.filter(where).select("doc_id")
+    n = cand.count()
+    if n == 0:
+        return "empty", None, None
+    if n <= max_driver_candidates:
+        ids = np.unique(cand.toPandas()["doc_id"].to_numpy(np.int64))
+        return "driver", ids, None
+    return "join", None, cand
+
+
+def filtered_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    where: str,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+) -> DataFrame:
+    """Top-k for a boolean/BM25 query RESTRICTED to documents matching
+    a SQL predicate over the docs dictionary's metadata columns
+    (IndexConfig.meta_cols — e.g. `lang = 'en'`, `warc_ts >= '2025'`,
+    url predicates). Lucene filter semantics: the predicate restricts
+    which documents may appear, but scores keep corpus-level stats
+    (df/avgdl over the whole index) — a filter never changes a
+    surviving document's BM25 score.
+
+    Full query grammar supported (`bare +must -not "phrase"`). Plan
+    shape: one docs-dictionary scan evaluates the predicate; selective
+    filters broadcast the sorted id set into the per-shard kernel where
+    it pre-restricts every decode (whole blocks outside the filter set
+    skip decompression); broad filters stay distributed and semi-join
+    the per-doc aggregate before the global top-k. The reference has no
+    metadata filtering at all (Solr handled its text-side fq).
+
+    Raises AnalysisException if `where` references a column the index
+    wasn't built with (IndexConfig.meta_cols)."""
+    from tangent_spark.plans.search import load_deleted_ids
+
+    route, ids, cand_df = _route_filter(
+        spark, store.read(spark, "docs"), where, max_driver_candidates
+    )
+    if route == "empty":
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    return _boolean_plan(
+        spark,
+        store,
+        query,
+        k,
+        postings=store.read(spark, "postings"),
+        term_stats=store.read(spark, "term_stats"),
+        n_docs=int(cs["n_docs"]),
+        avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        decode_counter=decode_counter,
+        deleted=load_deleted_ids(spark, store),
+        ext_cand=ids,
+        cand_df=cand_df,
+    )

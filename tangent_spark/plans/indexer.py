@@ -163,6 +163,7 @@ def build_index(
         cols = [F.col(id_col).alias("doc_id")]
         if url_col:
             cols.append(F.col(url_col).alias("url"))
+        cols += [F.col(c) for c in cfg.meta_cols]
         docs.select(*cols).write.mode("overwrite").parquet(store.path("docs"))
         n_docs = spark.read.parquet(store.path("docs")).count()
         store.commit_stage("docs", ["docs"], {"n_docs": n_docs, "secs": time.time() - t0})

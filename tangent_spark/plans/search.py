@@ -493,6 +493,8 @@ class Searcher:
                 .persist()
             )
             self.positions.count()
+        # docs dictionary cache, filled lazily by the first filtered()
+        self._docs = None
         # one task wave per query: shards are merged into at most
         # defaultParallelism scan tasks (the kernel regroups by shard
         # in-partition, so correctness is unaffected)
@@ -634,6 +636,52 @@ class Searcher:
             deleted=self.deleted,
         )
 
+    def filtered(
+        self,
+        query: str,
+        k: int,
+        where: str,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+    ) -> DataFrame:
+        """Warm metadata-filtered serving: boolean/BM25 top-k restricted
+        to docs matching a SQL predicate over the docs dictionary
+        (IndexConfig.meta_cols). Same semantics and routing as
+        plans.boolean.filtered_topk (Lucene filter semantics — scores
+        keep corpus-level stats); the docs dictionary is cached
+        shard-agnostically on first use so repeated filtered queries
+        re-scan memory, not parquet."""
+        from tangent_spark.plans.boolean import (
+            _OUT_SCHEMA,
+            _boolean_plan,
+            _route_filter,
+        )
+
+        if self._docs is None:
+            self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
+        route, ids, cand_df = _route_filter(
+            self.spark, self._docs, where, max_driver_candidates
+        )
+        if route == "empty":
+            return self.spark.createDataFrame([], _OUT_SCHEMA)
+        return _boolean_plan(
+            self.spark,
+            self.store,
+            query,
+            k,
+            postings=self.postings,
+            term_stats=self.term_stats.select("term", "df"),
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            positions=self.positions,
+            decode_counter=decode_counter,
+            df_lookup=self._resolve_dfs,
+            shard_partitioned=True,
+            deleted=self.deleted,
+            ext_cand=ids,
+            cand_df=cand_df,
+        )
+
     def _warm_positions(self) -> DataFrame:
         if self.positions is not None:
             return self.positions
@@ -680,6 +728,8 @@ class Searcher:
         self.term_stats.unpersist()
         if self.positions is not None:
             self.positions.unpersist()
+        if self._docs is not None:
+            self._docs.unpersist()
 
 
 def bm25_topk_index_full(

@@ -168,9 +168,9 @@ def append_batch(
         .write.mode("overwrite")
         .parquet(staging + "/postings")
     )
-    fresh.select("doc_id", F.col(url_col).alias("url")).write.mode("overwrite").parquet(
-        staging + "/docs"
-    )
+    fresh.select(
+        "doc_id", F.col(url_col).alias("url"), *[F.col(c) for c in cfg.meta_cols]
+    ).write.mode("overwrite").parquet(staging + "/docs")
 
     # positions (phrase/snippet support): the batch's rows in the same
     # doc-sharded term-major layout — without this, a positional index

@@ -1,0 +1,164 @@
+"""Metadata-filtered search (plans/boolean.filtered_topk,
+Searcher.filtered): boolean/BM25 top-k restricted by a SQL predicate
+over the docs dictionary's metadata columns (IndexConfig.meta_cols).
+
+Lucene filter semantics: the predicate restricts WHICH docs may appear;
+scores keep corpus-level stats — so the ground truth for every test is
+"the unfiltered scorer's output, post-filtered" (computed with k large
+enough to be exhaustive). The reference has no metadata filtering (its
+Solr backend held the text-side fq); this is a Spark-native surface the
+100 TB story requires (e.g. lang/date-restricted retrieval).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.plans.boolean import boolean_topk, filtered_topk
+from tangent_spark.plans.indexer import build_index
+from tangent_spark.plans.search import Searcher, bm25_topk_index_full
+from tangent_spark.streaming.incremental import append_batch, delete_docs
+
+CFG = IndexConfig(n_shards=4, block_size=16, meta_cols=("lang",))
+Q = "matrix convergence theorem"
+N = 150
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_with_doc_ids(generate_pages(spark, N, partitions=4)).persist()
+
+
+@pytest.fixture(scope="module")
+def store(spark, pages, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("filt"))
+    return build_index(spark, pages, f"{base}/idx", CFG, url_col="url")
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def _oracle(spark, store, query, where, k):
+    """Unfiltered exhaustive scorer post-filtered — valid because a
+    filter never changes a surviving doc's score."""
+    full = bm25_topk_index_full(spark, store, query, N)
+    keep = spark.read.parquet(store.path("docs")).filter(where).select("doc_id")
+    return _rows(
+        full.join(keep, "doc_id", "left_semi")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def test_meta_cols_config_roundtrip():
+    cfg = IndexConfig(meta_cols=["lang", "warc_ts"])  # list in, tuple stored
+    assert cfg.meta_cols == ("lang", "warc_ts")
+    assert IndexConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_docs_dictionary_carries_meta(spark, store):
+    docs = spark.read.parquet(store.path("docs"))
+    assert set(docs.columns) == {"doc_id", "url", "lang"}
+    assert docs.filter(F.col("lang").isNull()).count() == 0
+
+
+def test_filtered_matches_postfiltered_oracle(spark, store):
+    for where in ("lang = 'en'", "lang <> 'en'", "lang IN ('de', 'fr')"):
+        got = _rows(filtered_topk(spark, store, Q, 10, where))
+        assert got == _oracle(spark, store, Q, where, 10), where
+        assert len(got) > 0, where
+
+
+def test_driver_and_join_routes_identical(spark, store):
+    where = "lang = 'en'"
+    drv = _rows(filtered_topk(spark, store, Q, 10, where))
+    jn = _rows(
+        filtered_topk(spark, store, Q, 10, where, max_driver_candidates=1)
+    )
+    assert drv == jn
+
+
+def test_filtered_boolean_grammar(spark, store):
+    q = 'matrix +convergence -divergent'
+    where = "lang = 'en'"
+    keep = {
+        r["doc_id"]
+        for r in spark.read.parquet(store.path("docs")).filter(where).collect()
+    }
+    unfiltered = boolean_topk(spark, store, q, N)
+    exp = [(d, s) for d, s in _rows(unfiltered) if d in keep][:10]
+    got = _rows(filtered_topk(spark, store, q, 10, where))
+    assert got == exp and all(d in keep for d, _ in got)
+
+
+def test_filter_skips_decode_work(spark, store):
+    """A selective filter must restrict DECODE, not just output: the
+    kernel skips whole blocks outside the filter set using block
+    metadata alone."""
+    full_acc = spark.sparkContext.accumulator(0)
+    boolean_topk(spark, store, Q, 10, decode_counter=full_acc).collect()
+
+    # candidates all in ONE shard: every other shard's kernel decodes
+    # nothing at all, and within the shard only the touched blocks
+    docs = spark.read.parquet(store.path("docs"))
+    few = [
+        int(r["doc_id"])
+        for r in docs.filter(F.col("doc_id") % CFG.n_shards == 0).limit(3).collect()
+    ]
+    sel_acc = spark.sparkContext.accumulator(0)
+    got = _rows(
+        filtered_topk(
+            spark, store, Q, 10,
+            f"doc_id IN ({','.join(map(str, few))})",
+            decode_counter=sel_acc,
+        )
+    )
+    assert all(d in few for d, _ in got)
+    assert 0 < sel_acc.value < full_acc.value / 2, (sel_acc.value, full_acc.value)
+
+
+def test_warm_filtered_matches_cold(spark, store):
+    s = Searcher(spark, store)
+    try:
+        for where in ("lang = 'en'", "lang IN ('de', 'fr')"):
+            warm = _rows(s.filtered(Q, 10, where))
+            assert warm == _rows(filtered_topk(spark, store, Q, 10, where))
+            # repeat off the now-cached docs dictionary
+            assert _rows(s.filtered(Q, 10, where)) == warm
+        # broad-route warm
+        assert _rows(
+            s.filtered(Q, 10, "lang = 'en'", max_driver_candidates=1)
+        ) == _rows(s.filtered(Q, 10, "lang = 'en'"))
+    finally:
+        s.close()
+
+
+def test_filtered_empty_and_bad_column(spark, store):
+    assert filtered_topk(spark, store, Q, 10, "lang = 'xx'").count() == 0
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        filtered_topk(spark, store, Q, 10, "nosuchcol = 1").count()
+
+
+def test_filtered_respects_tombstones_and_appends(
+    spark, pages, tmp_path_factory
+):
+    base = str(tmp_path_factory.mktemp("filtlife"))
+    store = build_index(spark, pages, f"{base}/idx", CFG, url_col="url")
+    where = "lang = 'en'"
+    top = _rows(filtered_topk(spark, store, Q, 5, where))
+    delete_docs(spark, store, [top[0][0]], 1)
+    after = _rows(filtered_topk(spark, store, Q, 5, where))
+    assert top[0][0] not in {d for d, _ in after}
+    # appended docs carry metadata and are filterable immediately
+    batch = spark.createDataFrame(
+        [("https://zz.example/1", "zyqfiltered matrix convergence", "en"),
+         ("https://zz.example/2", "zyqfiltered matrix convergence", "de")],
+        "url string, text string, lang string",
+    )
+    append_batch(spark, store, batch, batch_id=2)
+    hits = _rows(filtered_topk(spark, store, "zyqfiltered", 10, "lang = 'de'"))
+    assert len(hits) == 1
