@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bm25_all": eq.incremental_bm25_all,
         "delete_bm25_topk": eq.delete_bm25_topk,
         "filtered_bm25_topk": eq.filtered_bm25_topk,
+        "facet_counts_lang": eq.facet_counts_lang,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -535,5 +536,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 20) "
             "SELECT 'driver' AS route, doc_id, score FROM hits "
             "UNION ALL SELECT 'join' AS route, doc_id, score FROM hits"
+        ),
+        # facet panel: per-lang counts of the boolean MATCH SET (not
+        # top-k) — 'any' = docs containing >=1 query term; 'bool' =
+        # `data +spark -join` = >=1 of (data, spark) AND spark AND NOT
+        # join, recomputed here with plain set algebra
+        "facet_counts_lang": (
+            f"WITH {_TOK}, "
+            f"m_any AS (SELECT DISTINCT doc_id FROM tok WHERE term IN {_UNION_IN}), "
+            "m_bool AS ("
+            "  SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','spark') "
+            "  AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark') "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')) "
+            "SELECT 'any' AS phase, lang, count(*)::BIGINT AS n_docs "
+            "FROM m_any JOIN documents USING (doc_id) GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'bool' AS phase, lang, count(*)::BIGINT AS n_docs "
+            "FROM m_bool JOIN documents USING (doc_id) GROUP BY lang"
         ),
     }

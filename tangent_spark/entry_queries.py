@@ -1168,6 +1168,40 @@ def incremental_bm25_all(spark, sf_dir):
 
 DELETE_QUERY = "data query spark"
 FILTERED_QUERY = "data query spark index"
+FACET_ANY_QUERY = "data query spark"
+FACET_BOOL_QUERY = "data +spark -join"
+
+
+def facet_counts_lang(spark, sf_dir):
+    """Facet panel end-to-end (plans/boolean.facet_counts) over a real
+    index with meta_cols=('lang',): per-lang hit counts of the match
+    set, two phases — 'any' (pure disjunctive: docs containing >=1
+    query term) and 'bool' (`data +spark -join`: >=1 positive term AND
+    spark AND NOT join). Oracle recomputes both match sets with set
+    algebra over the tokenized corpus."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.boolean import facet_counts
+    from tangent_spark.plans.indexer import build_index
+
+    base = tempfile.mkdtemp(prefix="tangent_facet_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+        cfg = IndexConfig(
+            n_shards=4, block_size=32, tokenizer="simple", meta_cols=("lang",)
+        )
+        store = build_index(spark, docs, f"{base}/s", cfg)
+        out = []
+        for phase, q in (("any", FACET_ANY_QUERY), ("bool", FACET_BOOL_QUERY)):
+            out += [
+                (phase, r["lang"], int(r["n_docs"]))
+                for r in facet_counts(spark, store, q, "lang").collect()
+            ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, lang string, n_docs long")
 
 
 def filtered_bm25_topk(spark, sf_dir):

@@ -387,6 +387,7 @@ def _boolean_plan(
     deleted=None,
     ext_cand=None,
     cand_df: DataFrame | None = None,
+    return_matches: bool = False,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -444,9 +445,14 @@ def _boolean_plan(
         all_terms = sorted(set(qts) | set(must_not))
     roles = _TermRoles(idf_map, must_check, must_not, cfg.k1, cfg.b, avgdl)
     # local top-k per shard is only safe when nothing downstream (phrase
-    # clause, broad-filter semi-join) can filter the aggregate further
+    # clause, broad-filter semi-join, full-match-set consumer) can use
+    # rows beyond the per-shard head
     k_local = (
-        k if not (q.phrases or q.not_phrases) and cand_df is None else None
+        k
+        if not (q.phrases or q.not_phrases)
+        and cand_df is None
+        and not return_matches
+        else None
     )
     kernel = _boolean_shard_kernel(
         roles, seed, len(must_check), k_local, counter=decode_counter,
@@ -477,7 +483,69 @@ def _boolean_plan(
             scored = scored.join(
                 phrase_match_positions(pos, p).select("doc_id"), "doc_id", "left_anti"
             )
+    if return_matches:
+        # the FULL match set (facets/analytics consumers) — no global
+        # sort, no limit; `k` is ignored by contract
+        return scored
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def facet_counts(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: str,
+    where: str | None = None,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+) -> DataFrame:
+    """Hit counts per value of a docs-dictionary metadata column for a
+    boolean query — the classic search-engine facet panel (Solr served
+    this for the reference as `facet.field`; here it is Spark-native).
+    A document counts when it MATCHES the query: contains at least one
+    positive term, every must term and phrase, and no must-not
+    term/phrase — the same match set the scorer ranks. Returns
+    (<by>, n_docs) sorted by n_docs desc, value asc; `where` optionally
+    pre-restricts candidates with the same semantics as filtered_topk.
+
+    Plan shape: the per-shard kernel emits the match set (no global
+    sort — local top-k is disabled, nothing is ranked), one hash
+    aggregate on the joined metadata column follows. Data moved is the
+    match set's (doc_id, value) pairs, not postings."""
+    from tangent_spark.plans.search import load_deleted_ids
+
+    docs = store.read(spark, "docs")
+    ids, cand_df = None, None
+    if where is not None:
+        route, ids, cand_df = _route_filter(spark, docs, where, max_driver_candidates)
+        if route == "empty":
+            return (
+                docs.select(by).limit(0)
+                .withColumn("n_docs", F.lit(0).cast("long"))
+            )
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    matches = _boolean_plan(
+        spark,
+        store,
+        query,
+        0,
+        postings=store.read(spark, "postings"),
+        term_stats=store.read(spark, "term_stats"),
+        n_docs=int(cs["n_docs"]),
+        avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        decode_counter=decode_counter,
+        deleted=load_deleted_ids(spark, store),
+        ext_cand=ids,
+        cand_df=cand_df,
+        return_matches=True,
+    )
+    return (
+        matches.select("doc_id")
+        .join(docs.select("doc_id", by), "doc_id")
+        .groupBy(by)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(by))
+    )
 
 
 def _route_filter(

@@ -682,6 +682,61 @@ class Searcher:
             cand_df=cand_df,
         )
 
+    def facets(
+        self,
+        query: str,
+        by: str,
+        where: str | None = None,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+    ) -> DataFrame:
+        """Warm facet counts: hit count per value of metadata column
+        `by` for the boolean query's match set — same semantics as
+        plans.boolean.facet_counts, served off the cached postings and
+        the cached docs dictionary."""
+        from tangent_spark.plans.boolean import (
+            _boolean_plan,
+            _route_filter,
+        )
+
+        if self._docs is None:
+            self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
+        ids, cand_df = None, None
+        if where is not None:
+            route, ids, cand_df = _route_filter(
+                self.spark, self._docs, where, max_driver_candidates
+            )
+            if route == "empty":
+                return (
+                    self._docs.select(by).limit(0)
+                    .withColumn("n_docs", F.lit(0).cast("long"))
+                )
+        matches = _boolean_plan(
+            self.spark,
+            self.store,
+            query,
+            0,
+            postings=self.postings,
+            term_stats=self.term_stats.select("term", "df"),
+            n_docs=self.n_docs,
+            avgdl=self.avgdl,
+            positions=self.positions,
+            decode_counter=decode_counter,
+            df_lookup=self._resolve_dfs,
+            shard_partitioned=True,
+            deleted=self.deleted,
+            ext_cand=ids,
+            cand_df=cand_df,
+            return_matches=True,
+        )
+        return (
+            matches.select("doc_id")
+            .join(self._docs.select("doc_id", by), "doc_id")
+            .groupBy(by)
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc(by))
+        )
+
     def _warm_positions(self) -> DataFrame:
         if self.positions is not None:
             return self.positions

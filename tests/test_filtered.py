@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from tangent_spark.config import IndexConfig
 from tangent_spark.corpus import generate_pages, pages_with_doc_ids
-from tangent_spark.plans.boolean import boolean_topk, filtered_topk
+from tangent_spark.plans.boolean import (
+    boolean_topk,
+    facet_counts,
+    filtered_topk,
+    parse_boolean_query,
+)
 from tangent_spark.plans.indexer import build_index
 from tangent_spark.plans.search import Searcher, bm25_topk_index_full
 from tangent_spark.streaming.incremental import append_batch, delete_docs
@@ -141,6 +146,72 @@ def test_filtered_empty_and_bad_column(spark, store):
 
     with pytest.raises(AnalysisException):
         filtered_topk(spark, store, Q, 10, "nosuchcol = 1").count()
+
+
+def _facet_oracle(spark, store, query, where=None):
+    """Per-lang match counts straight off the raw terms table — the
+    tokenize output that postings are BUILT from, so it shares no code
+    with the kernel under test. Match = >=1 positive term AND every
+    must term AND no must-not term."""
+    q = parse_boolean_query(query, CFG)
+    terms = spark.read.parquet(store.path("terms"))
+    m = terms.filter(F.col("term").isin(q.positive_terms)).select("doc_id").distinct()
+    for t in sorted(set(q.must)):
+        m = m.join(
+            terms.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_semi"
+        )
+    for t in sorted(set(q.must_not)):
+        m = m.join(
+            terms.filter(F.col("term") == t).select("doc_id"), "doc_id", "left_anti"
+        )
+    docs = spark.read.parquet(store.path("docs"))
+    if where:
+        docs = docs.filter(where)
+    return [
+        (r["lang"], r["n_docs"])
+        for r in m.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+        .collect()
+    ]
+
+
+def test_facet_counts_match_terms_table_oracle(spark, store):
+    for q in (Q, "matrix +convergence", "matrix -theorem"):
+        got = [
+            (r["lang"], r["n_docs"])
+            for r in facet_counts(spark, store, q, "lang").collect()
+        ]
+        assert got == _facet_oracle(spark, store, q), q
+        assert sum(n for _, n in got) > 0, q
+
+
+def test_facets_with_where_and_warm(spark, store):
+    where = "lang IN ('en', 'de')"
+    exp = _facet_oracle(spark, store, Q, where)
+    cold = [
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(spark, store, Q, "lang", where=where).collect()
+    ]
+    assert cold == exp and {v for v, _ in cold} <= {"en", "de"}
+    s = Searcher(spark, store)
+    try:
+        warm = [
+            (r["lang"], r["n_docs"])
+            for r in s.facets(Q, "lang", where=where).collect()
+        ]
+        assert warm == cold
+        # broad route agrees too
+        assert [
+            (r["lang"], r["n_docs"])
+            for r in s.facets(Q, "lang", where=where, max_driver_candidates=1).collect()
+        ] == cold
+    finally:
+        s.close()
+    # empty-filter facet: zero rows, correct columns
+    empty = facet_counts(spark, store, Q, "lang", where="lang = 'zz'")
+    assert empty.columns == ["lang", "n_docs"] and empty.count() == 0
 
 
 def test_filtered_respects_tombstones_and_appends(
