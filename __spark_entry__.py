@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_bm25_batch": eq.q9_bm25_batch,
         "boolean_bm25_topk": eq.boolean_bm25_topk,
         "phrase_match": eq.phrase_match,
+        "phrase_near_match": eq.phrase_near_match,
         "snippet_windows": eq.snippet_windows,
         "api_search_routes": eq.api_search_routes,
         "ann_ivf_topk": eq.ann_ivf_topk,
@@ -274,6 +275,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
             "WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort' "
             "GROUP BY 1 ORDER BY a.doc_id"
+        ),
+        # proximity phrase "row sort"~2: 'sort' after 'row' with <= 2
+        # tokens between; tf = distinct completion positions
+        "phrase_near_match": (
+            f"WITH {_POS} "
+            "SELECT b.doc_id, count(DISTINCT b.pos)::INT AS phrase_tf "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
+            "AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2 "
+            "WHERE a.term = 'row' AND b.term = 'sort' "
+            "GROUP BY 1 ORDER BY b.doc_id"
         ),
         "q13_distinct_docs": (
             f"WITH {_TOK}, {_TF} "

@@ -324,6 +324,31 @@ def phrase_match(spark, sf_dir):
     return phrase_match_positions(pos, PHRASE).orderBy("doc_id")
 
 
+NEAR_PHRASE = ["row", "sort"]
+NEAR_SLOP = 2
+
+
+def phrase_near_match(spark, sf_dir):
+    """Proximity phrase (`"row sort"~2`, plans/phrase.py slop fold):
+    docs where 'sort' follows 'row' with at most 2 tokens between;
+    phrase_tf counts distinct completion positions of the last term.
+    Same (pos, slack) fold the index runs, expressed over raw documents
+    so DuckDB can twin it with a positional self-join."""
+    from tangent_spark.plans.phrase import phrase_match_positions
+
+    pos = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(NEAR_PHRASE))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    return phrase_match_positions(pos, NEAR_PHRASE, slop=NEAR_SLOP).orderBy("doc_id")
+
+
 def q13_distinct_docs(spark, sf_dir):
     """Q13: distinct matched-doc count for the union query."""
     return (

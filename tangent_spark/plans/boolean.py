@@ -71,7 +71,7 @@ from tangent_spark.codec import bm25_tf_norm
 from tangent_spark.config import IndexConfig
 from tangent_spark.sources.store import IndexStore
 
-_CLAUSE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_CLAUSE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?|\S+)')
 
 _OUT_SCHEMA = "doc_id long, score double"
 _MAXDOC = np.int64(2**62)
@@ -82,14 +82,16 @@ class BooleanQuery:
     should: list = field(default_factory=list)      # [term]
     must: list = field(default_factory=list)        # [term]
     must_not: list = field(default_factory=list)    # [term]
-    phrases: list = field(default_factory=list)     # [[term, ...]] required
-    not_phrases: list = field(default_factory=list)  # [[term, ...]] excluded
+    phrases: list = field(default_factory=list)     # [([term, ...], slop)] required
+    not_phrases: list = field(default_factory=list)  # [([term, ...], slop)] excluded
 
     @property
     def positive_terms(self) -> list:
         """Distinct scoring terms, sorted (should + must + phrase terms)."""
         return sorted(
-            set(self.should) | set(self.must) | {t for p in self.phrases for t in p}
+            set(self.should)
+            | set(self.must)
+            | {t for p, _ in self.phrases for t in p}
         )
 
 
@@ -100,18 +102,23 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     term; a multi-word unquoted clause (tokenizer split, e.g. 'a-b')
     contributes each token to the same bucket. An UNBALANCED quote
     (`he said "hello`) falls back to plain-term treatment of the
-    stray-quoted token instead of silently dropping it."""
+    stray-quoted token instead of silently dropping it. A `"..."~N`
+    suffix sets the phrase's proximity slop (Lucene sloppy-phrase
+    surface; 0 = exact, see plans.phrase.phrase_match_positions)."""
     from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
 
     tok = tokenize_porter if cfg.tokenizer == "porter" else tokenize_simple
     out = BooleanQuery()
-    for mod, raw, quoted in _CLAUSE.findall(query):
-        is_phrase = raw.startswith('"') and raw.endswith('"') and len(raw) >= 2
+    for mod, raw, quoted, slop_s in _CLAUSE.findall(query):
+        is_phrase = raw.startswith('"') and (
+            raw.endswith('"') or (slop_s and raw.endswith(slop_s))
+        )
         terms = tok(quoted if is_phrase else raw)
         if not terms:
             continue
         if is_phrase and len(terms) > 1:
-            (out.not_phrases if mod == "-" else out.phrases).append(terms)
+            slop = int(slop_s[1:]) if slop_s else 0
+            (out.not_phrases if mod == "-" else out.phrases).append((terms, slop))
         elif mod == "-":
             out.must_not.extend(terms)
         elif mod == "+":
@@ -475,13 +482,17 @@ def _boolean_plan(
             if positions is not None
             else spark.read.parquet(store.path("positions"))
         )
-        for p in q.phrases:
+        for p, slop in q.phrases:
             scored = scored.join(
-                phrase_match_positions(pos, p).select("doc_id"), "doc_id", "left_semi"
+                phrase_match_positions(pos, p, slop).select("doc_id"),
+                "doc_id",
+                "left_semi",
             )
-        for p in q.not_phrases:
+        for p, slop in q.not_phrases:
             scored = scored.join(
-                phrase_match_positions(pos, p).select("doc_id"), "doc_id", "left_anti"
+                phrase_match_positions(pos, p, slop).select("doc_id"),
+                "doc_id",
+                "left_anti",
             )
     if return_matches:
         # the FULL match set (facets/analytics consumers) — no global

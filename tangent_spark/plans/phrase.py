@@ -29,13 +29,50 @@ from pyspark.sql import functions as F
 from tangent_spark.sources.store import IndexStore
 
 
-def phrase_match_positions(positions: DataFrame, phrase_terms: list[str]) -> DataFrame:
-    """(doc_id, phrase_tf) for docs containing the exact consecutive
-    phrase. `positions` rows: (doc_id, term, positions array<int>)."""
+def phrase_match_positions(
+    positions: DataFrame, phrase_terms: list[str], slop: int = 0
+) -> DataFrame:
+    """(doc_id, phrase_tf) for docs containing the phrase. slop=0:
+    exact consecutive run (the array_intersect fold above). slop>0:
+    proximity match (`"a b"~2`) — the terms IN ORDER with at most
+    `slop` total extra tokens interleaved (sum over all gaps), i.e.
+    positions p_1<..<p_k with p_k - p_1 - (k-1) <= slop; phrase_tf
+    counts distinct completion positions of the last term.
+
+    The proximity fold carries (pos, slack) structs instead of bare
+    positions: a step extends each partial match with every next-term
+    position whose added gap keeps total slack within budget, then
+    keeps the MINIMUM slack per completion position (sort_array +
+    indexed filter — all JVM-side, no UDF). Per-doc state stays
+    bounded by that dedup: <= |positions(term_i)| entries after step i,
+    so the fold's data movement matches the exact path's.
+    `positions` rows: (doc_id, term, positions array<int>)."""
     if not phrase_terms:
         raise ValueError("empty phrase")
-    acc = positions.filter(F.col("term") == phrase_terms[0]).select(
-        "doc_id", F.col("positions").alias("acc")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    first = positions.filter(F.col("term") == phrase_terms[0])
+    if slop == 0:
+        acc = first.select("doc_id", F.col("positions").alias("acc"))
+        for t in phrase_terms[1:]:
+            nxt = positions.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias("p")
+            )
+            acc = (
+                acc.join(nxt, "doc_id")
+                .select(
+                    "doc_id",
+                    F.array_intersect(
+                        F.transform("acc", lambda x: x + F.lit(1)), F.col("p")
+                    ).alias("acc"),
+                )
+                .filter(F.size("acc") > 0)
+            )
+        return acc.select("doc_id", F.size("acc").cast("int").alias("phrase_tf"))
+
+    acc = first.select(
+        "doc_id",
+        F.expr("transform(positions, x -> struct(x AS pos, 0 AS slack))").alias("acc"),
     )
     for t in phrase_terms[1:]:
         nxt = positions.filter(F.col("term") == t).select(
@@ -45,8 +82,19 @@ def phrase_match_positions(positions: DataFrame, phrase_terms: list[str]) -> Dat
             acc.join(nxt, "doc_id")
             .select(
                 "doc_id",
-                F.array_intersect(
-                    F.transform("acc", lambda x: x + F.lit(1)), F.col("p")
+                F.expr(
+                    "sort_array(flatten(transform(acc, a -> "
+                    "transform("
+                    f"  filter(p, x -> x > a.pos AND x - a.pos - 1 + a.slack <= {int(slop)}), "
+                    "  x -> struct(x AS pos, a.slack + x - a.pos - 1 AS slack)))))"
+                ).alias("raw"),
+            )
+            .select(
+                "doc_id",
+                # min slack per completion position: raw is sorted by
+                # (pos, slack), keep each pos's first entry
+                F.expr(
+                    "filter(raw, (x, i) -> i = 0 OR raw[i-1].pos <> x.pos)"
                 ).alias("acc"),
             )
             .filter(F.size("acc") > 0)
@@ -55,11 +103,12 @@ def phrase_match_positions(positions: DataFrame, phrase_terms: list[str]) -> Dat
 
 
 def phrase_topk(
-    spark: SparkSession, store: IndexStore, phrase: str, k: int
+    spark: SparkSession, store: IndexStore, phrase: str, k: int, slop: int = 0
 ) -> DataFrame:
-    """Top-k docs for an exact phrase (phrase_tf desc, doc_id asc) off
-    the index's positions table. Requires store_positions=True at build
-    time."""
+    """Top-k docs for a phrase (phrase_tf desc, doc_id asc) off the
+    index's positions table; slop>0 gives proximity semantics
+    (`"a b"~slop` — see phrase_match_positions). Requires
+    store_positions=True at build time."""
     cfg = store.get_config()
     if not cfg.store_positions:
         raise ValueError(
@@ -73,7 +122,7 @@ def phrase_topk(
     pos = spark.read.parquet(store.path("positions"))
     return (
         filter_deleted(
-            phrase_match_positions(pos, terms), load_deleted_ids(spark, store)
+            phrase_match_positions(pos, terms, slop), load_deleted_ids(spark, store)
         )
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
         .limit(k)

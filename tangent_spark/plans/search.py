@@ -746,9 +746,10 @@ class Searcher:
             )
         return self.spark.read.parquet(self.store.path("positions"))
 
-    def phrase(self, phrase: str, k: int) -> DataFrame:
-        """Warm exact-phrase top-k (phrase_tf desc, doc_id asc) off the
-        cached positions table — zero file I/O when cache_positions."""
+    def phrase(self, phrase: str, k: int, slop: int = 0) -> DataFrame:
+        """Warm phrase top-k (phrase_tf desc, doc_id asc) off the
+        cached positions table — zero file I/O when cache_positions;
+        slop>0 gives proximity semantics (`"a b"~slop`)."""
         from tangent_spark.plans.phrase import _phrase_terms, phrase_match_positions
 
         terms = _phrase_terms(phrase, self.cfg.tokenizer)
@@ -756,7 +757,8 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, phrase_tf int")
         return (
             filter_deleted(
-                phrase_match_positions(self._warm_positions(), terms), self.deleted
+                phrase_match_positions(self._warm_positions(), terms, slop),
+                self.deleted,
             )
             .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
             .limit(k)

@@ -43,7 +43,7 @@ def test_parse_boolean_query():
     assert q.should == tokenize_porter("matrix")
     assert q.must == tokenize_porter("theorem")
     assert q.must_not == tokenize_porter("slow")
-    assert q.phrases == [tokenize_porter("gradient descent")]
+    assert q.phrases == [(tokenize_porter("gradient descent"), 0)]
     assert not q.not_phrases
     # positive terms include phrase terms, deduped + sorted
     assert set(q.positive_terms) == set(
@@ -51,8 +51,13 @@ def test_parse_boolean_query():
     )
     # negated phrase; quoted single word degrades to a plain term
     q2 = parse_boolean_query('-"gradient descent" +"matrix"', cfg)
-    assert q2.not_phrases == [tokenize_porter("gradient descent")]
+    assert q2.not_phrases == [(tokenize_porter("gradient descent"), 0)]
     assert q2.must == tokenize_porter("matrix")
+    # proximity suffix: "..."~N sets the phrase slop
+    q3 = parse_boolean_query('"gradient descent"~3 -"a b"~1 fast', cfg)
+    assert q3.phrases == [(tokenize_porter("gradient descent"), 3)]
+    assert q3.not_phrases == [(tokenize_porter("a b"), 1)]
+    assert q3.should == tokenize_porter("fast")
 
 
 # --- boolean scoring vs oracle -----------------------------------------------
@@ -110,6 +115,73 @@ def test_boolean_must_not_excludes(spark, store, corpus):
 def test_boolean_requires_positive_clause(spark, store):
     with pytest.raises(ValueError):
         boolean_topk(spark, store, "-matrix -theorem", 10)
+
+
+def test_proximity_phrase_matches_python_oracle(spark, store, corpus):
+    """Sloppy phrases (`"a b"~slop`): the declarative (pos, slack) fold
+    must equal a pure-python in-order-within-slack scan; slop=0 through
+    the general fold must equal the exact array_intersect path."""
+    from tangent_spark.plans.phrase import phrase_topk
+
+    _pages, local = corpus
+    toks0 = tokenize_porter(local[0][1])
+    t1, t2, t3 = toks0[0], toks0[1], toks0[2]
+
+    def positions(ts, t):
+        return [i for i, x in enumerate(ts) if x == t]
+
+    # 2-term: completion positions j of t2 with an earlier t1 within slack
+    for slop in (0, 1, 3):
+        def oracle_tf(text):
+            ts = tokenize_porter(text)
+            p1, p2 = positions(ts, t1), positions(ts, t2)
+            return len({j for j in p2 if any(i < j and j - i - 1 <= slop for i in p1)})
+
+        want = sorted(
+            ((tf, d) for d, text in local if (tf := oracle_tf(text)) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:15]
+        got = [
+            (r["phrase_tf"], r["doc_id"])
+            for r in phrase_topk(spark, store, f"{t1} {t2}", 15, slop=slop).collect()
+        ]
+        assert got == want, slop
+        assert len(got) > 0, slop
+
+    # 3-term: total slack j - i1 - 2 <= slop with a t2 strictly between
+    def oracle3(text, slop):
+        ts = tokenize_porter(text)
+        p1, p2, p3 = positions(ts, t1), positions(ts, t2), positions(ts, t3)
+        return len({
+            j for j in p3
+            if any(
+                i1 < i2 < j and j - i1 - 2 <= slop
+                for i1 in p1 for i2 in p2
+            )
+        })
+
+    for slop in (0, 2):
+        want = sorted(
+            ((tf, d) for d, text in local if (tf := oracle3(text, slop)) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:15]
+        got = [
+            (r["phrase_tf"], r["doc_id"])
+            for r in phrase_topk(
+                spark, store, f"{t1} {t2} {t3}", 15, slop=slop
+            ).collect()
+        ]
+        assert got == want, slop
+
+    # grammar: a ~slop phrase clause restricts the boolean match set
+    matching = {d for d, text in local if oracle_tf(text) > 0}
+    got_b = {
+        int(r["doc_id"])
+        for r in boolean_topk(
+            spark, store, f'matrix "{t1} {t2}"~3', 100
+        ).collect()
+    }
+    assert got_b and got_b <= matching
 
 
 def test_boolean_phrase_filters(spark, store, corpus):
