@@ -59,7 +59,7 @@ def main() -> None:
     spark.range(1000).select(F.sum("id")).collect()
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+        "doc_id", "text", "lang"
     )
     n_docs = docs.count()
 
@@ -68,7 +68,10 @@ def main() -> None:
     # positional build: phrase/snippet serving is a first-class surface
     # since round 3, so the headline index includes the positions stage
     # (its share is reported separately as index_positions_secs)
-    cfg = IndexConfig(n_shards=max(cpus, 8), block_size=128, store_positions=True)
+    cfg = IndexConfig(
+        n_shards=max(cpus, 8), block_size=128, store_positions=True,
+        meta_cols=("lang",),
+    )
     store = timed("index_build", lambda: build_index(spark, docs, idx_dir, cfg))
     positions_secs = round(
         store.counters().get("positions", {}).get("secs", 0.0), 3
@@ -124,6 +127,23 @@ def main() -> None:
     blat.sort()
     boolean_p50_ms = round(1000 * blat[len(blat) // 2], 1)
     timings["boolean_total"] = round(sum(blat), 3)
+
+    # warm metadata-filtered serving (round-4 surface: lang predicate
+    # over the docs dictionary, broadcast-candidate route) + one facet
+    # panel over the full disjunctive match set
+    searcher.filtered(BM25_QUERIES[0], 10, "lang = 'en'").collect()  # warm
+    flat = []
+    for q in BM25_QUERIES * 2:
+        t0 = time.time()
+        searcher.filtered(q, 10, "lang = 'en'").collect()
+        flat.append(time.time() - t0)
+    flat.sort()
+    filtered_p50_ms = round(1000 * flat[len(flat) // 2], 1)
+    timings["filtered_total"] = round(sum(flat), 3)
+    t0 = time.time()
+    facet_rows = searcher.facets(BM25_QUERIES[0], "lang").collect()
+    timings["facet_lang"] = round(time.time() - t0, 3)
+    n_facet_values = len(facet_rows)
 
     # batch serving: 42-query sweep (6 rounds of the 7-query set) in ONE
     # job; decode-cache sharing means the batch decodes far fewer blocks
@@ -183,7 +203,9 @@ def main() -> None:
     new_surfaces = round(
         timings.get("cc_star", 0.0)
         + timings.get("phrase_total", 0.0)
-        + timings.get("boolean_total", 0.0),
+        + timings.get("boolean_total", 0.0)
+        + timings.get("filtered_total", 0.0)
+        + timings.get("facet_lang", 0.0),
         3,
     )
     out = {
@@ -201,6 +223,8 @@ def main() -> None:
         "query_cold_ms": cold_ms,
         "phrase_p50_ms": phrase_p50_ms,
         "boolean_p50_ms": boolean_p50_ms,
+        "filtered_p50_ms": filtered_p50_ms,
+        "n_facet_values": n_facet_values,
         "cc_edges": int(cc_edges),
         "cc_rounds": int(cc_rounds),
         "cc_components": int(cc_components),

@@ -58,16 +58,31 @@ def search(
     query: str,
     k: int = 10,
     searcher=None,
+    where: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
     formula route; pass a warm plans.search.Searcher to serve plain
-    BM25 queries from the resident index."""
+    BM25 queries from the resident index. `where` (a SQL predicate over
+    the word index's IndexConfig.meta_cols) restricts text routes to
+    matching documents — Lucene filter semantics, see
+    plans.boolean.filtered_topk; the formula route does not support it
+    (the formula store's expression index has no doc metadata)."""
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
     kind = route(query)
     if kind == "formula":
+        if where is not None:
+            raise ValueError("metadata filters are not supported on the formula route")
         return _formula_search(spark, stores, query, k, searcher)
+    if where is not None:
+        # filtered_topk serves the full grammar, so it covers both the
+        # boolean and plain-BM25 routes
+        if searcher is not None:
+            return searcher.filtered(query, k, where)
+        from tangent_spark.plans.boolean import filtered_topk
+
+        return filtered_topk(spark, stores.words, query, k, where)
     if kind == "boolean":
         if searcher is not None:
             return searcher.boolean(query, k)

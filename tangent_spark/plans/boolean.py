@@ -572,13 +572,16 @@ def _route_filter(
     filter-iterator shape); ('join', None, cand_df) for broad filters,
     where the doc set stays distributed and semi-joins the scored
     aggregate. The docs scan is column-pruned + predicate-pushed (only
-    doc_id and the filter columns are read)."""
+    doc_id and the filter columns are read), and the route decision is
+    ONE bounded job: collect at most cap+1 ids — seeing cap+1 proves
+    the set is too big to broadcast without counting it."""
     cand = docs.filter(where).select("doc_id")
-    n = cand.count()
+    head = cand.limit(max_driver_candidates + 1).toPandas()
+    n = len(head)
     if n == 0:
         return "empty", None, None
     if n <= max_driver_candidates:
-        ids = np.unique(cand.toPandas()["doc_id"].to_numpy(np.int64))
+        ids = np.unique(head["doc_id"].to_numpy(np.int64))
         return "driver", ids, None
     return "join", None, cand
 

@@ -495,6 +495,9 @@ class Searcher:
             self.positions.count()
         # docs dictionary cache, filled lazily by the first filtered()
         self._docs = None
+        # Lucene-style filter cache: predicate -> evaluated route
+        # (bounded FIFO; valid for this Searcher's point-in-time view)
+        self._filter_cache: dict = {}
         # one task wave per query: shards are merged into at most
         # defaultParallelism scan tasks (the kernel regroups by shard
         # in-partition, so correctness is unaffected)
@@ -636,6 +639,28 @@ class Searcher:
             deleted=self.deleted,
         )
 
+    def _route_filter_cached(self, where: str, max_driver_candidates: int):
+        """Evaluate (or recall) a metadata predicate's candidate route —
+        the Lucene filter-cache discipline: a repeated `where` costs
+        ZERO jobs, the query runs straight on the remembered candidate
+        set. Bounded FIFO; entries are valid for this Searcher's
+        point-in-time view of the docs dictionary (which is cached
+        cluster-side on first use)."""
+        from tangent_spark.plans.boolean import _route_filter
+
+        key = (where, max_driver_candidates)
+        hit = self._filter_cache.get(key)
+        if hit is None:
+            if self._docs is None:
+                self._docs = self.spark.read.parquet(
+                    self.store.path("docs")
+                ).persist()
+            hit = _route_filter(self.spark, self._docs, where, max_driver_candidates)
+            if len(self._filter_cache) >= 64:
+                self._filter_cache.pop(next(iter(self._filter_cache)))
+            self._filter_cache[key] = hit
+        return hit
+
     def filtered(
         self,
         query: str,
@@ -649,18 +674,16 @@ class Searcher:
         (IndexConfig.meta_cols). Same semantics and routing as
         plans.boolean.filtered_topk (Lucene filter semantics — scores
         keep corpus-level stats); the docs dictionary is cached
-        shard-agnostically on first use so repeated filtered queries
-        re-scan memory, not parquet."""
+        shard-agnostically on first use and the evaluated predicate is
+        filter-cached, so a repeated filtered query is ONE job like
+        plain warm serving."""
         from tangent_spark.plans.boolean import (
             _OUT_SCHEMA,
             _boolean_plan,
-            _route_filter,
         )
 
-        if self._docs is None:
-            self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
-        route, ids, cand_df = _route_filter(
-            self.spark, self._docs, where, max_driver_candidates
+        route, ids, cand_df = self._route_filter_cached(
+            where, max_driver_candidates
         )
         if route == "empty":
             return self.spark.createDataFrame([], _OUT_SCHEMA)
@@ -694,17 +717,14 @@ class Searcher:
         `by` for the boolean query's match set — same semantics as
         plans.boolean.facet_counts, served off the cached postings and
         the cached docs dictionary."""
-        from tangent_spark.plans.boolean import (
-            _boolean_plan,
-            _route_filter,
-        )
+        from tangent_spark.plans.boolean import _boolean_plan
 
         if self._docs is None:
             self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
         ids, cand_df = None, None
         if where is not None:
-            route, ids, cand_df = _route_filter(
-                self.spark, self._docs, where, max_driver_candidates
+            route, ids, cand_df = self._route_filter_cached(
+                where, max_driver_candidates
             )
             if route == "empty":
                 return (

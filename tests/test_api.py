@@ -51,6 +51,24 @@ def test_search_boolean_route(spark, stores):
     assert got == want and got
 
 
+def test_search_where_routes_to_filtered(spark, stores):
+    """search(..., where=...) serves text routes through the filtered
+    path (url is always a docs column; meta_cols add more) and refuses
+    the formula route."""
+    from tangent_spark.plans.boolean import filtered_topk
+
+    _, ss = stores
+    where = "url < 'https://example.org/00000075'"
+    for q in ("matrix convergence theorem", "matrix +theorem"):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in search(spark, ss, q, 5, where=where).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in filtered_topk(spark, ss.words, q, 5, where).collect()]
+        assert got == want and got, q
+    with pytest.raises(ValueError):
+        search(spark, ss, "<math><mi>x</mi></math>", 5, where=where)
+
+
 def test_search_formula_route(spark, stores):
     _, ss = stores
     q = "<math><mrow><mws:qvar name=\"a\"/><mo>+</mo><mi>x</mi></mrow></math>"

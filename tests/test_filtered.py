@@ -130,8 +130,11 @@ def test_warm_filtered_matches_cold(spark, store):
         for where in ("lang = 'en'", "lang IN ('de', 'fr')"):
             warm = _rows(s.filtered(Q, 10, where))
             assert warm == _rows(filtered_topk(spark, store, Q, 10, where))
-            # repeat off the now-cached docs dictionary
+            # repeat off the now-cached docs dictionary + filter cache
             assert _rows(s.filtered(Q, 10, where)) == warm
+        # one filter-cache entry per distinct predicate (Lucene filter
+        # cache: a repeated where costs zero evaluation jobs)
+        assert len(s._filter_cache) == 2
         # broad-route warm
         assert _rows(
             s.filtered(Q, 10, "lang = 'en'", max_driver_candidates=1)
