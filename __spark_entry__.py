@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_bm25_topk": eq.delete_bm25_topk,
         "filtered_bm25_topk": eq.filtered_bm25_topk,
         "facet_counts_lang": eq.facet_counts_lang,
+        "suggest_terms_prefix": eq.suggest_terms_prefix,
+        "mlt_topk": eq.mlt_topk,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -564,5 +566,31 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'bool' AS phase, lang, count(*)::BIGINT AS n_docs "
             "FROM m_bool JOIN documents USING (doc_id) GROUP BY lang"
+        ),
+        # prefix completion off the vocabulary: df = docs containing the
+        # term, popularity order
+        "suggest_terms_prefix": (
+            f"WITH {_TOK}, {_TF} "
+            "SELECT term, count(*)::INT AS df FROM tf WHERE term LIKE 'da%' "
+            "GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 10"
+        ),
+        # more-like-this for doc 7: select its top-8 tf*idf terms
+        # (idf over the FULL corpus, ties term asc), then BM25 over
+        # those terms excluding the source doc, top-15
+        "mlt_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+            "qts AS (SELECT tf.term FROM tf JOIN dfs USING (term) CROSS JOIN stats s "
+            "  WHERE tf.doc_id = 7 "
+            "  ORDER BY tf.tf * ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) DESC, tf.term ASC "
+            "  LIMIT 8), "
+            "m AS (SELECT tf.* FROM tf JOIN qts USING (term) WHERE tf.doc_id <> 7) "
+            "SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 15"
         ),
     }

@@ -1195,6 +1195,69 @@ DELETE_QUERY = "data query spark"
 FILTERED_QUERY = "data query spark index"
 FACET_ANY_QUERY = "data query spark"
 FACET_BOOL_QUERY = "data +spark -join"
+SUGGEST_PREFIX = "da"
+MLT_DOC = 7
+MLT_MAX_TERMS = 8
+
+
+def _simple_store(spark, sf_dir, base, meta=()):
+    """documents -> a simple-tokenizer index (the oracle-comparable
+    configuration shared by the engine-backed contract entries)."""
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.indexer import build_index
+
+    cols = ["doc_id", "text", *meta]
+    cfg = IndexConfig(
+        n_shards=4, block_size=32, tokenizer="simple", meta_cols=tuple(meta)
+    )
+    return build_index(
+        spark, _docs(spark, sf_dir).select(*cols), f"{base}/s", cfg
+    )
+
+
+def suggest_terms_prefix(spark, sf_dir):
+    """Search-box prefix completion (plans/suggest.suggest_terms) off a
+    real index's term_stats: top-10 'da…' vocabulary terms by df desc,
+    term asc."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.suggest import suggest_terms
+
+    base = tempfile.mkdtemp(prefix="tangent_suggest_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            (r["term"], int(r["df"]))
+            for r in suggest_terms(spark, store, SUGGEST_PREFIX, 10).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "term string, df int")
+
+
+def mlt_topk(spark, sf_dir):
+    """More-like-this (plans/suggest.more_like_this, Lucene MLT): the
+    source doc's top tf*idf terms become a disjunctive BM25 query
+    served by the WAND kernel, source excluded. Top-15 for doc 7 with
+    8 selection terms."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.suggest import more_like_this
+
+    base = tempfile.mkdtemp(prefix="tangent_mlt_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in more_like_this(
+                spark, store, MLT_DOC, 15, max_terms=MLT_MAX_TERMS
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "doc_id long, score double")
 
 
 def facet_counts_lang(spark, sf_dir):

@@ -522,9 +522,14 @@ class Searcher:
         return out
 
     def topk(
-        self, query: str, k: int, with_metrics: bool = False, decode_counter=None
+        self, query: str, k: int, with_metrics: bool = False, decode_counter=None,
+        terms: list[str] | None = None,
     ) -> DataFrame:
-        qts = query_terms(query, self.cfg.tokenizer)
+        """Warm BM25 top-k. `terms` bypasses tokenization with an
+        already-tokenized sorted term list (more_like_this feeds the
+        source doc's stored stemmed terms here — re-stemming them could
+        alter them, Porter is not idempotent on every stem)."""
+        qts = terms if terms is not None else query_terms(query, self.cfg.tokenizer)
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
         add_idf = _idf_from_g_df(self.n_docs)
@@ -637,6 +642,41 @@ class Searcher:
             df_lookup=self._resolve_dfs,
             shard_partitioned=True,
             deleted=self.deleted,
+        )
+
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Warm prefix completion: (term, df) df desc, term asc off the
+        persisted term_stats cache (plans.suggest.suggest_terms cold
+        twin) — an in-memory columnar scan, no file I/O."""
+        qts = query_terms(prefix, self.cfg.tokenizer)
+        if not qts:
+            return self.spark.createDataFrame([], "term string, df int")
+        return (
+            self.term_stats.filter(F.col("term").startswith(qts[0]))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_terms: int = 10
+    ) -> DataFrame:
+        """Warm Lucene-style MLT: BM25 over the source doc's top tf*idf
+        terms, source excluded — rank-identical to the cold
+        plans.suggest.more_like_this (taking k+1 then dropping the
+        source equals masking it in-kernel, tie-breaks included). Term
+        selection reads one doc's rows from the terms table (bounded);
+        scoring is one warm single-stage job."""
+        from tangent_spark.plans.suggest import mlt_query_terms
+
+        qts = mlt_query_terms(self.spark, self.store, doc_id, max_terms)
+        if not qts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            self.topk("", k + 1, terms=qts)
+            .filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def _route_filter_cached(self, where: str, max_driver_candidates: int):

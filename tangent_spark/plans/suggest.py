@@ -1,0 +1,117 @@
+"""Query-assist surfaces over the index dictionaries: prefix term
+suggestions and more-like-this document similarity.
+
+The reference had neither (its Solr core could serve both via the
+terms/MLT handlers; SURVEY.md §2.5 scopes the engine to ranked and
+boolean retrieval), but a serving deployment of a web-scale index needs
+them — suggestions drive the search-box completion, MLT drives
+related-document panels — and both fall out of tables the store
+already maintains:
+
+* `suggest_terms`: completion candidates = term_stats rows with the
+  prefix, ranked by df desc (the classic popularity order), term asc
+  tie-break. One column-pruned scan with a pushed StartsWith filter —
+  at 10^9 terms this is a parquet range scan, no shuffle at all; the
+  warm variant answers from the Searcher's persisted term_stats cache.
+
+* `more_like_this`: Lucene's MLT discipline — the source document's
+  top tf*idf terms become a disjunctive BM25 query (served by the
+  same block-max WAND kernel as any user query), excluding the source
+  doc itself. Term selection reads ONE doc's rows from the terms table
+  (doc-pruned scan, <= dl rows collected driver-side — bounded by a
+  single document's length, the same bound every query's term list
+  already has).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tangent_spark.sources.store import IndexStore
+
+
+def suggest_terms(
+    spark: SparkSession, store: IndexStore, prefix: str, k: int = 10
+) -> DataFrame:
+    """Top-k completion candidates for a search-box prefix:
+    (term, df), df desc, term asc. The prefix is run through the
+    index's tokenizer so suggestions live in the stored (e.g. stemmed)
+    vocabulary — an un-tokenizable prefix returns no rows."""
+    from tangent_spark.plans.search import query_terms
+
+    toks = query_terms(prefix, store.get_config().tokenizer)
+    if not toks:
+        return spark.createDataFrame([], "term string, df int")
+    return (
+        store.read(spark, "term_stats")
+        .filter(F.col("term").startswith(toks[0]))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def mlt_query_terms(
+    spark: SparkSession,
+    store: IndexStore,
+    doc_id: int,
+    max_terms: int = 10,
+) -> list[str]:
+    """The source doc's top-`max_terms` terms by tf*idf (idf from the
+    current term_stats; ties by term asc) — the MLT query. Sorted for
+    deterministic downstream plans."""
+    from tangent_spark.plans.search import idf
+
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    N = int(cs["n_docs"])
+    rows = (
+        store.read(spark, "terms")
+        .filter(F.col("doc_id") == int(doc_id))
+        .join(store.read(spark, "term_stats").select("term", "df"), "term")
+        .select("term", "tf", "df")
+        .collect()
+    )
+    scored = sorted(
+        ((float(r["tf"]) * idf(N, int(r["df"])), r["term"]) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return sorted(t for _, t in scored[:max_terms])
+
+
+def more_like_this(
+    spark: SparkSession,
+    store: IndexStore,
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = 10,
+) -> DataFrame:
+    """Top-k documents most similar to `doc_id` (Lucene MLT): BM25 over
+    the source doc's top tf*idf terms, source doc excluded. Served by
+    the standard block-max WAND kernel — an MLT query costs exactly one
+    user query plus the bounded term-selection read."""
+    from tangent_spark.plans.search import _wand_plan, load_deleted_ids
+
+    import numpy as np
+
+    qts = mlt_query_terms(spark, store, doc_id, max_terms)
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cfg = store.get_config()
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    deleted = load_deleted_ids(spark, store)
+    # the source doc must never be its own suggestion: mask it exactly
+    # like a tombstone (k+1 then re-limit would also work, but this
+    # keeps the kernel's top-k tight)
+    deleted = np.unique(np.append(deleted, np.int64(doc_id)))
+    return _wand_plan(
+        store.read(spark, "postings"),
+        store.read(spark, "term_stats"),
+        qts,
+        int(cs["n_docs"]),
+        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        cfg,
+        k,
+        False,
+        deleted=deleted,
+    )

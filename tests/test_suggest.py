@@ -1,0 +1,151 @@
+"""Query-assist surfaces (plans/suggest.py): prefix term suggestions
+and more-like-this, against pure-python oracles over the same corpus.
+"""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.functions.tokenize import tokenize_porter
+from tangent_spark.plans.indexer import build_index
+from tangent_spark.plans.search import Searcher
+from tangent_spark.plans.suggest import (
+    mlt_query_terms,
+    more_like_this,
+    suggest_terms,
+)
+
+CFG = IndexConfig(n_shards=4, block_size=16)
+N = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = pages_with_doc_ids(generate_pages(spark, N, partitions=4)).persist()
+    local = [
+        (int(r["doc_id"]), r["text"]) for r in pages.select("doc_id", "text").collect()
+    ]
+    return pages, sorted(local)
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus, tmp_path_factory):
+    pages, _ = corpus
+    return build_index(
+        spark, pages, str(tmp_path_factory.mktemp("sug") / "idx"), CFG, url_col="url"
+    )
+
+
+def _local_stats(local):
+    tf, dl = {}, {}
+    for d, text in local:
+        toks = tokenize_porter(text)
+        if toks:
+            tf[d] = Counter(toks)
+            dl[d] = len(toks)
+    return tf, dl
+
+
+def test_suggest_matches_vocabulary_oracle(spark, store, corpus):
+    _, local = corpus
+    tf, _ = _local_stats(local)
+    for prefix in ("con", "ma", "th"):
+        dfs = Counter()
+        for c in tf.values():
+            for t in c:
+                if t.startswith(prefix):
+                    dfs[t] += 1
+        want = sorted(((d, t) for t, d in dfs.items()), key=lambda x: (-x[0], x[1]))[:8]
+        got = [
+            (int(r["df"]), r["term"])
+            for r in suggest_terms(spark, store, prefix, 8).collect()
+        ]
+        assert got == want and got, prefix
+
+
+def test_suggest_warm_and_edges(spark, store):
+    s = Searcher(spark, store)
+    try:
+        warm = [(r["term"], r["df"]) for r in s.suggest("con", 8).collect()]
+        cold = [(r["term"], r["df"]) for r in suggest_terms(spark, store, "con", 8).collect()]
+        assert warm == cold and warm
+    finally:
+        s.close()
+    assert suggest_terms(spark, store, "", 8).count() == 0
+    assert suggest_terms(spark, store, "zzzzqq", 8).count() == 0
+
+
+def _mlt_oracle(local, doc_id, max_terms, k):
+    """Pure-python MLT: top tf*idf terms of the source doc, then BM25
+    over them, source excluded."""
+    tf, dl = _local_stats(local)
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    dfs_all = Counter()
+    for c in tf.values():
+        dfs_all.update(c.keys())
+
+    def idf(d):
+        return math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+
+    src = tf[doc_id]
+    sel = sorted(
+        ((t_tf * idf(dfs_all[t]), t) for t, t_tf in src.items()),
+        key=lambda x: (-x[0], x[1]),
+    )
+    qts = sorted(t for _, t in sel[:max_terms])
+    scores = {}
+    for d, counts in tf.items():
+        if d == doc_id:
+            continue
+        s = 0.0
+        for t in qts:
+            if t in counts:
+                t_tf = counts[t]
+                s += idf(dfs_all[t]) * t_tf * 2.2 / (
+                    t_tf + 1.2 * (1.0 - 0.75 + 0.75 * dl[d] / avgdl)
+                )
+        if s > 0:
+            scores[d] = s
+    return qts, sorted(
+        ((d, round(s, 9)) for d, s in scores.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+
+
+def test_mlt_matches_python_oracle(spark, store, corpus):
+    _, local = corpus
+    for doc_id in (0, 17, 42):
+        want_terms, want = _mlt_oracle(local, doc_id, 10, 10)
+        assert mlt_query_terms(spark, store, doc_id, 10) == want_terms
+        got = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in more_like_this(spark, store, doc_id, 10).collect()
+        ]
+        assert got == want and got, doc_id
+        assert doc_id not in {d for d, _ in got}
+
+
+def test_mlt_warm_matches_cold(spark, store, corpus):
+    s = Searcher(spark, store)
+    try:
+        for doc_id in (0, 42):
+            warm = [
+                (int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in s.more_like_this(doc_id, 10).collect()
+            ]
+            cold = [
+                (int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in more_like_this(spark, store, doc_id, 10).collect()
+            ]
+            assert warm == cold and warm, doc_id
+    finally:
+        s.close()
+
+
+def test_mlt_unknown_doc_is_empty(spark, store):
+    assert more_like_this(spark, store, 10**9, 10).count() == 0
