@@ -77,7 +77,15 @@ def search(
         return _formula_search(spark, stores, query, k, searcher)
     if where is not None:
         # filtered_topk serves the full grammar, so it covers both the
-        # boolean and plain-BM25 routes
+        # boolean and plain-BM25 routes. Mirror the unfiltered bm25
+        # route's contract for un-tokenizable plain queries (empty
+        # result, not the boolean parser's no-positive-clause error —
+        # a punctuation-only search box with a filter is not a bug).
+        if kind == "bm25":
+            from tangent_spark.plans.search import query_terms
+
+            if not query_terms(query, stores.words.get_config().tokenizer):
+                return spark.createDataFrame([], "doc_id long, score double")
         if searcher is not None:
             return searcher.filtered(query, k, where)
         from tangent_spark.plans.boolean import filtered_topk

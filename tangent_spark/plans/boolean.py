@@ -501,6 +501,24 @@ def _boolean_plan(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def facet_aggregate(matches: DataFrame, docs: DataFrame, by: str) -> DataFrame:
+    """(<by>, n_docs) over a match set — the one place the facet
+    ordering/column contract lives (cold facet_counts and warm
+    Searcher.facets both delegate here)."""
+    return (
+        matches.select("doc_id")
+        .join(docs.select("doc_id", by), "doc_id")
+        .groupBy(by)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(by))
+    )
+
+
+def facet_empty(docs: DataFrame, by: str) -> DataFrame:
+    """Zero-row facet frame with the metadata column's real dtype."""
+    return docs.select(by).limit(0).withColumn("n_docs", F.lit(0).cast("long"))
+
+
 def facet_counts(
     spark: SparkSession,
     store: IndexStore,
@@ -530,10 +548,7 @@ def facet_counts(
     if where is not None:
         route, ids, cand_df = _route_filter(spark, docs, where, max_driver_candidates)
         if route == "empty":
-            return (
-                docs.select(by).limit(0)
-                .withColumn("n_docs", F.lit(0).cast("long"))
-            )
+            return facet_empty(docs, by)
     cs = store.read(spark, "corpus_stats").collect()[0]
     matches = _boolean_plan(
         spark,
@@ -550,13 +565,7 @@ def facet_counts(
         cand_df=cand_df,
         return_matches=True,
     )
-    return (
-        matches.select("doc_id")
-        .join(docs.select("doc_id", by), "doc_id")
-        .groupBy(by)
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy(F.desc("n_docs"), F.asc(by))
-    )
+    return facet_aggregate(matches, docs, by)
 
 
 def _route_filter(

@@ -645,18 +645,15 @@ class Searcher:
         )
 
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:
-        """Warm prefix completion: (term, df) df desc, term asc off the
-        persisted term_stats cache (plans.suggest.suggest_terms cold
-        twin) — an in-memory columnar scan, no file I/O."""
-        qts = query_terms(prefix, self.cfg.tokenizer)
-        if not qts:
+        """Warm prefix completion: the cold suggest_terms plan (last
+        token of the input, df desc) off the persisted term_stats
+        cache — an in-memory columnar scan, no file I/O."""
+        from tangent_spark.plans.suggest import suggest_plan, suggest_token
+
+        tok = suggest_token(prefix, self.cfg.tokenizer)
+        if tok is None:
             return self.spark.createDataFrame([], "term string, df int")
-        return (
-            self.term_stats.filter(F.col("term").startswith(qts[0]))
-            .select("term", "df")
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(k)
-        )
+        return suggest_plan(self.term_stats, tok, k)
 
     def more_like_this(
         self, doc_id: int, k: int = 10, max_terms: int = 10
@@ -664,12 +661,31 @@ class Searcher:
         """Warm Lucene-style MLT: BM25 over the source doc's top tf*idf
         terms, source excluded — rank-identical to the cold
         plans.suggest.more_like_this (taking k+1 then dropping the
-        source equals masking it in-kernel, tie-breaks included). Term
-        selection reads one doc's rows from the terms table (bounded);
-        scoring is one warm single-stage job."""
-        from tangent_spark.plans.suggest import mlt_query_terms
-
-        qts = mlt_query_terms(self.spark, self.store, doc_id, max_terms)
+        source equals masking it in-kernel, tie-breaks included).
+        Term selection uses this Searcher's POINT-IN-TIME snapshot
+        (cached df lexicon + n_docs) so selection idf and scoring idf
+        agree even after later appends; the only file I/O is the
+        doc-pruned read of ONE doc's rows from the terms table
+        (bounded by a single document's length). Scoring is one warm
+        single-stage job."""
+        rows = (
+            self.spark.read.parquet(self.store.path("terms"))
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("term", "tf")
+            .collect()
+        )
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        dfs = self._resolve_dfs(sorted({r["term"] for r in rows}))
+        scored = sorted(
+            (
+                (float(r["tf"]) * idf(self.n_docs, dfs[r["term"]]), r["term"])
+                for r in rows
+                if r["term"] in dfs
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        qts = sorted(t for _, t in scored[:max_terms])
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
         return (
@@ -757,7 +773,11 @@ class Searcher:
         `by` for the boolean query's match set — same semantics as
         plans.boolean.facet_counts, served off the cached postings and
         the cached docs dictionary."""
-        from tangent_spark.plans.boolean import _boolean_plan
+        from tangent_spark.plans.boolean import (
+            _boolean_plan,
+            facet_aggregate,
+            facet_empty,
+        )
 
         if self._docs is None:
             self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
@@ -767,10 +787,7 @@ class Searcher:
                 where, max_driver_candidates
             )
             if route == "empty":
-                return (
-                    self._docs.select(by).limit(0)
-                    .withColumn("n_docs", F.lit(0).cast("long"))
-                )
+                return facet_empty(self._docs, by)
         matches = _boolean_plan(
             self.spark,
             self.store,
@@ -789,13 +806,7 @@ class Searcher:
             cand_df=cand_df,
             return_matches=True,
         )
-        return (
-            matches.select("doc_id")
-            .join(self._docs.select("doc_id", by), "doc_id")
-            .groupBy(by)
-            .agg(F.count("*").alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc(by))
-        )
+        return facet_aggregate(matches, self._docs, by)
 
     def _warm_positions(self) -> DataFrame:
         if self.positions is not None:

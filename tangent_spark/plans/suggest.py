@@ -31,25 +31,40 @@ from pyspark.sql import functions as F
 from tangent_spark.sources.store import IndexStore
 
 
-def suggest_terms(
-    spark: SparkSession, store: IndexStore, prefix: str, k: int = 10
-) -> DataFrame:
-    """Top-k completion candidates for a search-box prefix:
-    (term, df), df desc, term asc. The prefix is run through the
-    index's tokenizer so suggestions live in the stored (e.g. stemmed)
-    vocabulary — an un-tokenizable prefix returns no rows."""
-    from tangent_spark.plans.search import query_terms
+def suggest_token(prefix: str, tokenizer: str) -> str | None:
+    """The token being typed = the LAST token of the raw input in
+    order (query_terms sorts+dedups, which would complete the
+    alphabetically-first already-complete word of a multi-word box);
+    run through the index tokenizer so it lives in the stored (e.g.
+    stemmed) vocabulary. None when nothing tokenizes."""
+    from tangent_spark.plans.phrase import _phrase_terms
 
-    toks = query_terms(prefix, store.get_config().tokenizer)
-    if not toks:
-        return spark.createDataFrame([], "term string, df int")
+    toks = _phrase_terms(prefix, tokenizer)
+    return toks[-1] if toks else None
+
+
+def suggest_plan(term_stats: DataFrame, token: str, k: int) -> DataFrame:
+    """(term, df) completions of one vocabulary token, df desc
+    (popularity), term asc — shared by the cold and warm paths so the
+    ordering/column contract lives in one place."""
     return (
-        store.read(spark, "term_stats")
-        .filter(F.col("term").startswith(toks[0]))
+        term_stats.filter(F.col("term").startswith(token))
         .select("term", "df")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(k)
     )
+
+
+def suggest_terms(
+    spark: SparkSession, store: IndexStore, prefix: str, k: int = 10
+) -> DataFrame:
+    """Top-k completion candidates for a search-box input: (term, df),
+    df desc, term asc, completing the input's LAST token (the one
+    being typed). An un-tokenizable input returns no rows."""
+    tok = suggest_token(prefix, store.get_config().tokenizer)
+    if tok is None:
+        return spark.createDataFrame([], "term string, df int")
+    return suggest_plan(store.read(spark, "term_stats"), tok, k)
 
 
 def mlt_query_terms(

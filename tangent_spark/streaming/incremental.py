@@ -89,10 +89,15 @@ def append_batch(
     text_col: str = "text",
     url_col: str = "url",
     extra_terms_fn=None,
+    _internal: bool = False,
 ) -> dict:
     """Append one batch of pages to an existing index. Idempotent per
     batch_id at any crash point (see module docstring). Returns the
-    batch counters."""
+    batch counters. Batch ids beginning with 'upd-' are reserved for
+    update_docs' sub-stages (a collision would alias a different
+    batch's committed stage and silently skip this one)."""
+    if not _internal and str(batch_id).startswith("upd-"):
+        raise ValueError("batch ids with the 'upd-' prefix are reserved for update_docs")
     stage = f"batch_{batch_id}"
     if store.stage_done(stage):
         return store.read_manifest()["stages"][stage]["counters"]
@@ -270,6 +275,7 @@ def delete_docs(
     store: IndexStore,
     doc_ids,
     batch_id: int | str,
+    _internal: bool = False,
 ) -> dict:
     """Mark docs deleted (Lucene live-docs discipline): append their ids
     to the tombstones table as one tagged part-file set — idempotent per
@@ -283,7 +289,10 @@ def delete_docs(
 
     doc_ids: a DataFrame with a doc_id column, or an iterable of ints.
     A warm Searcher holds a point-in-time tombstone snapshot; build a
-    new one to observe this delete."""
+    new one to observe this delete. Batch ids beginning with 'upd-'
+    are reserved for update_docs' sub-stages."""
+    if not _internal and str(batch_id).startswith("upd-"):
+        raise ValueError("batch ids with the 'upd-' prefix are reserved for update_docs")
     stage = f"delete_{batch_id}"
     if store.stage_done(stage):
         return store.read_manifest()["stages"][stage]["counters"]
@@ -345,6 +354,13 @@ def update_docs(
     committed stage before evaluating it (evaluating after the append
     would wrongly tombstone the fresh docs).
 
+    The sub-stages live under the RESERVED batch-id prefix `upd-`
+    (stages `delete_upd-<id>` / `batch_upd-<id>`), so they can never
+    collide with a caller's own append_batch/delete_docs ids — a
+    collision would silently skip indexing the re-crawl after
+    tombstoning the old doc. append_batch/delete_docs reject raw ids
+    using the prefix.
+
     Returns delete + append counters ({"replaced": n, "new_docs": m,
     ...}); new_docs counts the whole batch (replacements + brand-new
     urls)."""
@@ -352,10 +368,11 @@ def update_docs(
     stale = live.join(
         pages.select(F.col(url_col).alias("url")).distinct(), "url", "left_semi"
     ).select("doc_id")
-    dc = delete_docs(spark, store, stale, f"u{batch_id}")
+    dc = delete_docs(spark, store, stale, f"upd-{batch_id}", _internal=True)
     ac = append_batch(
-        spark, store, pages, batch_id=f"u{batch_id}",
+        spark, store, pages, batch_id=f"upd-{batch_id}",
         text_col=text_col, url_col=url_col, extra_terms_fn=extra_terms_fn,
+        _internal=True,
     )
     return {"replaced": int(dc["marked"]), **ac}
 

@@ -67,6 +67,9 @@ def test_search_where_routes_to_filtered(spark, stores):
         assert got == want and got, q
     with pytest.raises(ValueError):
         search(spark, ss, "<math><mi>x</mi></math>", 5, where=where)
+    # a punctuation-only box with a filter returns empty like the
+    # unfiltered bm25 route, instead of the boolean parser's error
+    assert search(spark, ss, "!!! ...", 5, where=where).count() == 0
 
 
 def test_search_formula_route(spark, stores):

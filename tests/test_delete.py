@@ -228,6 +228,30 @@ def test_update_docs_replaces_recrawled_url(spark, pages, tmp_path_factory):
         assert _topk(spark, store, q, 25) == _topk(spark, ref, q, 25), q
 
 
+def test_update_stage_namespace_is_reserved(spark, pages, tmp_path_factory):
+    """A caller's own batch id can never alias update_docs' sub-stages
+    (an alias would skip indexing the re-crawl after tombstoning the
+    old doc — silent data loss)."""
+    base = str(tmp_path_factory.mktemp("updns"))
+    store = build_index(
+        spark, pages.filter(F.col("doc_id") < 20), f"{base}/idx", CFG, url_col="url"
+    )
+    batch = spark.createDataFrame(
+        [("https://ns.example/1", "some page")], "url string, text string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        append_batch(spark, store, batch, batch_id="upd-1")
+    with pytest.raises(ValueError, match="reserved"):
+        delete_docs(spark, store, [1], "upd-1")
+    # a user batch id that happens to look like the OLD composition
+    # ('u1') must not collide with update_docs(batch_id=1)
+    append_batch(spark, store, batch, batch_id="u1")
+    row = pages.filter(F.col("doc_id") == 3).collect()[0]
+    c = update_docs(spark, store, _mutate(pages, row["url"], "zyqns fresh"), 1)
+    assert c["replaced"] == 1 and c["new_docs"] == 1
+    assert len(_topk(spark, store, "zyqns", 5)) == 1
+
+
 def test_update_docs_upserts_brand_new_url(spark, pages, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("upsert"))
     store = build_index(spark, pages, f"{base}/idx", CFG, url_col="url")

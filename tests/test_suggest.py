@@ -73,8 +73,16 @@ def test_suggest_warm_and_edges(spark, store):
         warm = [(r["term"], r["df"]) for r in s.suggest("con", 8).collect()]
         cold = [(r["term"], r["df"]) for r in suggest_terms(spark, store, "con", 8).collect()]
         assert warm == cold and warm
+        # a multi-word box completes the token being TYPED (the last
+        # one), not the alphabetically-first already-complete word
+        multi = [(r["term"], r["df"]) for r in s.suggest("matrix con", 8).collect()]
+        assert multi == cold
     finally:
         s.close()
+    assert [
+        (r["term"], r["df"])
+        for r in suggest_terms(spark, store, "matrix con", 8).collect()
+    ] == cold
     assert suggest_terms(spark, store, "", 8).count() == 0
     assert suggest_terms(spark, store, "zzzzqq", 8).count() == 0
 
