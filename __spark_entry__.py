@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_bm25_topk": eq.filtered_bm25_topk,
         "facet_counts_lang": eq.facet_counts_lang,
         "suggest_terms_prefix": eq.suggest_terms_prefix,
+        "did_you_mean_typo": eq.did_you_mean_typo,
         "mlt_topk": eq.mlt_topk,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
@@ -573,6 +574,15 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_TOK}, {_TF} "
             "SELECT term, count(*)::INT AS df FROM tf WHERE term LIKE 'da%' "
             "GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 10"
+        ),
+        # spelling correction: vocabulary terms within 1 edit of
+        # 'sparc', dist asc then popularity (df) desc then term asc
+        "did_you_mean_typo": (
+            f"WITH {_TOK}, {_TF}, "
+            "stats AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1) "
+            "SELECT term, df, levenshtein(term, 'sparc')::INT AS dist FROM stats "
+            "WHERE levenshtein(term, 'sparc') <= 1 "
+            "ORDER BY dist ASC, df DESC, term ASC LIMIT 5"
         ),
         # more-like-this for doc 7: select its top-8 tf*idf terms
         # (idf over the FULL corpus, ties term asc), then BM25 over

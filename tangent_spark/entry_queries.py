@@ -1236,6 +1236,30 @@ def suggest_terms_prefix(spark, sf_dir):
     return spark.createDataFrame(out, "term string, df int")
 
 
+DYM_TYPO = "sparc"
+
+
+def did_you_mean_typo(spark, sf_dir):
+    """Spelling correction (plans/suggest.did_you_mean, the Solr
+    spellcheck surface off our own term_stats): vocabulary terms within
+    1 Levenshtein edit of 'sparc', closest-then-most-popular order."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.suggest import did_you_mean
+
+    base = tempfile.mkdtemp(prefix="tangent_dym_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            (r["term"], int(r["df"]), int(r["dist"]))
+            for r in did_you_mean(spark, store, DYM_TYPO, 5).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "term string, df int, dist int")
+
+
 def mlt_topk(spark, sf_dir):
     """More-like-this (plans/suggest.more_like_this, Lucene MLT): the
     source doc's top tf*idf terms become a disjunctive BM25 query

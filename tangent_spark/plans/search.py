@@ -655,6 +655,17 @@ class Searcher:
             return self.spark.createDataFrame([], "term string, df int")
         return suggest_plan(self.term_stats, tok, k)
 
+    def did_you_mean(self, term: str, k: int = 5, max_edits: int = 1) -> DataFrame:
+        """Warm spelling correction: the cold did_you_mean plan
+        (Levenshtein <= max_edits over the vocabulary, closest-then-
+        most-popular) off the persisted term_stats cache."""
+        from tangent_spark.plans.suggest import dym_plan, suggest_token
+
+        tok = suggest_token(term, self.cfg.tokenizer)
+        if tok is None:
+            return self.spark.createDataFrame([], "term string, df int, dist int")
+        return dym_plan(self.term_stats, tok, k, max_edits)
+
     def more_like_this(
         self, doc_id: int, k: int = 10, max_terms: int = 10
     ) -> DataFrame:

@@ -67,6 +67,56 @@ def suggest_terms(
     return suggest_plan(store.read(spark, "term_stats"), tok, k)
 
 
+def dym_plan(
+    term_stats: DataFrame, token: str, k: int, max_edits: int
+) -> DataFrame:
+    """(term, df, dist) correction candidates for one vocabulary token:
+    Levenshtein distance <= max_edits, ranked dist asc (closer first),
+    df desc (popular first), term asc. All JVM-side: a length
+    pre-filter |len(term) - len(token)| <= max_edits prunes before the
+    edit-distance kernel, and F.levenshtein's threshold form
+    short-circuits rows that exceed the budget. Shared by the cold and
+    warm paths."""
+    lt = len(token)
+    cand = term_stats.filter(
+        F.abs(F.length("term") - F.lit(lt)) <= max_edits
+    ).withColumn(
+        "dist", F.levenshtein(F.col("term"), F.lit(token), max_edits)
+    )
+    return (
+        cand.filter(F.col("dist") >= 0)
+        .select("term", "df", "dist")
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def did_you_mean(
+    spark: SparkSession,
+    store: IndexStore,
+    term: str,
+    k: int = 5,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Spelling correction over the index vocabulary ('did you mean'):
+    terms within `max_edits` Levenshtein edits of the input's last
+    token, closest-then-most-popular order — the Solr spellcheck
+    surface, served off our own term_stats. The exact term (dist 0)
+    ranks first when it exists, so callers can branch on dist.
+
+    Scale note: this is ONE column-pruned scan of term_stats with the
+    length band pushed to the scan and the threshold form of
+    levenshtein short-circuiting the kernel — at the 10^6-10^7-term
+    vocabularies stemmed web corpora produce, a columnar scan per
+    correction is cheap (and the warm path reads the Searcher's cached
+    term_stats). A 10^9-term vocabulary would add a symmetric-delete
+    bucketing table; the plan shape here stays its verify step."""
+    tok = suggest_token(term, store.get_config().tokenizer)
+    if tok is None:
+        return spark.createDataFrame([], "term string, df int, dist int")
+    return dym_plan(store.read(spark, "term_stats"), tok, k, max_edits)
+
+
 def mlt_query_terms(
     spark: SparkSession,
     store: IndexStore,

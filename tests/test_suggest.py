@@ -14,6 +14,7 @@ from tangent_spark.functions.tokenize import tokenize_porter
 from tangent_spark.plans.indexer import build_index
 from tangent_spark.plans.search import Searcher
 from tangent_spark.plans.suggest import (
+    did_you_mean,
     mlt_query_terms,
     more_like_this,
     suggest_terms,
@@ -157,3 +158,56 @@ def test_mlt_warm_matches_cold(spark, store, corpus):
 
 def test_mlt_unknown_doc_is_empty(spark, store):
     assert more_like_this(spark, store, 10**9, 10).count() == 0
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_did_you_mean_matches_python_oracle(spark, store, corpus):
+    _, local = corpus
+    tf, _ = _local_stats(local)
+    dfs = Counter()
+    for c in tf.values():
+        dfs.update(c.keys())
+    for typo in ("matrux", "theorm", "converk"):
+        tok = tokenize_porter(typo)[-1]
+        want = sorted(
+            (
+                (_lev(t, tok), -d, t)
+                for t, d in dfs.items()
+                if _lev(t, tok) <= 1
+            ),
+        )[:5]
+        want = [(t, -nd, dist) for dist, nd, t in want]
+        got = [
+            (r["term"], int(r["df"]), int(r["dist"]))
+            for r in did_you_mean(spark, store, typo, 5).collect()
+        ]
+        assert got == want and got, (typo, tok, got, want)
+
+
+def test_did_you_mean_warm_and_exact_term(spark, store):
+    s = Searcher(spark, store)
+    try:
+        warm = [
+            (r["term"], r["df"], r["dist"])
+            for r in s.did_you_mean("matrux", 5).collect()
+        ]
+        cold = [
+            (r["term"], r["df"], r["dist"])
+            for r in did_you_mean(spark, store, "matrux", 5).collect()
+        ]
+        assert warm == cold and warm
+        # a correctly spelled vocabulary term ranks itself first (dist 0)
+        top = s.did_you_mean("matrix", 3).collect()[0]
+        assert top["dist"] == 0 and top["term"] == tokenize_porter("matrix")[0]
+    finally:
+        s.close()
+    assert did_you_mean(spark, store, "", 5).count() == 0
