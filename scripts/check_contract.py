@@ -25,9 +25,12 @@ TABLES = [
 
 
 def _norm(v):
+    # stringify everything so rows with NULLs (e.g. ROLLUP subtotal
+    # keys) stay sortable across mixed types; floats are rounded to the
+    # contract's 4 decimals first so equal values stringify equally
     if isinstance(v, float):
-        return round(v, 4)
-    return v
+        return str(round(v, 4))
+    return str(v)
 
 
 def main() -> int:
@@ -87,8 +90,9 @@ def main() -> int:
                 print(f"  spark cols {scols}\n  oracle cols {ocols}")
             if ok_schema and not ok_vals:
                 diff = [(a, b) for a, b in zip(srows, orows) if a != b][:5]
-                only_s = [r for r in srows if r not in set(orows)][:3]
-                only_o = [r for r in orows if r not in set(srows)][:3]
+                oset, sset = set(orows), set(srows)
+                only_s = [r for r in srows if r not in oset][:3]
+                only_o = [r for r in orows if r not in sset][:3]
                 print(f"  first diffs {diff}\n  only-spark {only_s}\n  only-oracle {only_o}")
         except Exception as exc:  # noqa: BLE001
             failures += 1

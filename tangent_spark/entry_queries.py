@@ -244,51 +244,42 @@ def q9_bm25_batch(spark, sf_dir):
     )
 
 
-BOOL_SHOULD = ["data", "query"]
-BOOL_MUST = ["spark"]
-BOOL_NOT = ["join"]
+BOOL_CONJ_QUERY = "data query +spark -join"
+BOOL_SHOULD_QUERY = "data query -join"
 
 
 def boolean_bm25_topk(spark, sf_dir):
-    """Boolean query semantics (plans/boolean.py, store-free twin):
-    `data query +spark -join` — BM25 over the positive terms, restricted
-    to docs containing every must term, minus docs containing any
-    must-not term; top-20 with id tie-break."""
-    tf = _tf(spark, sf_dir)
-    dl = _dl(spark, sf_dir)
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    pos_terms = sorted(set(BOOL_SHOULD) | set(BOOL_MUST))
-    matched = tf.filter(F.col("term").isin(pos_terms))
-    dfs = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        matched.join(F.broadcast(dfs), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "part",
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 4).alias("score"))
-    )
-    must_ok = (
-        tf.filter(F.col("term").isin(BOOL_MUST))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("_n"))
-        .filter(F.col("_n") == len(BOOL_MUST))
-        .select("doc_id")
-    )
-    deny = tf.filter(F.col("term").isin(BOOL_NOT)).select("doc_id").distinct()
-    return (
-        scored.join(must_ok, "doc_id", "left_semi")
-        .join(deny, "doc_id", "left_anti")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-    )
+    """Boolean serving end-to-end through the REAL per-shard conjunction
+    kernel (plans/boolean.py) over a freshly built index, BOTH planner
+    paths in one entry:
+
+    phase 'conj'   — `data query +spark -join`: the must term seeds the
+        candidate set, every other term's decode is block-skip
+        restricted to it;
+    phase 'should' — `data query -join`: no must seed — the should-only
+        path (round-5: block-max threshold pruning applies here).
+
+    Oracle recomputes both with plain set algebra + BM25 SQL. Lucene
+    semantics: BM25 over positive terms, restricted to docs containing
+    every must term, minus docs with any must-not term; ties doc_id
+    asc."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.boolean import boolean_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_bool_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = []
+        for phase, q in (("conj", BOOL_CONJ_QUERY), ("should", BOOL_SHOULD_QUERY)):
+            out += [
+                (phase, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in boolean_topk(spark, store, q, 20).collect()
+            ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
 
 
 def q5_wildcard(spark, sf_dir):
@@ -304,49 +295,43 @@ def q5_wildcard(spark, sf_dir):
 PHRASE = ["row", "column", "sort"]
 
 
-def phrase_match(spark, sf_dir):
-    """Phrase query (positional intersection): docs containing the exact
-    consecutive phrase 'row column sort', with per-doc phrase tf. Same
-    fold the index-side plans/phrase.py runs over the positions table,
-    here expressed over raw documents so DuckDB can twin it."""
-    from tangent_spark.plans.phrase import phrase_match_positions
-
-    pos = (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term"),
-        )
-        .filter(F.col("term").isin(PHRASE))
-        .groupBy("doc_id", "term")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-    )
-    return phrase_match_positions(pos, PHRASE).orderBy("doc_id")
-
-
 NEAR_PHRASE = ["row", "sort"]
 NEAR_SLOP = 2
 
 
-def phrase_near_match(spark, sf_dir):
-    """Proximity phrase (`"row sort"~2`, plans/phrase.py slop fold):
-    docs where 'sort' follows 'row' with at most 2 tokens between;
-    phrase_tf counts distinct completion positions of the last term.
-    Same (pos, slack) fold the index runs, expressed over raw documents
-    so DuckDB can twin it with a positional self-join."""
-    from tangent_spark.plans.phrase import phrase_match_positions
-
-    pos = (
+def _positions_of(spark, sf_dir, terms):
+    return (
         _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term"),
         )
-        .filter(F.col("term").isin(NEAR_PHRASE))
+        .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
     )
-    return phrase_match_positions(pos, NEAR_PHRASE, slop=NEAR_SLOP).orderBy("doc_id")
+
+
+def phrase_match(spark, sf_dir):
+    """Phrase queries, BOTH positional folds in one contract entry:
+
+    phase 'exact' — docs containing the exact consecutive phrase
+        'row column sort' (array_intersect fold, slop=0);
+    phase 'near'  — proximity `"row sort"~2` ('sort' after 'row' with
+        at most 2 tokens between; phrase_tf = distinct completion
+        positions of the last term — the (pos, slack) fold).
+
+    Same folds the index-side plans/phrase.py runs over the positions
+    table, expressed over raw documents so DuckDB can twin them."""
+    from tangent_spark.plans.phrase import phrase_match_positions
+
+    exact = phrase_match_positions(
+        _positions_of(spark, sf_dir, PHRASE), PHRASE
+    ).select(F.lit("exact").alias("phase"), "doc_id", "phrase_tf")
+    near = phrase_match_positions(
+        _positions_of(spark, sf_dir, NEAR_PHRASE), NEAR_PHRASE, slop=NEAR_SLOP
+    ).select(F.lit("near").alias("phase"), "doc_id", "phrase_tf")
+    return exact.unionByName(near)
 
 
 def q13_distinct_docs(spark, sf_dir):
@@ -416,7 +401,7 @@ def events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
         ev.groupBy(
-            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+            F.date_trunc("hour", "ts").alias("bucket"), F.col("event_type")
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
     )
@@ -523,22 +508,10 @@ def embedding_cosine_topk(spark, sf_dir):
 
 
 def text_quality(spark, sf_dir):
-    """Quality scoring: length, token stats, alpha ratio, stopword ratio."""
-    docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
-    stop_hits = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
-    return docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_m"),
-        F.size("tokens").alias("n_tokens"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")) / F.length("text"), 4
-        ).alias("alpha_ratio"),
-        F.round(stop_hits / F.size("tokens"), 4).alias("stopword_ratio"),
-    )
-
-
-def text_langid(spark, sf_dir):
-    """Language id heuristic: argmax of stopword hits (en/de/id), tie->en."""
+    """Quality scoring + language id in one per-doc pass: length, token
+    stats, alpha ratio, stopword ratio, per-language stopword hits and
+    the argmax language prediction (en/de/id, tie->en). One scan, one
+    projection — the shape a 100 TB quality-filter pipeline runs."""
     docs = _docs(spark, sf_dir).withColumn("tokens", tokens_col_simple(F.col("text")))
     en = F.size(F.filter("tokens", lambda t: t.isin(EN_STOP)))
     de = F.size(F.filter("tokens", lambda t: t.isin(DE_STOP)))
@@ -549,19 +522,32 @@ def text_langid(spark, sf_dir):
         .otherwise("id")
     )
     return docs.select(
-        "doc_id", en.alias("en_hits"), de.alias("de_hits"), idn.alias("id_hits"),
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size("tokens").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")) / F.length("text"), 4
+        ).alias("alpha_ratio"),
+        F.round(en / F.size("tokens"), 4).alias("stopword_ratio"),
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        idn.alias("id_hits"),
         pred.alias("pred_lang"),
     )
 
 
-def doc_fingerprint(spark, sf_dir):
-    """Document fingerprint: md5 of whitespace-normalized lowercased text."""
-    return _docs(spark, sf_dir).select(
+def doc_signatures(spark, sf_dir):
+    """Per-doc dedup signatures in one entry: the whitespace-normalized
+    md5 fingerprint (rolling-hash analog) AND the 4-permutation MinHash
+    signature (md5 hash family — identical in Spark and DuckDB). One
+    row per doc: (doc_id, fingerprint, mh0..mh3)."""
+    fp = _docs(spark, sf_dir).select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r]+", " ")).alias(
             "fingerprint"
         ),
     )
+    return fp.join(minhash_signature(spark, sf_dir), "doc_id")
 
 
 # --- formula operators (rows-only: pair-tuple UDFs are not SQL-expressible) ---
@@ -907,14 +893,23 @@ def lineitem_percentiles(spark, sf_dir):
 
 
 def events_rollup(spark, sf_dir):
-    """ROLLUP aggregation (hierarchical totals) over events by
-    (event_type, day) — subtotal and grand-total rows included."""
+    """Time-bucketed aggregation, BOTH shapes in one contract entry:
+
+    phase 'hourly' — tumbling-window agg by (hour, event_type) — the
+        batch shape of the streaming operator;
+    phase 'rollup' — ROLLUP over (event_type, day): subtotal and
+        grand-total rows included (bucket/event_type NULL there)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.withColumn("day", F.date_trunc("day", "ts"))
-        .rollup("event_type", "day")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    hourly = events_hourly(spark, sf_dir).select(
+        F.lit("hourly").alias("phase"), "event_type", "bucket", "n", "total"
     )
+    roll = (
+        ev.withColumn("bucket", F.date_trunc("day", "ts"))
+        .rollup("event_type", "bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.lit("rollup").alias("phase"), "event_type", "bucket", "n", "total")
+    )
+    return hourly.unionByName(roll)
 
 
 def token_count_by_source(spark, sf_dir):
@@ -1215,49 +1210,37 @@ def _simple_store(spark, sf_dir, base, meta=()):
     )
 
 
-def suggest_terms_prefix(spark, sf_dir):
-    """Search-box prefix completion (plans/suggest.suggest_terms) off a
-    real index's term_stats: top-10 'da…' vocabulary terms by df desc,
-    term asc."""
+DYM_TYPO = "sparc"
+
+
+def suggest_and_dym(spark, sf_dir):
+    """Query-assist surfaces off ONE real index's term_stats, both in
+    one contract entry:
+
+    phase 'suggest' — prefix completion (plans/suggest.suggest_terms):
+        top-10 'da…' vocabulary terms by df desc, term asc (dist = -1,
+        no edit distance applies);
+    phase 'dym'     — spelling correction (plans/suggest.did_you_mean,
+        the Solr spellcheck surface): vocabulary terms within 1
+        Levenshtein edit of 'sparc', closest-then-most-popular order."""
     import shutil
     import tempfile
 
-    from tangent_spark.plans.suggest import suggest_terms
+    from tangent_spark.plans.suggest import did_you_mean, suggest_terms
 
     base = tempfile.mkdtemp(prefix="tangent_suggest_entry_")
     try:
         store = _simple_store(spark, sf_dir, base)
         out = [
-            (r["term"], int(r["df"]))
+            ("suggest", r["term"], int(r["df"]), -1)
             for r in suggest_terms(spark, store, SUGGEST_PREFIX, 10).collect()
-        ]
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(out, "term string, df int")
-
-
-DYM_TYPO = "sparc"
-
-
-def did_you_mean_typo(spark, sf_dir):
-    """Spelling correction (plans/suggest.did_you_mean, the Solr
-    spellcheck surface off our own term_stats): vocabulary terms within
-    1 Levenshtein edit of 'sparc', closest-then-most-popular order."""
-    import shutil
-    import tempfile
-
-    from tangent_spark.plans.suggest import did_you_mean
-
-    base = tempfile.mkdtemp(prefix="tangent_dym_entry_")
-    try:
-        store = _simple_store(spark, sf_dir, base)
-        out = [
-            (r["term"], int(r["df"]), int(r["dist"]))
+        ] + [
+            ("dym", r["term"], int(r["df"]), int(r["dist"]))
             for r in did_you_mean(spark, store, DYM_TYPO, 5).collect()
         ]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(out, "term string, df int, dist int")
+    return spark.createDataFrame(out, "phase string, term string, df int, dist int")
 
 
 def mlt_topk(spark, sf_dir):

@@ -365,19 +365,23 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[Dat
         .distinct()
         .localCheckpoint()
     )
+    n_e = e.count()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
         nxt = _small_star(_large_star(e)).localCheckpoint()
         # converged iff the edge sets are identical (both canonical
-        # big->small and deduped, so count + one-sided anti-join suffice)
+        # big->small and deduped, so count + one-sided anti-join
+        # suffice); the previous round's count is carried over, so each
+        # round pays ONE count job, not two
+        n_nxt = nxt.count()
         if (
-            nxt.count() == e.count()
+            n_nxt == n_e
             and nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
         ):
             e = nxt
             break
-        e = nxt
+        e, n_e = nxt, n_nxt
     # converged stars: every non-root points straight at its root
     roots = e.select(F.col("v").alias("doc_id")).distinct().join(
         e.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
