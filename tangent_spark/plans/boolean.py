@@ -223,15 +223,158 @@ def _blocks_needed(row, cand_ids) -> np.ndarray:
     firsts = np.asarray(row["first_docs"], dtype=np.int64)
     his = np.empty_like(firsts)
     his[:-1] = firsts[1:] - 1
-    his[-1] = _MAXDOC
+    his[-1] = np.int64(row["max_doc"])
     lo = np.searchsorted(cand_ids, firsts, side="left")
     hi = np.searchsorted(cand_ids, his, side="right")
     return np.flatnonzero(hi > lo)
 
 
+def _apply_deny(ids, tfs, dls, deny):
+    """Drop postings whose doc id sits in the sorted `deny` set."""
+    if deny is None or not deny.size or not ids.size:
+        return ids, tfs, dls
+    pos = np.minimum(np.searchsorted(deny, ids), deny.size - 1)
+    keep = deny[pos] != ids
+    if keep.all():
+        return ids, tfs, dls
+    return ids[keep], tfs[keep], dls[keep]
+
+
+def _should_only_sweep(
+    pdf: pd.DataFrame, roles: _TermRoles, k: int, cand_ids, deleted, counter,
+) -> pd.DataFrame:
+    """Ranked should-only queries (no must seed — round-5, VERDICT r4
+    #2): block-max THRESHOLD pruning, the same interval sweep as
+    plans.search._score_shard, with the must-not terms' ids applied as
+    a decode-time mask. Rank-identical to full decode: per-block upper
+    bounds (idf * tfn(max_tf, min_dl), valid from metadata alone) can
+    only overestimate once deny/deleted ids are masked out, and the
+    strict-< threshold keeps tie-breaks exact. A query like
+    `head1 head2 -rare` therefore decodes the must-not list plus only
+    the head blocks that can still reach the running top-k — Lucene
+    WANDs these the same way; the old path decoded every matched
+    block."""
+    decoded = 0
+    # must-not ids first (doc-id blobs only — score=False skips tf/dl)
+    deny_parts = []
+    pos_rows = []
+    for _, row in pdf.iterrows():
+        if row["term"] in roles.not_set:
+            needed = _blocks_needed(row, cand_ids)
+            if not needed.size:
+                continue
+            ids, _, _ = _decode_row_blocks(
+                row, needed, score=False, cand_ids=cand_ids, deleted=None
+            )
+            decoded += int(needed.size)
+            deny_parts.append(ids)
+        elif roles.scores(row["term"]):
+            pos_rows.append(row)
+    deny = (
+        np.unique(np.concatenate(deny_parts))
+        if deny_parts
+        else np.zeros(0, dtype=np.int64)
+    )
+
+    # block metadata for every scoring row (candidate-free blocks are
+    # dropped here from metadata alone, like _blocks_needed)
+    blocks = []  # (lo, hi, bound, row_idx, blk_idx)
+    for ri, row in enumerate(pos_rows):
+        t_idf = roles.idf[row["term"]]
+        firsts = np.asarray(row["first_docs"], dtype=np.int64)
+        bounds = t_idf * bm25_tf_norm(
+            np.asarray(row["max_tfs"], dtype=np.int64),
+            np.asarray(row["min_dls"], dtype=np.int64),
+            roles.avgdl, roles.k1, roles.b,
+        )
+        his = np.empty_like(firsts)
+        his[:-1] = firsts[1:] - 1
+        his[-1] = np.int64(row["max_doc"])
+        if cand_ids is not None:
+            keep = np.searchsorted(cand_ids, his, "right") > np.searchsorted(
+                cand_ids, firsts, "left"
+            )
+        else:
+            keep = np.ones(firsts.size, dtype=bool)
+        for bi in np.flatnonzero(keep):
+            blocks.append((firsts[bi], his[bi], bounds[bi], ri, bi))
+    if not blocks:
+        if counter is not None and decoded:
+            counter.add(decoded)
+        return _empty_out()
+
+    lo = np.array([b[0] for b in blocks], dtype=np.int64)
+    hi = np.array([b[1] for b in blocks], dtype=np.int64)
+    bnd = np.array([b[2] for b in blocks], dtype=np.float64)
+    points = np.unique(np.concatenate([lo, hi + 1]))
+    starts = points[:-1]
+    ends = points[1:] - 1
+    li = np.searchsorted(points, lo, side="right") - 1
+    hj = np.searchsorted(points, hi + 1, side="right") - 1
+    delta = np.zeros(points.size, dtype=np.float64)
+    np.add.at(delta, li, bnd)
+    np.add.at(delta, hj, -bnd)
+    ub = np.cumsum(delta)[:-1]
+
+    order = np.argsort(-ub, kind="stable")
+    cache: dict = {}
+    top_docs = np.zeros(0, dtype=np.int64)
+    top_scores = np.zeros(0, dtype=np.float64)
+    threshold = -1.0
+    for r in order:
+        # strict <: a range whose bound EQUALS the threshold may still
+        # hold a doc with score == threshold and a smaller doc_id
+        if top_scores.size >= k and ub[r] < threshold:
+            break
+        rlo, rhi = starts[r], ends[r]
+        cover = np.flatnonzero((lo <= rhi) & (hi >= rlo))
+        all_ids, all_contrib = [], []
+        for ci in cover:
+            _, _, _, ri, bi = blocks[ci]
+            key = (ri, bi)
+            if key not in cache:
+                row = pos_rows[ri]
+                ids, tfs, dls = _decode_row_blocks(
+                    row, [bi], score=True, cand_ids=cand_ids, deleted=deleted
+                )
+                decoded += 1
+                ids, tfs, dls = _apply_deny(ids, tfs, dls, deny)
+                contrib = roles.idf[row["term"]] * bm25_tf_norm(
+                    tfs, dls, roles.avgdl, roles.k1, roles.b
+                )
+                cache[key] = (ids, contrib)
+            ids, contrib = cache[key]
+            s = np.searchsorted(ids, rlo, side="left")
+            e = np.searchsorted(ids, rhi, side="right")
+            if e > s:
+                all_ids.append(ids[s:e])
+                all_contrib.append(contrib[s:e])
+        if not all_ids:
+            continue
+        cat_ids = np.concatenate(all_ids)
+        cat_c = np.concatenate(all_contrib)
+        uids, inv = np.unique(cat_ids, return_inverse=True)
+        sums = np.zeros(uids.size, dtype=np.float64)
+        np.add.at(sums, inv, cat_c)
+        top_docs = np.concatenate([top_docs, uids])
+        top_scores = np.concatenate([top_scores, sums])
+        if top_scores.size > k:
+            ordk = np.lexsort((top_docs, -top_scores))[:k]
+            top_docs, top_scores = top_docs[ordk], top_scores[ordk]
+        if top_scores.size >= k:
+            threshold = float(top_scores.min())
+    if counter is not None and decoded:
+        counter.add(decoded)
+    ordk = np.lexsort((top_docs, -top_scores))[:k]
+    return pd.DataFrame(
+        {"doc_id": top_docs[ordk].astype(np.int64), "score": top_scores[ordk]}
+    ).reset_index(drop=True)
+
+
 def _boolean_shard_kernel(
     roles: _TermRoles, seed: str | None, n_must_check: int, k_local: int | None,
     counter=None, deleted=None, ext_cand=None, n_shards: int = 0,
+    phrases=None, not_phrases=None,
 ):
     """The per-shard conjunction kernel (see module docstring): decode
     seed -> candidates -> block-skip restricted decode of the rest ->
@@ -247,18 +390,74 @@ def _boolean_shard_kernel(
     shard's members — block ranges of other shards numerically overlap
     the candidates, so without the reduction the interval skip can never
     rule them out (the driver additionally prunes whole candidate-free
-    shards out of the scan; this handles partial shards)."""
+    shards out of the scan; this handles partial shards).
+
+    `phrases`/`not_phrases` ([(terms, slop), ...]) switch on IN-KERNEL
+    phrase clauses (round-5, VERDICT r4 #4): the input frame then also
+    carries the shard's positions rows (kind=1 — the warm serving cache
+    co-locates them with the postings, see Searcher), each required
+    phrase's doc set is matched in-kernel (plans.phrase.phrase_docs_np)
+    and INTERSECTED INTO THE CANDIDATE SET before any postings decode —
+    a phrase acts like a must clause, so `"exact phrase" the` skips
+    every head block without a phrase-matching candidate — and
+    must-not-phrase docs merge into the tombstone mask. No doc_id
+    equi-join, no shuffle, local top-k stays safe."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tangent_spark.plans.phrase import phrase_docs_np
+
+        local_deleted = deleted
+        pos_pdf = None
+        if "kind" in pdf.columns:
+            kmask = pdf["kind"].to_numpy() == 1
+            if kmask.any():
+                pos_pdf = pdf[kmask]
+                pdf = pdf[~kmask]
         frames = []
         decoded = 0
         cand_ids = ext_cand
         if ext_cand is not None and n_shards:
-            shard_id = int(pdf["shard"].iloc[0])
+            shard_id = int(pdf["shard"].iloc[0]) if len(pdf) else -1
+            if shard_id < 0:
+                return _empty_out()
             cand_ids = ext_cand[ext_cand % n_shards == shard_id]
             if not cand_ids.size:
                 return _empty_out()
         filt_cand = cand_ids
+        if phrases:
+            allow = None
+            for p_terms, slop in phrases:
+                ids, _ = phrase_docs_np(pos_pdf, p_terms, slop)
+                allow = ids if allow is None else np.intersect1d(allow, ids)
+                if not allow.size:
+                    return _empty_out()
+            filt_cand = (
+                allow if filt_cand is None else np.intersect1d(filt_cand, allow)
+            )
+            if not filt_cand.size:
+                return _empty_out()
+            cand_ids = filt_cand
+        if not_phrases:
+            deny_parts = [
+                phrase_docs_np(pos_pdf, p_terms, slop)[0]
+                for p_terms, slop in not_phrases
+            ]
+            pdeny = np.unique(np.concatenate(deny_parts)) if deny_parts else None
+            if pdeny is not None and pdeny.size:
+                local_deleted = (
+                    pdeny
+                    if local_deleted is None or not local_deleted.size
+                    else np.union1d(local_deleted, pdeny)
+                )
+        if seed is None and k_local is not None:
+            # ranked should-only query (no must seed): block-max
+            # threshold pruning instead of full decode — see
+            # _should_only_sweep. Full-match-set consumers (facets,
+            # phrase/broad-filter follow-ups) have k_local=None and
+            # keep the exhaustive path, which is inherent for them.
+            return _should_only_sweep(
+                pdf, roles, k_local, filt_cand, local_deleted, counter
+            )
         rest = pdf
         if seed is not None:
             sel = pdf["term"] == seed
@@ -268,7 +467,8 @@ def _boolean_shard_kernel(
                 if not needed.size:
                     continue
                 ids, tfs, dls = _decode_row_blocks(
-                    row, needed, score=True, cand_ids=filt_cand, deleted=deleted
+                    row, needed, score=True, cand_ids=filt_cand,
+                    deleted=local_deleted,
                 )
                 decoded += int(needed.size)
                 seed_ids.append(ids)
@@ -287,7 +487,7 @@ def _boolean_shard_kernel(
                 continue
             ids, tfs, dls = _decode_row_blocks(
                 row, needed, score=roles.scores(row["term"]), cand_ids=cand_ids,
-                deleted=deleted,
+                deleted=local_deleted,
             )
             decoded += int(needed.size)
             if ids.size:
@@ -320,7 +520,7 @@ def _boolean_shard_kernel(
 
 def _boolean_rows(
     postings: DataFrame,
-    terms: list[str],
+    terms: list[str] | None,
     kernel,
     shard_partitioned: bool,
 ) -> DataFrame:
@@ -329,8 +529,10 @@ def _boolean_rows(
     partitioned by shard, so this is a shuffle-free mapInPandas that
     regroups by shard inside each partition — ONE job end to end. Cold:
     one repartition of the <=|terms| x n_shards matched compressed
-    rows (never decoded data)."""
-    pf = postings.filter(F.col("term").isin(terms))
+    rows (never decoded data). `terms=None` means the caller already
+    applied its row filter (the warm in-kernel phrase route passes the
+    combined postings+positions serving scan pre-filtered by kind)."""
+    pf = postings if terms is None else postings.filter(F.col("term").isin(terms))
     if shard_partitioned:
 
         def mp(batches):
@@ -395,6 +597,7 @@ def _boolean_plan(
     ext_cand=None,
     cand_df: DataFrame | None = None,
     return_matches: bool = False,
+    serving: DataFrame | None = None,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -410,7 +613,13 @@ def _boolean_plan(
     inside the kernel; `cand_df` (a doc_id DataFrame, broad filters)
     semi-joins the per-doc aggregate BEFORE the global top-k — per-shard
     local top-k is disabled then, since pre-truncation could drop the
-    filter's survivors."""
+    filter's survivors.
+
+    `serving` (warm only): the Searcher's COMBINED postings+positions
+    cache (kind 0/1 rows, co-partitioned by shard). When present and
+    the query carries phrase clauses, phrases are matched INSIDE the
+    per-shard kernel (no positional equi-join chain, no shuffle, local
+    top-k stays on) — the whole boolean+phrase query remains ONE job."""
     import math
 
     cfg = store.get_config()
@@ -451,12 +660,20 @@ def _boolean_plan(
         must_check = []
         all_terms = sorted(set(qts) | set(must_not))
     roles = _TermRoles(idf_map, must_check, must_not, cfg.k1, cfg.b, avgdl)
-    # local top-k per shard is only safe when nothing downstream (phrase
-    # clause, broad-filter semi-join, full-match-set consumer) can use
-    # rows beyond the per-shard head
+    # warm in-kernel phrase route: the combined serving cache holds the
+    # shard's positions rows next to its postings rows, so phrase
+    # clauses resolve inside the kernel and never force a join
+    in_kernel_phrases = (
+        serving is not None
+        and shard_partitioned
+        and bool(q.phrases or q.not_phrases)
+    )
+    # local top-k per shard is only safe when nothing downstream (join-
+    # based phrase clause, broad-filter semi-join, full-match-set
+    # consumer) can use rows beyond the per-shard head
     k_local = (
         k
-        if not (q.phrases or q.not_phrases)
+        if (in_kernel_phrases or not (q.phrases or q.not_phrases))
         and cand_df is None
         and not return_matches
         else None
@@ -464,7 +681,23 @@ def _boolean_plan(
     kernel = _boolean_shard_kernel(
         roles, seed, len(must_check), k_local, counter=decode_counter,
         deleted=deleted, ext_cand=ext_cand, n_shards=cfg.n_shards,
+        phrases=q.phrases if in_kernel_phrases else None,
+        not_phrases=q.not_phrases if in_kernel_phrases else None,
     )
+    if in_kernel_phrases:
+        p_terms = sorted(
+            {t for p, _ in (q.phrases + q.not_phrases) for t in p}
+        )
+        rows_src = serving.filter(
+            ((F.col("kind") == 0) & F.col("term").isin(all_terms))
+            | ((F.col("kind") == 1) & F.col("term").isin(p_terms))
+        )
+        scored = _boolean_rows(rows_src, None, kernel, shard_partitioned)
+        if cand_df is not None:
+            scored = scored.join(cand_df, "doc_id", "left_semi")
+        if return_matches:
+            return scored
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if ext_cand is not None:
         # candidate-free shards never enter the scan at all (partition/
         # row-group pruning on the pushed shard filter)

@@ -47,7 +47,7 @@ from tangent_spark.functions.tokenize import terms_df
 from tangent_spark.sources.store import IndexStore
 
 POSTINGS_SCHEMA = (
-    "shard int, term string, df int, cf long, "
+    "shard int, term string, df int, cf long, max_doc long, "
     "first_docs array<long>, max_tfs array<int>, min_dls array<int>, "
     "counts array<int>, "
     "docs_blob binary, tfs_blob binary, dls_blob binary, "
@@ -77,6 +77,12 @@ def _encode_runs(cfg: IndexConfig):
                 "term": group["term"].iloc[0],
                 "df": int(ids.size),
                 "cf": int(tfs.sum()),
+                # the row's LAST doc id closes the final block's doc
+                # range — without it the block-max sweeps must treat
+                # that block as unbounded above, which lets a short
+                # posting list (one block spanning "everything") defeat
+                # threshold pruning for every other term
+                "max_doc": int(ids[-1]),
                 "first_docs": fd.tolist(),
                 "max_tfs": mt.tolist(),
                 "min_dls": md.tolist(),

@@ -23,10 +23,81 @@ is proportional to the phrase terms' postings, never the corpus.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tangent_spark.sources.store import IndexStore
+
+
+def phrase_tf_np(plists: list[np.ndarray], slop: int) -> int:
+    """Per-doc phrase tf over one document's per-term position arrays
+    (sorted ascending, distinct — token offsets), numpy twin of the
+    declarative fold in phrase_match_positions: number of DISTINCT
+    completion positions of the last term reachable by an in-order
+    chain with total slack <= slop.
+
+    slop>0 keeps (completion pos, min slack) partials exactly like the
+    JVM fold's min-slack dedup: extending a fixed completion x from the
+    partial maximizing (pos - slack) yields x's minimal slack, so a
+    running max of (P - S) replaces the all-pairs expansion."""
+    acc = plists[0]
+    if slop == 0:
+        for p in plists[1:]:
+            acc = np.intersect1d(acc + 1, p)
+            if not acc.size:
+                return 0
+        return int(acc.size)
+    P, S = acc, np.zeros(acc.size, dtype=np.int64)
+    for p in plists[1:]:
+        best = np.maximum.accumulate(P - S)
+        idx = np.searchsorted(P, p, side="left") - 1  # last pos STRICTLY < x
+        slack = np.where(idx >= 0, p - 1 - best[np.maximum(idx, 0)], slop + 1)
+        keep = slack <= slop
+        P, S = p[keep], slack[keep]
+        if not P.size:
+            return 0
+    return int(P.size)
+
+
+def phrase_docs_np(pos_pdf, phrase_terms: list[str], slop: int):
+    """(sorted doc_ids, phrase_tfs) of the docs matching the phrase,
+    from ONE shard's positions rows (pandas frame with doc_id/term/
+    positions columns) — the in-kernel twin of phrase_match_positions
+    used by the warm serving kernels (Searcher.phrase, warm boolean
+    phrase clauses): the positions cache is shard-partitioned next to
+    the postings, so the whole match runs inside the per-shard task
+    with no doc_id equi-join chain (round-5, VERDICT r4 #4)."""
+    z = np.zeros(0, dtype=np.int64)
+    if pos_pdf is None or not len(pos_pdf):
+        return z, z
+    uniq = list(dict.fromkeys(phrase_terms))
+    maps = {}
+    docs = None
+    for t in uniq:
+        sub = pos_pdf[pos_pdf["term"] == t]
+        if not len(sub):
+            return z, z
+        ids = sub["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids, kind="stable")
+        maps[t] = (ids[order], sub["positions"].to_numpy()[order])
+        docs = maps[t][0] if docs is None else np.intersect1d(docs, maps[t][0])
+        if not docs.size:
+            return z, z
+    out_ids, out_tfs = [], []
+    for d in docs:
+        plists = []
+        for t in phrase_terms:  # in order, repeats included
+            ids, poss = maps[t]
+            i = int(np.searchsorted(ids, d))
+            plists.append(np.asarray(poss[i], dtype=np.int64))
+        tf = phrase_tf_np(plists, slop)
+        if tf > 0:
+            out_ids.append(int(d))
+            out_tfs.append(tf)
+    if not out_ids:
+        return z, z
+    return np.asarray(out_ids, dtype=np.int64), np.asarray(out_tfs, dtype=np.int64)
 
 
 def phrase_match_positions(

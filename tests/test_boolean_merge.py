@@ -412,6 +412,64 @@ def test_must_restriction_skips_head_term_decode(spark, tmp_path_factory):
     pages.unpersist()
 
 
+def test_should_only_threshold_pruning(spark, tmp_path_factory):
+    """`the zbursty -<rare>` has NO must seed, so it takes the
+    should-only path — which must WAND (block-max threshold pruning,
+    round-5): >=3x fewer blocks decoded than the full-decode plan
+    (accumulator), with the SAME ranked answer as the brute-force
+    oracle restricted by the must-not term. The corpus plants a
+    high-scoring bursty term in a contiguous doc range so the top-k
+    threshold rises above every bursty-free block's upper bound."""
+    from tangent_spark.oracle import bm25_rank
+
+    pages = pages_with_doc_ids(generate_pages(spark, 1000, partitions=8))
+    rare, bursty = "zweirdrare", "zbursty"
+    pages = pages.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when((F.col("doc_id") % 251) == 0, F.lit(f" {rare}")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") < 40, F.lit((" " + bursty) * 20)
+            ).otherwise(F.lit("")),
+        ),
+    ).persist()
+    out = str(tmp_path_factory.mktemp("shouldonly") / "index")
+    cfg = IndexConfig(n_shards=4, block_size=16)
+    store = build_index(spark, pages, out, cfg, url_col="url")
+
+    qterms = sorted(set(tokenize_porter(f"the {bursty} {rare}")))
+    full_blocks = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(qterms))
+        .agg(F.sum(F.size("counts")))
+        .collect()[0][0]
+    )
+    acc = spark.sparkContext.accumulator(0)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(
+            spark, store, f"the {bursty} -{rare}", 5, decode_counter=acc
+        ).collect()
+    ]
+    assert acc.value * 3 <= full_blocks, (acc.value, full_blocks)
+
+    local = sorted(
+        (int(r["doc_id"]), r["text"])
+        for r in pages.select("doc_id", "text").collect()
+    )
+    rare_docs = {d for d, t in local if rare in t.split()}
+    want = [
+        (d, s)
+        for d, s in bm25_rank(local, f"the {bursty}", len(local))
+        if d not in rare_docs
+    ][:5]
+    assert_rank_identical(got, want)
+    pages.unpersist()
+
+
 def test_warm_phrase_and_snippets_match_cold(spark, store, corpus):
     from tangent_spark.plans.phrase import phrase_topk, snippet_topk
 
@@ -458,3 +516,139 @@ def test_warm_boolean_is_one_job_zero_shuffle(spark, store):
         assert rows
     finally:
         s.close()
+
+
+def _ran_stages(sc, group):
+    """Stages of the group's jobs that actually RAN tasks (a cached
+    RDD's parent stage is listed but skipped — 0 tasks run)."""
+    n = 0
+    for j in sc.statusTracker().getJobIdsForGroup(group):
+        for st in sc.statusTracker().getJobInfo(j).stageIds:
+            si = sc.statusTracker().getStageInfo(st)
+            if si is not None and (si.numCompletedTasks or si.numActiveTasks):
+                n += 1
+    return n
+
+
+def test_warm_phrase_in_kernel_one_job_single_stage(spark, store, corpus):
+    """Round-5 (VERDICT r4 #4): warm phrase serving runs the positional
+    intersection INSIDE the per-shard kernel over the combined serving
+    cache — ONE job, ONE executed stage (zero shuffle), rank-identical
+    to the cold declarative fold, for exact and sloppy phrases."""
+    from tangent_spark.plans.phrase import phrase_topk
+
+    _, local = corpus
+    phrase = " ".join(local[0][1].split()[:3])
+    s = Searcher(spark, store)
+    sc = spark.sparkContext
+    try:
+        for slop in (0, 2):
+            warm = [
+                (int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in s.phrase(phrase, 10, slop=slop).collect()
+            ]
+            cold = [
+                (int(r["doc_id"]), int(r["phrase_tf"]))
+                for r in phrase_topk(spark, store, phrase, 10, slop=slop).collect()
+            ]
+            assert warm == cold and warm, (slop, warm, cold)
+        sc.setJobGroup("phrase_one_job", "")
+        try:
+            s.phrase(phrase, 10).collect()
+        finally:
+            sc.setJobGroup("phrase_done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("phrase_one_job")
+        assert len(jobs) == 1, f"warm phrase ran {len(jobs)} jobs"
+        assert _ran_stages(sc, "phrase_one_job") == 1
+    finally:
+        s.close()
+
+
+def test_warm_boolean_phrase_in_kernel(spark, store, corpus):
+    """Warm boolean queries WITH phrase clauses (+phrase / -phrase /
+    bare phrase / sloppy phrase) resolve the phrases inside the shard
+    kernel: rank-identical to the cold join-based plan, still ONE job
+    and ONE executed stage (zero shuffle in the phrase step)."""
+    _, local = corpus
+    phrase = " ".join(local[0][1].split()[:2])
+    queries = [
+        f'matrix +"{phrase}"',
+        f'theorem -"{phrase}"',
+        f'"{phrase}" convergence',
+        f'matrix +"{phrase}"~2',
+    ]
+    s = Searcher(spark, store)
+    sc = spark.sparkContext
+    try:
+        for q in queries:
+            warm = [
+                (int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in s.boolean(q, 10).collect()
+            ]
+            cold = [
+                (int(r["doc_id"]), round(float(r["score"]), 9))
+                for r in boolean_topk(spark, store, q, 10).collect()
+            ]
+            assert warm == cold and warm, (q, warm, cold)
+        sc.setJobGroup("boolp_one_job", "")
+        try:
+            s.boolean(queries[0], 10).collect()
+        finally:
+            sc.setJobGroup("boolp_done", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("boolp_one_job")
+        assert len(jobs) == 1, f"warm boolean+phrase ran {len(jobs)} jobs"
+        assert _ran_stages(sc, "boolp_one_job") == 1
+    finally:
+        s.close()
+
+
+def test_warm_phrase_clause_restricts_decode(spark, tmp_path_factory):
+    """A required phrase acts like a must clause in the warm kernel:
+    its doc set is intersected into the candidates BEFORE any postings
+    decode, so `the +"<rare phrase>"` decodes a small fraction of the
+    head term's blocks (the phrase-free blocks skip on metadata)."""
+    marker = "zqx zvw"
+    pages = pages_with_doc_ids(generate_pages(spark, 1000, partitions=8))
+    pages = pages.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when((F.col("doc_id") % 211) == 0, F.lit(f" {marker}")).otherwise(
+                F.lit("")
+            ),
+        ),
+    ).persist()
+    out = str(tmp_path_factory.mktemp("phrasecand") / "index")
+    cfg = IndexConfig(n_shards=4, block_size=16, store_positions=True)
+    store = build_index(spark, pages, out, cfg, url_col="url")
+
+    qterms = sorted(set(tokenize_porter("the zqx zvw")))
+    full_blocks = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(qterms))
+        .agg(F.sum(F.size("counts")))
+        .collect()[0][0]
+    )
+    s = Searcher(spark, store)
+    try:
+        acc = spark.sparkContext.accumulator(0)
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in s.boolean(f'the +"{marker}"', 20, decode_counter=acc).collect()
+        ]
+        assert acc.value * 5 <= full_blocks, (acc.value, full_blocks)
+    finally:
+        s.close()
+
+    local = sorted(
+        (int(r["doc_id"]), r["text"])
+        for r in pages.select("doc_id", "text").collect()
+    )
+    phrase_docs = {d for d, t in local if marker in t}
+    want = [
+        (d, sc_)
+        for d, sc_ in bm25_rank(local, f"the {marker}", len(local))
+        if d in phrase_docs
+    ][:20]
+    assert_rank_identical(got, want)
+    pages.unpersist()
