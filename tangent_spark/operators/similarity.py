@@ -296,8 +296,15 @@ def cosine_topk_ivf(
     qs = spark.createDataFrame(
         [(r["query_id"], r["q"]) for r in qrows], "query_id long, q array<double>"
     )
+    # static partition filter BEFORE the probe join: the batch's probed
+    # clusters are known driver-side, so when the assignment table is
+    # written partitioned by cluster (plans/ann.py) this prunes every
+    # unprobed cluster's files out of the scan — the broadcast join
+    # alone would still list/read them
+    probed_clusters = sorted({c for _, c in probes})
     scored = (
-        indexed.join(F.broadcast(probe_df), "cluster")
+        indexed.filter(F.col("cluster").isin(probed_clusters))
+        .join(F.broadcast(probe_df), "cluster")
         .filter(F.col("query_id") != F.col("vec_id"))
         .join(F.broadcast(qs), "query_id")
         .withColumn("cos", _cos_cols("q", "v"))

@@ -110,7 +110,13 @@ def build_ann_index(
 
     if not store.stage_done("ann_vectors"):
         C = load_centroids(spark, store)
-        ivf_assign(embeddings, C, id_col, vec_col).write.mode("overwrite").parquet(
+        # physically partitioned by IVF cluster (round-5, VERDICT r4
+        # #5): an n_probe-cluster query lists/reads ONLY the probed
+        # clusters' files (static partition filter in cosine_topk_ivf);
+        # repartition("cluster") keeps it to one file per cluster here
+        ivf_assign(embeddings, C, id_col, vec_col).repartition(
+            "cluster"
+        ).write.mode("overwrite").partitionBy("cluster").parquet(
             store.path("ann_vectors")
         )
         n = spark.read.parquet(store.path("ann_vectors")).count()
@@ -155,7 +161,9 @@ def _clean_ann_orphans(spark: SparkSession, store: IndexStore) -> None:
     stages = store.read_manifest()["stages"]
     for t in ("ann_vectors", "ann_codes"):
         tags = set()
-        for f in glob.glob(os.path.join(store.path(t), "ab*-*.parquet")):
+        for f in glob.glob(
+            os.path.join(store.path(t), "**", "ab*-*.parquet"), recursive=True
+        ):
             name = os.path.basename(f)[: -len(".parquet")]
             tag, _, suffix = name.rpartition("-")
             if not (tag.startswith("ab") and suffix.isdigit()):
@@ -194,9 +202,12 @@ def ann_append(
     staging = os.path.join(store.root, f"_staging_{stage}")
     C = load_centroids(spark, store)
     B = load_codebooks(spark, store)
-    ivf_assign(fresh, C, id_col, vec_col).write.mode("overwrite").parquet(
-        staging + "/ann_vectors"
-    )
+    # same cluster-partitioned layout as the base table: copy_tagged
+    # preserves the cluster=N subdirs, so appended rows stay physically
+    # probe-prunable
+    ivf_assign(fresh, C, id_col, vec_col).repartition("cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(staging + "/ann_vectors")
     pq_encode(fresh, B, id_col, vec_col).write.mode("overwrite").parquet(
         staging + "/ann_codes"
     )

@@ -152,19 +152,30 @@ class IndexStore:
     # append_batch idempotent at any crash point.
     def copy_tagged(self, src_dir: str, table: str, tag: str) -> int:
         """Copy the parquet part files of src_dir into the live table dir
-        under deterministic '<tag>-NNNNN.parquet' names. Returns file count."""
+        under deterministic '<tag>-NNNNN.parquet' names. Returns file
+        count. Hive-partitioned sources (e.g. ann_vectors' cluster=N
+        subdirs) are preserved: each part file lands in the SAME
+        partition subdirectory of the live table."""
         dst = self.path(table)
         os.makedirs(dst, exist_ok=True)
-        files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+        files = sorted(
+            glob.glob(os.path.join(src_dir, "**", "*.parquet"), recursive=True)
+        )
         for i, f in enumerate(files):
-            shutil.copy(f, os.path.join(dst, f"{tag}-{i:05d}.parquet"))
+            rel_dir = os.path.dirname(os.path.relpath(f, src_dir))
+            out_dir = os.path.join(dst, rel_dir) if rel_dir else dst
+            os.makedirs(out_dir, exist_ok=True)
+            shutil.copy(f, os.path.join(out_dir, f"{tag}-{i:05d}.parquet"))
         return len(files)
 
     def clean_tagged(self, table: str, tag: str) -> int:
         """Remove every part file a previous (crashed) attempt of this batch
-        appended to the live table dir."""
+        appended to the live table dir (partition subdirs included)."""
         removed = 0
-        for f in glob.glob(os.path.join(self.path(table), f"{tag}-*.parquet")):
+        for f in glob.glob(
+            os.path.join(self.path(table), "**", f"{tag}-*.parquet"),
+            recursive=True,
+        ):
             os.remove(f)
             removed += 1
         return removed
