@@ -148,14 +148,25 @@ def _deleted_mask(ids: np.ndarray, deleted: np.ndarray) -> np.ndarray | None:
     return None if keep.all() else keep
 
 
+_MAX_ISIN_TOMBSTONES = 10_000
+
+
 def filter_deleted(df: DataFrame, deleted: np.ndarray | None) -> DataFrame:
-    """Drop tombstoned doc_ids from a per-doc DataFrame. The literal
-    isin list is bounded by the live tombstone set (small between
-    compactions by contract); the decode-path kernels use the numpy
-    mask instead — this is only for positions-derived surfaces."""
+    """Drop tombstoned doc_ids from a per-doc DataFrame (positions-
+    derived surfaces only — the decode-path kernels use the numpy mask
+    instead). Small tombstone sets become a literal isin (no extra
+    plan node); above _MAX_ISIN_TOMBSTONES a literal In-expression
+    would blow up the plan size and driver memory, so the set ships as
+    a broadcast left-anti join instead (same rows, bounded plan)."""
     if deleted is None or not deleted.size:
         return df
-    return df.filter(~F.col("doc_id").isin([int(d) for d in deleted]))
+    if deleted.size <= _MAX_ISIN_TOMBSTONES:
+        return df.filter(~F.col("doc_id").isin([int(d) for d in deleted]))
+    spark = df.sparkSession
+    tomb = spark.createDataFrame(
+        ((int(d),) for d in deleted), "doc_id long"
+    )
+    return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
 def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None):
@@ -523,6 +534,8 @@ class Searcher:
         # Lucene-style filter cache: predicate -> evaluated route
         # (bounded FIFO; valid for this Searcher's point-in-time view)
         self._filter_cache: dict = {}
+        # facet (doc_id -> value) maps, cached per metadata column
+        self._facet_maps: dict = {}
         # one task wave per query: shards are merged into at most
         # defaultParallelism scan tasks (the kernel regroups by shard
         # in-partition, so correctness is unaffected)
@@ -806,15 +819,24 @@ class Searcher:
         where: str | None = None,
         decode_counter=None,
         max_driver_candidates: int = 1_000_000,
+        max_driver_docs: int = 1_000_000,
+        rows_counter=None,
     ) -> DataFrame:
         """Warm facet counts: hit count per value of metadata column
-        `by` for the boolean query's match set — same semantics as
-        plans.boolean.facet_counts, served off the cached postings and
-        the cached docs dictionary."""
+        `by` for the boolean query's match set — same semantics and
+        routing as plans.boolean.facet_counts, served off the cached
+        postings and the cached docs dictionary. The (doc_id -> value)
+        facet map is cached per column (like the filter cache), so a
+        repeated facet costs zero dictionary jobs and moves only
+        (value, count) partials out of the kernel; phrase clauses stay
+        on the kernel route here because the serving cache co-locates
+        positions."""
         from tangent_spark.plans.boolean import (
             _boolean_plan,
+            _facet_map,
             facet_aggregate,
             facet_empty,
+            parse_boolean_query,
         )
 
         if self._docs is None:
@@ -826,6 +848,16 @@ class Searcher:
             )
             if route == "empty":
                 return facet_empty(self._docs, by)
+        q = parse_boolean_query(query, self.cfg)
+        has_phrases = bool(q.phrases or q.not_phrases)
+        facet = None
+        if cand_df is None and (not has_phrases or self._has_positions):
+            key = (by, max_driver_docs)
+            if key not in self._facet_maps:
+                self._facet_maps[key] = _facet_map(self._docs, by, max_driver_docs)
+            fmap = self._facet_maps[key]
+            if fmap is not None:
+                facet = (self._docs.schema[by], fmap[0], fmap[1], rows_counter)
         matches = _boolean_plan(
             self.spark,
             self.store,
@@ -844,7 +876,10 @@ class Searcher:
             cand_df=cand_df,
             return_matches=True,
             serving=self.serving if self._has_positions else None,
+            facet=facet,
         )
+        if facet is not None:
+            return matches
         return facet_aggregate(matches, self._docs, by)
 
     def _warm_positions(self) -> DataFrame:

@@ -652,3 +652,31 @@ def test_warm_phrase_clause_restricts_decode(spark, tmp_path_factory):
     ][:20]
     assert_rank_identical(got, want)
     pages.unpersist()
+
+
+def test_parse_slop_edge_cases():
+    """ADVICE r4: slop-suffix edge cases must not silently misparse.
+    '"a b" ~2' (detached slop) attaches to the preceding phrase instead
+    of adding a bogus numeric term; '"a b"~2x' (glued junk) degrades to
+    plain terms like any malformed quoting; a '~N' with no preceding
+    phrase is dropped."""
+    cfg = IndexConfig()
+    q = parse_boolean_query('"gradient descent" ~2', cfg)
+    assert q.phrases == [(tokenize_porter("gradient descent"), 2)]
+    assert not q.should and not q.must and not q.must_not
+
+    # explicit suffix wins; a later detached slop cannot override it
+    q2 = parse_boolean_query('"gradient descent"~3 ~5', cfg)
+    assert q2.phrases == [(tokenize_porter("gradient descent"), 3)]
+
+    q3 = parse_boolean_query('"a b"~2x matrix', cfg)
+    assert not q3.phrases and not q3.not_phrases
+    assert q3.should == tokenize_porter("a") + tokenize_porter("b 2x matrix")
+
+    q4 = parse_boolean_query("~7 matrix", cfg)
+    assert q4.should == tokenize_porter("matrix") and not q4.phrases
+
+    # detached slop attaches to a NEGATED phrase too
+    q5 = parse_boolean_query('-"gradient descent" ~1 fast', cfg)
+    assert q5.not_phrases == [(tokenize_porter("gradient descent"), 1)]
+    assert q5.should == tokenize_porter("fast")

@@ -262,3 +262,27 @@ def test_update_docs_upserts_brand_new_url(spark, pages, tmp_path_factory):
     c = update_docs(spark, store, fresh, 1)
     assert c["replaced"] == 0 and c["new_docs"] == 1
     assert len(_topk(spark, store, "zyqbrand", 10)) == 1
+
+
+def test_filter_deleted_large_set_uses_anti_join(spark):
+    """ADVICE r4: a huge uncompacted tombstone set must not become a
+    literal In-expression (plan-size/driver blowup) — above the isin
+    threshold filter_deleted ships the ids as a broadcast anti-join,
+    same rows either way."""
+    import numpy as np
+
+    from tangent_spark.plans.search import _MAX_ISIN_TOMBSTONES, filter_deleted
+
+    df = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    big = np.arange(0, _MAX_ISIN_TOMBSTONES + 5000, dtype=np.int64) * 2
+    out = filter_deleted(df, big)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [i for i in range(50) if i % 2 == 1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+    small = np.asarray([1, 3], dtype=np.int64)
+    out2 = filter_deleted(df, small)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [
+        i for i in range(50) if i not in (1, 3)
+    ]
