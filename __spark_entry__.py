@@ -40,13 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s1_doc_scan": eq.s1_doc_scan,
         "t9_tokenize_tf": eq.t9_tokenize_tf,
-        "a1_term_dict": eq.a1_term_dict,
+        "a1_term_dict": eq.a1_term_dict,  # phases: dict (A1) + hist (A8)
         "a4_doc_stats": eq.a4_doc_stats,
         "a5_corpus_stats": eq.a5_corpus_stats,
-        "a8_df_histogram": eq.a8_df_histogram,
         "p4_dedup_count": eq.p4_dedup_count,
-        "q3_or_union": eq.q3_or_union,
-        "q4_count_capped": eq.q4_count_capped,
+        "q3_or_union": eq.q3_or_union,  # phases: union (Q3) + capped (Q4)
         "q5_wildcard": eq.q5_wildcard,
         "q8_dice_topk": eq.q8_dice_topk,
         "q9_bm25_topk": eq.q9_bm25_topk,
@@ -73,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bm25_all": eq.incremental_bm25_all,
         "delete_bm25_topk": eq.delete_bm25_topk,
         "filtered_bm25_topk": eq.filtered_bm25_topk,
+        "search_after_topk": eq.search_after_topk,
+        "bm25_explain": eq.bm25_explain,
         "facet_counts_lang": eq.facet_counts_lang,
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
@@ -126,8 +126,13 @@ def oracle_sql() -> dict[str, str]:
         "t9_tokenize_tf": f"WITH {_TOK}, {_TF} SELECT doc_id, term, tf FROM tf",
         "a1_term_dict": (
             f"WITH {_TOK}, {_TF}, "
-            "vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1) "
-            "SELECT term, df, row_number() OVER (ORDER BY term)::BIGINT AS term_id FROM vocab"
+            "vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1), "
+            "d AS (SELECT 'dict' AS phase, term AS key, df, "
+            "row_number() OVER (ORDER BY term)::BIGINT AS val FROM vocab), "
+            "h AS (SELECT 'hist' AS phase, df::VARCHAR AS key, df, "
+            "count(*)::BIGINT AS val FROM vocab GROUP BY 2, 3) "
+            "SELECT phase, key, df, val FROM d "
+            "UNION ALL SELECT phase, key, df, val FROM h"
         ),
         "a4_doc_stats": (
             f"WITH {_TOK}, {_TF} "
@@ -139,25 +144,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, "
             "round(avg(dl), 4)::DOUBLE AS avgdl FROM dl"
         ),
-        "a8_df_histogram": (
-            f"WITH {_TOK}, {_TF}, "
-            "vocab AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1) "
-            "SELECT df, count(*)::BIGINT AS n_terms FROM vocab GROUP BY 1"
-        ),
         "p4_dedup_count": (
             f"WITH {_TOK} "
             "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
             "count(DISTINCT term)::INT AS n_unique FROM tok GROUP BY 1"
         ),
         "q3_or_union": (
-            f"WITH {_TOK}, {_TF} "
-            f"SELECT doc_id, sum(tf)::BIGINT AS total_tf, count(*)::INT AS n_terms_hit "
-            f"FROM tf WHERE term IN {_UNION_IN} GROUP BY 1"
-        ),
-        "q4_count_capped": (
-            f"WITH {_TOK}, {_TF}, {_QDF} "
-            "SELECT doc_id, sum(least(q.q_tf, tf.tf))::BIGINT AS cc "
-            "FROM tf JOIN q USING (term) GROUP BY 1"
+            f"WITH {_TOK}, {_TF}, {_QDF}, "
+            "u AS (SELECT 'union' AS phase, doc_id, sum(tf)::BIGINT AS agg_tf, "
+            f"count(*)::INT AS n_terms_hit FROM tf WHERE term IN {_UNION_IN} GROUP BY 2), "
+            "c AS (SELECT 'capped' AS phase, doc_id, "
+            "sum(least(q.q_tf, tf.tf))::BIGINT AS agg_tf, (-1)::INT AS n_terms_hit "
+            "FROM tf JOIN q USING (term) GROUP BY 2) "
+            "SELECT phase, doc_id, agg_tf, n_terms_hit FROM u "
+            "UNION ALL SELECT phase, doc_id, agg_tf, n_terms_hit FROM c"
         ),
         "q5_wildcard": (
             f"WITH {_TOK}, {_TF} "
@@ -571,6 +571,48 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 20) "
             "SELECT 'driver' AS route, doc_id, score FROM hits "
             "UNION ALL SELECT 'join' AS route, doc_id, score FROM hits"
+        ),
+        # cursor deep paging: three pages of 10 must tile ranks 1-30 of
+        # the full BM25 ordering exactly (searchAfter semantics — the
+        # cursor the Spark side uses comes from its own page N-1)
+        "search_after_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "sc AS (SELECT m.doc_id, sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "r AS (SELECT doc_id, score, "
+            "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM sc) "
+            "SELECT CASE WHEN rk <= 10 THEN 'p1' WHEN rk <= 20 THEN 'p2' "
+            "ELSE 'p3' END AS phase, doc_id, round(score, 4)::DOUBLE AS score "
+            "FROM r WHERE rk <= 30"
+        ),
+        # score explain: per-term BM25 contributions for the top-5 docs;
+        # the top-5 cut and every factor recomputed from the raw corpus
+        "bm25_explain": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "sc AS (SELECT m.doc_id, sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "top5 AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 5) "
+            "SELECT m.doc_id, m.term, m.tf::INT AS tf, dfs.df::INT AS df, "
+            "round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), 4)::DOUBLE AS idf, "
+            "round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4)::DOUBLE "
+            "AS contribution "
+            "FROM m JOIN top5 USING (doc_id) JOIN dfs USING (term) "
+            "JOIN dl USING (doc_id) CROSS JOIN stats s"
         ),
         # facet panel: per-lang counts of the boolean MATCH SET (not
         # top-k) — 'any' = docs containing >=1 query term; 'bool' =

@@ -76,15 +76,31 @@ def t9_tokenize_tf(spark, sf_dir):
 # --- §2.4 index build aggregations -------------------------------------------
 
 def a1_term_dict(spark, sf_dir):
-    """A1: string interning — dense term ids by sorted term order, via the
-    scale-safe range-partition + prefix-sum path (functions/ids.dense_ids),
-    not a single-partition global window."""
+    """A1 + A8 in one contract entry (phase column; same oracle math as
+    the former separate entries):
+
+    phase 'dict' — A1 string interning: dense term ids by sorted term
+        order via the scale-safe range-partition + prefix-sum path
+        (functions/ids.dense_ids), not a single-partition global
+        window (key = term, val = term_id);
+    phase 'hist' — A8 index stats: histogram of term document
+        frequencies (key = df as string, val = n_terms)."""
     from tangent_spark.functions.ids import dense_ids
 
     vocab = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").cast("int").alias("df"))
-    return dense_ids(vocab, "term", "_tid").select(
-        "term", "df", (F.col("_tid") + 1).cast("long").alias("term_id")
+    dict_rows = dense_ids(vocab, "term", "_tid").select(
+        F.lit("dict").alias("phase"),
+        F.col("term").alias("key"),
+        "df",
+        (F.col("_tid") + 1).cast("long").alias("val"),
     )
+    hist_rows = vocab.groupBy("df").agg(F.count("*").alias("val")).select(
+        F.lit("hist").alias("phase"),
+        F.col("df").cast("string").alias("key"),
+        "df",
+        "val",
+    )
+    return dict_rows.unionByName(hist_rows)
 
 
 def a4_doc_stats(spark, sf_dir):
@@ -109,12 +125,6 @@ def a5_corpus_stats(spark, sf_dir):
     )
 
 
-def a8_df_histogram(spark, sf_dir):
-    """A8: index stats — histogram of term document-frequencies."""
-    vocab = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").cast("int").alias("df"))
-    return vocab.groupBy("df").agg(F.count("*").alias("n_terms"))
-
-
 def p4_dedup_count(spark, sf_dir):
     """P4: within-doc dedup — tokens vs distinct terms per doc."""
     return (
@@ -130,26 +140,39 @@ def p4_dedup_count(spark, sf_dir):
 # --- §2.5 query execution -----------------------------------------------------
 
 def q3_or_union(spark, sf_dir):
-    """Q3: postings OR-union of a fixed term set, summing counts."""
-    return (
+    """Q3 + Q4 in one contract entry (phase column; same oracle math as
+    the former separate entries):
+
+    phase 'union'  — Q3: postings OR-union of a fixed term set, per-doc
+        total tf (agg_tf) and number of distinct query terms hit;
+    phase 'capped' — Q4: count-capped match cc = sum(min(q_tf, d_tf))
+        per doc (agg_tf = cc; n_terms_hit = -1, not applicable)."""
+    union = (
         _tf(spark, sf_dir)
         .filter(F.col("term").isin(UNION_TERMS))
         .groupBy("doc_id")
-        .agg(F.sum("tf").alias("total_tf"), F.count("*").cast("int").alias("n_terms_hit"))
+        .agg(
+            F.sum("tf").alias("agg_tf"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+        .select(F.lit("union").alias("phase"), "doc_id", "agg_tf", "n_terms_hit")
     )
-
-
-def q4_count_capped(spark, sf_dir):
-    """Q4: count-capped match cc = sum(min(q_tf, d_tf)) per doc."""
     qdf = spark.createDataFrame(
         [(t, c) for t, c in sorted(DICE_QUERY.items())], "term string, q_tf int"
     )
-    return (
+    capped = (
         _tf(spark, sf_dir)
         .join(F.broadcast(qdf), "term")
         .groupBy("doc_id")
-        .agg(F.sum(F.least("q_tf", "tf")).alias("cc"))
+        .agg(F.sum(F.least("q_tf", "tf")).alias("agg_tf"))
+        .select(
+            F.lit("capped").alias("phase"),
+            "doc_id",
+            "agg_tf",
+            F.lit(-1).cast("int").alias("n_terms_hit"),
+        )
     )
+    return union.unionByName(capped)
 
 
 def q8_dice_topk(spark, sf_dir):
@@ -1334,6 +1357,84 @@ def filtered_bm25_topk(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(out, "route string, doc_id long, score double")
+
+
+SEARCH_AFTER_QUERY = "data query spark index"
+
+
+def search_after_topk(spark, sf_dir):
+    """Cursor deep paging (Lucene IndexSearcher.searchAfter / Solr
+    cursorMark) through a REAL index: three consecutive pages of 10
+    for the BM25 query, each page one single-stage kernel job with
+    after=(score, doc_id) taken from the previous page's last row.
+    Page N moves <= k rows per shard exactly like page 1 — the only
+    paging discipline that survives 10^12 docs (OFFSET moves N*k rows
+    per shard). Oracle: ranks 1-30 of the full BM25 ordering, sliced
+    by rank into the three pages — the pages must tile the global
+    ordering exactly, no overlap, no gap."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.search import bm25_topk_wand
+
+    base = tempfile.mkdtemp(prefix="tangent_after_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out: list = []
+        cursor = None
+        for page in ("p1", "p2", "p3"):
+            rows = bm25_topk_wand(
+                spark, store, SEARCH_AFTER_QUERY, 10, after=cursor
+            ).collect()
+            out += [
+                (page, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in rows
+            ]
+            if not rows:
+                break
+            cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
+
+
+def bm25_explain(spark, sf_dir):
+    """Score explain (Lucene IndexSearcher.explain / Solr
+    debug=results, the reference's Solr surface SURVEY S12): per-term
+    BM25 contribution breakdown for the engine's top-5 docs of the
+    BM25 query, read declaratively off the doc dictionary — no
+    postings decode. sum(contribution) per doc must equal the
+    kernel's score; the oracle recomputes both the top-5 cut and the
+    per-term algebra from the raw corpus."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.search import bm25_topk_wand, explain_score
+
+    base = tempfile.mkdtemp(prefix="tangent_explain_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        top = bm25_topk_wand(spark, store, SEARCH_AFTER_QUERY, 5).collect()
+        ids = [int(r["doc_id"]) for r in top]
+        out = [
+            (
+                int(r["doc_id"]),
+                r["term"],
+                int(r["tf"]),
+                int(r["df"]),
+                round(float(r["idf"]), 4),
+                round(float(r["contribution"]), 4),
+            )
+            for r in explain_score(
+                spark, store, SEARCH_AFTER_QUERY, ids
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "doc_id long, term string, tf int, df int, idf double, contribution double",
+    )
 
 
 def delete_bm25_topk(spark, sf_dir):

@@ -133,7 +133,7 @@ def build_index(
     out_dir: str,
     cfg: IndexConfig = IndexConfig(),
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str | None = "text",
     extra_terms: DataFrame | None = None,
     url_col: str | None = None,
 ) -> IndexStore:
@@ -152,9 +152,19 @@ def build_index(
         from tangent_spark.functions.util import ensure_parallelism
 
         t0 = time.time()
-        terms = terms_df(ensure_parallelism(docs), id_col, text_col, cfg.tokenizer)
-        if extra_terms is not None:
-            terms = terms.unionByName(extra_terms)
+        if text_col is None:
+            # fielded build (plans/fielded.py): the caller supplies ALL
+            # term rows (field-prefixed, per-field dl) — no catch-all
+            # tokenization pass
+            if extra_terms is None:
+                raise ValueError("text_col=None requires extra_terms")
+            terms = extra_terms
+        else:
+            terms = terms_df(
+                ensure_parallelism(docs), id_col, text_col, cfg.tokenizer
+            )
+            if extra_terms is not None:
+                terms = terms.unionByName(extra_terms)
         terms.write.mode("overwrite").parquet(store.path("terms"))
         n_rows = spark.read.parquet(store.path("terms")).count()
         store.commit_stage(
@@ -250,8 +260,9 @@ def build_index(
             },
         )
 
-    # ---- stage: positions (optional; phrase/proximity support) -------------
-    if cfg.store_positions and not store.stage_done("positions"):
+    # ---- stage: positions (optional; phrase/proximity support;
+    # text_col=None fielded builds have no catch-all text to position) ----
+    if cfg.store_positions and text_col is not None and not store.stage_done("positions"):
         from tangent_spark.functions.tokenize import positions_df
 
         t0 = time.time()

@@ -169,7 +169,9 @@ def filter_deleted(df: DataFrame, deleted: np.ndarray | None) -> DataFrame:
     return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
-def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None):
+def _score_shard(
+    avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None, after=None
+):
     """Per-shard kernel: block-max pruning via an interval sweep.
 
     Input rows carry a precomputed `idf` column (joined JVM-side so the
@@ -187,6 +189,19 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=N
     (stable row id, block idx), where the stable id comes from a
     `_rid` column when present. `counter` is an optional Spark
     accumulator that receives the number of freshly decoded blocks.
+
+    `after=(score, doc_id)` is the Lucene searchAfter cursor: only docs
+    STRICTLY after the cursor in (score desc, doc_id asc) order may
+    enter the top-k — i.e. score < after_score, or score == after_score
+    and doc_id > after_doc. Deep paging at 10^12 docs cannot OFFSET
+    (page N would move N*k rows per shard); with a cursor every page
+    moves exactly <= k rows per shard, same as page 1. Exactness: the
+    cursor score was produced by THIS kernel on the same cached rows,
+    and every doc is scored exactly once (ranges partition doc space)
+    by the same vectorized accumulation, so the float comparison at the
+    boundary is bit-deterministic. Block-max pruning stays exact under
+    the cursor — a range's upper bound also bounds its post-cursor
+    docs' scores, so the threshold skip never drops a qualifying doc.
     """
 
     def kernel(pdf: pd.DataFrame, cache=None) -> pd.DataFrame:
@@ -196,18 +211,23 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=N
             if "_rid" in pdf.columns
             else np.arange(len(pdf), dtype=np.int64)
         )
+        # per-row avgdl (fielded index: each field normalizes dl by its
+        # OWN average length, Lucene per-field norms); plain indexes have
+        # no such column and use the corpus scalar
+        has_av = "avgdl" in pdf.columns
         # --- collect block metadata for every query-term row ---------------
         blocks = []  # (lo, hi, bound, row_idx, blk_idx)
         for ri in range(len(pdf)):
             row = pdf.iloc[ri]
             t_idf = float(row["idf"])
+            row_avgdl = float(row["avgdl"]) if has_av else avgdl
             firsts = np.asarray(row["first_docs"], dtype=np.int64)
             # safe bound at the CURRENT avgdl: tfn increasing in tf,
             # decreasing in dl (see codec.encode_posting_list)
             bounds = t_idf * bm25_tf_norm(
                 np.asarray(row["max_tfs"], dtype=np.int64),
                 np.asarray(row["min_dls"], dtype=np.int64),
-                avgdl, cfg.k1, cfg.b,
+                row_avgdl, cfg.k1, cfg.b,
             )
             his = np.empty_like(firsts)
             his[:-1] = firsts[1:] - 1
@@ -281,7 +301,11 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=N
                     if dm is not None:  # tombstoned docs never score
                         ids, tfs, dls = ids[dm], tfs[dm], dls[dm]
                     contrib = float(row["idf"]) * bm25_tf_norm(
-                        tfs, dls, avgdl, cfg.k1, cfg.b
+                        tfs,
+                        dls,
+                        float(row["avgdl"]) if has_av else avgdl,
+                        cfg.k1,
+                        cfg.b,
                     )
                     cache[key] = (ids, contrib)
                     decoded += 1
@@ -299,6 +323,17 @@ def _score_shard(avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=N
             sums = np.zeros(uids.size, dtype=np.float64)
             np.add.at(sums, inv, cat_c)
             docs_scored += uids.size
+            if after is not None:
+                # searchAfter cursor: keep docs strictly after (s, d) in
+                # (score desc, doc_id asc) order; scores here are full
+                # (each doc lives in exactly one range), so the mask is
+                # exact
+                keep = (sums < after[0]) | (
+                    (sums == after[0]) & (uids > after[1])
+                )
+                uids, sums = uids[keep], sums[keep]
+                if not uids.size:
+                    continue
             top_docs = np.concatenate([top_docs, uids])
             top_scores = np.concatenate([top_scores, sums])
             if top_scores.size > k:
@@ -336,6 +371,7 @@ def _wand_plan(
     k: int,
     with_metrics: bool,
     deleted=None,
+    after=None,
 ) -> DataFrame:
     """The whole query as ONE declarative plan: filter postings to the
     query terms (parquet row-group pruning / in-memory scan), broadcast-
@@ -348,7 +384,7 @@ def _wand_plan(
             + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
-    kern = _score_shard(avgdl, cfg, k, deleted=deleted)
+    kern = _score_shard(avgdl, cfg, k, deleted=deleted, after=after)
 
     def apply_kern(pdf: pd.DataFrame) -> pd.DataFrame:
         return kern(pdf)
@@ -373,8 +409,12 @@ def bm25_topk_wand(
     query: str,
     k: int,
     with_metrics: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
-    """One-shot query straight off the parquet index (cold path)."""
+    """One-shot query straight off the parquet index (cold path).
+
+    `after=(score, doc_id)` is the searchAfter cursor — see
+    Searcher.topk for paging semantics."""
     cfg = store.get_config()
     qts = query_terms(query, cfg.tokenizer)
     if not qts:
@@ -390,7 +430,67 @@ def bm25_topk_wand(
         k,
         with_metrics,
         deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
     )
+
+
+def explain_score(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    doc_ids: list[int],
+) -> DataFrame:
+    """Per-term BM25 score breakdown for specific docs — the Lucene
+    `IndexSearcher.explain` / Solr `debug=results` surface the
+    reference exposed through Solr (SURVEY S12). One row per
+    (doc_id, query term present in the doc): tf, df, idf, and the
+    term's BM25 contribution; sum(contribution) over a doc's rows ==
+    the kernel's score for that doc bit-for-bit in formula (same
+    float math, declarative JVM-side here).
+
+    Scale shape: the doc-dictionary `terms` table is filtered on BOTH
+    doc_id IN (bounded user list) and term IN (query terms) — both
+    predicates push to the parquet scan; everything after the scan is
+    |docs|x|terms| rows. No kernel, no decode: explain never needs
+    the postings."""
+    cfg = store.get_config()
+    qts = query_terms(query, cfg.tokenizer)
+    if not qts or not doc_ids:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, tf int, df int, idf double, contribution double"
+        )
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    N, avgdl = float(cs["n_docs"]), float(cs["avgdl"]) if cs["avgdl"] else 1.0
+    k1, b = cfg.k1, cfg.b
+    rows = (
+        store.read(spark, "terms")
+        .filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+        .filter(F.col("term").isin(qts))
+    )
+    rows = filter_deleted(rows, load_deleted_ids(spark, store))
+    stats = store.read(spark, "term_stats").filter(F.col("term").isin(qts))
+    out = (
+        rows.join(F.broadcast(stats.select("term", "df")), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0) + (F.lit(N) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contribution",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return out.select(
+        "doc_id", "term", "tf", "df", "idf", "contribution"
+    ).orderBy("doc_id", "term")
 
 
 def _idf_from_g_df(n_docs: int):
@@ -561,18 +661,27 @@ class Searcher:
 
     def topk(
         self, query: str, k: int, with_metrics: bool = False, decode_counter=None,
-        terms: list[str] | None = None,
+        terms: list[str] | None = None, after: tuple[float, int] | None = None,
     ) -> DataFrame:
         """Warm BM25 top-k. `terms` bypasses tokenization with an
         already-tokenized sorted term list (more_like_this feeds the
         source doc's stored stemmed terms here — re-stemming them could
-        alter them, Porter is not idempotent on every stem)."""
+        alter them, Porter is not idempotent on every stem).
+
+        `after=(score, doc_id)` pages past a previous result's last row
+        (Lucene IndexSearcher.searchAfter / Solr cursorMark): the next k
+        docs strictly after the cursor in (score desc, doc_id asc)
+        order. Every page is the same ONE single-stage job moving <= k
+        rows per shard — deep page N costs what page 1 costs, the only
+        paging discipline that survives 10^12 docs (OFFSET would move
+        N*k rows per shard and re-rank them globally)."""
         qts = terms if terms is not None else query_terms(query, self.cfg.tokenizer)
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
         add_idf = _idf_from_g_df(self.n_docs)
         shard_kernel = _score_shard(
-            self.avgdl, self.cfg, k, counter=decode_counter, deleted=self.deleted
+            self.avgdl, self.cfg, k, counter=decode_counter, deleted=self.deleted,
+            after=(float(after[0]), int(after[1])) if after is not None else None,
         )
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

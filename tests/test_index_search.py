@@ -299,3 +299,87 @@ def test_warm_query_is_one_job_even_on_full_tail_miss(spark, index_store, corpus
         assert_rank_identical(got, bm25_rank(local, query, 10))
     finally:
         s.close()
+
+
+def test_search_after_pages_tile_global_ordering(spark, index_store, corpus):
+    """Cursor deep paging (Lucene searchAfter): consecutive pages of k
+    must tile the one-shot top-N exactly — no overlap, no gap — on
+    BOTH the cold path (bm25_topk_wand) and the warm Searcher, which
+    share the kernel. The cursor is the previous page's last
+    (score, doc_id); float comparison at the boundary is exact because
+    both sides come from the same kernel on the same rows."""
+    from tangent_spark.plans.search import Searcher
+
+    query = "matrix theorem proof"
+    want = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in bm25_topk_wand(spark, index_store, query, 30).collect()
+    ]
+    assert len(want) == 30
+
+    got = []
+    cursor = None
+    for _ in range(3):
+        rows = bm25_topk_wand(
+            spark, index_store, query, 10, after=cursor
+        ).collect()
+        got += [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+    assert got == want
+
+    # warm pages tile the WARM one-shot (the warm kernel computes idf
+    # from the cached g_df column — same math, different float op
+    # order than the cold JVM-side log, so scores may differ in the
+    # last ulp between paths; cursor exactness is a per-path property)
+    s = Searcher(spark, index_store)
+    try:
+        want_warm = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in s.topk(query, 30).collect()
+        ]
+        got_warm = []
+        cursor = None
+        for _ in range(3):
+            rows = s.topk(query, 10, after=cursor).collect()
+            got_warm += [(int(r["doc_id"]), float(r["score"])) for r in rows]
+            cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+        assert got_warm == want_warm
+    finally:
+        s.close()
+
+
+def test_search_after_exhausted_cursor_is_empty(spark, index_store):
+    """A cursor below every score returns an empty page, not an error."""
+    rows = bm25_topk_wand(
+        spark, index_store, "convergence", 10, after=(-1.0, 1 << 60)
+    ).collect()
+    assert rows == []
+
+
+def test_explain_contributions_sum_to_kernel_score(spark, index_store):
+    """explain_score (Lucene IndexSearcher.explain): per-(doc, term)
+    contributions must sum to the kernel's BM25 score for the doc, and
+    idf/df must match the index's term_stats."""
+    from tangent_spark.plans.search import explain_score
+
+    query = "matrix theorem proof"
+    top = bm25_topk_wand(spark, index_store, query, 5).collect()
+    ids = [int(r["doc_id"]) for r in top]
+    kernel_scores = {int(r["doc_id"]): float(r["score"]) for r in top}
+    rows = explain_score(spark, index_store, query, ids).collect()
+    assert {int(r["doc_id"]) for r in rows} == set(ids)
+    sums: dict[int, float] = {}
+    for r in rows:
+        assert r["tf"] >= 1 and r["df"] >= 1 and r["idf"] > 0
+        sums[int(r["doc_id"])] = sums.get(int(r["doc_id"]), 0.0) + float(
+            r["contribution"]
+        )
+    for d, s in sums.items():
+        assert abs(s - kernel_scores[d]) < 1e-9, (d, s, kernel_scores[d])
+
+
+def test_explain_empty_inputs(spark, index_store):
+    from tangent_spark.plans.search import explain_score
+
+    assert explain_score(spark, index_store, "", [1]).count() == 0
+    assert explain_score(spark, index_store, "matrix", []).count() == 0
