@@ -71,8 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_bm25_all": eq.incremental_bm25_all,
         "delete_bm25_topk": eq.delete_bm25_topk,
         "filtered_bm25_topk": eq.filtered_bm25_topk,
-        "search_after_topk": eq.search_after_topk,
-        "bm25_explain": eq.bm25_explain,
+        "search_after_explain": eq.search_after_explain,  # phases: p1-p3 (paging) + explain
+        "fielded_bm25_topk": eq.fielded_bm25_topk,  # phases: flat + boosted
         "facet_counts_lang": eq.facet_counts_lang,
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
@@ -575,7 +575,11 @@ def oracle_sql() -> dict[str, str]:
         # cursor deep paging: three pages of 10 must tile ranks 1-30 of
         # the full BM25 ordering exactly (searchAfter semantics — the
         # cursor the Spark side uses comes from its own page N-1)
-        "search_after_topk": (
+        # cursor deep paging + score explain off one index: pages p1-p3
+        # must tile ranks 1-30 of the full BM25 ordering (searchAfter —
+        # the Spark cursor comes from its own page N-1); phase 'explain'
+        # recomputes the per-(top-5 doc, term) factor breakdown
+        "search_after_explain": (
             f"WITH {_TOK}, {_TF}, {_DL}, "
             "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
             f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
@@ -587,32 +591,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
             "GROUP BY m.doc_id), "
             "r AS (SELECT doc_id, score, "
-            "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM sc) "
-            "SELECT CASE WHEN rk <= 10 THEN 'p1' WHEN rk <= 20 THEN 'p2' "
-            "ELSE 'p3' END AS phase, doc_id, round(score, 4)::DOUBLE AS score "
-            "FROM r WHERE rk <= 30"
-        ),
-        # score explain: per-term BM25 contributions for the top-5 docs;
-        # the top-5 cut and every factor recomputed from the raw corpus
-        "bm25_explain": (
-            f"WITH {_TOK}, {_TF}, {_DL}, "
-            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
-            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
-            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
-            "sc AS (SELECT m.doc_id, sum("
-            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
-            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
-            ") AS score "
-            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
-            "GROUP BY m.doc_id), "
-            "top5 AS (SELECT doc_id FROM sc ORDER BY score DESC, doc_id ASC LIMIT 5) "
-            "SELECT m.doc_id, m.term, m.tf::INT AS tf, dfs.df::INT AS df, "
+            "row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk FROM sc), "
+            "pages AS (SELECT CASE WHEN rk <= 10 THEN 'p1' WHEN rk <= 20 THEN 'p2' "
+            "ELSE 'p3' END AS phase, doc_id, ''::VARCHAR AS term, (-1)::INT AS tf, "
+            "(-1)::INT AS df, (-1.0)::DOUBLE AS idf, round(score, 4)::DOUBLE AS score "
+            "FROM r WHERE rk <= 30), "
+            "expl AS (SELECT 'explain' AS phase, m.doc_id, m.term, "
+            "m.tf::INT AS tf, dfs.df::INT AS df, "
             "round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)), 4)::DOUBLE AS idf, "
             "round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
             "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4)::DOUBLE "
-            "AS contribution "
-            "FROM m JOIN top5 USING (doc_id) JOIN dfs USING (term) "
-            "JOIN dl USING (doc_id) CROSS JOIN stats s"
+            "AS score "
+            "FROM m JOIN (SELECT doc_id FROM r WHERE rk <= 5) t USING (doc_id) "
+            "JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s) "
+            "SELECT * FROM pages UNION ALL SELECT * FROM expl"
+        ),
+        # fielded BM25 (Solr title:q^2 OR body:q): title = tokens at
+        # pos <= 8, body = the rest; per-field docCount IDF + per-field
+        # avgdl norms; score = sum over fields of boost * idf_f * tfnorm_f
+        "fielded_bm25_topk": (
+            f"WITH {_POS}, "
+            "ft AS (SELECT doc_id, CASE WHEN pos <= 8 THEN 'title' ELSE 'body' END "
+            "AS field, term FROM pos), "
+            "ftf AS (SELECT doc_id, field, term, count(*)::INT AS tf FROM ft GROUP BY 1, 2, 3), "
+            "fdl AS (SELECT doc_id, field, count(*) AS dl FROM ft GROUP BY 1, 2), "
+            "fs AS (SELECT field, count(*)::DOUBLE AS n_docs, "
+            "sum(dl)::DOUBLE / count(*) AS avgdl FROM fdl GROUP BY 1), "
+            f"m AS (SELECT * FROM ftf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT field, term, count(*)::DOUBLE AS df FROM m GROUP BY 1, 2), "
+            "b(phase, field, boost) AS (VALUES ('flat', 'title', 1.0), "
+            "('flat', 'body', 1.0), ('boosted', 'title', 2.0), ('boosted', 'body', 1.0)), "
+            "sc AS (SELECT b.phase, m.doc_id, sum("
+            "  b.boost * ln(1.0 + (fs.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * fdl.dl / fs.avgdl))"
+            ") AS score "
+            "FROM m "
+            "JOIN dfs ON m.field = dfs.field AND m.term = dfs.term "
+            "JOIN fdl ON m.doc_id = fdl.doc_id AND m.field = fdl.field "
+            "JOIN fs ON m.field = fs.field "
+            "JOIN b ON m.field = b.field "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT phase, doc_id, score, row_number() OVER ("
+            "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM sc) "
+            "SELECT phase, doc_id, round(score, 4)::DOUBLE AS score "
+            "FROM r WHERE rk <= 20"
         ),
         # facet panel: per-lang counts of the boolean MATCH SET (not
         # top-k) — 'any' = docs containing >=1 query term; 'bool' =

@@ -64,10 +64,18 @@ class IndexConfig:
     # because every append must write the same docs schema.
     meta_cols: tuple = ()
 
+    # --- fielded index (plans/fielded.py) ---------------------------------
+    # Non-empty = the index's postings space is field-prefixed
+    # ('field:term' rows with per-field dl, Lucene's per-field inverted
+    # index); empty = plain single-text index. Persisted so query-time
+    # boost keys validate and config-mismatched resumes are rejected.
+    fields: tuple = ()
+
     def __post_init__(self):
         # JSON round-trips tuples as lists; normalize so a loaded config
         # compares equal to a constructed one (merge's config-match check)
         object.__setattr__(self, "meta_cols", tuple(self.meta_cols))
+        object.__setattr__(self, "fields", tuple(self.fields))
 
     # NOTE on head-term skew: there is deliberately NO salting config. The
     # postings shuffle keys on (term, shard=doc_id % n_shards), so a head

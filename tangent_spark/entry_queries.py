@@ -1362,20 +1362,30 @@ def filtered_bm25_topk(spark, sf_dir):
 SEARCH_AFTER_QUERY = "data query spark index"
 
 
-def search_after_topk(spark, sf_dir):
-    """Cursor deep paging (Lucene IndexSearcher.searchAfter / Solr
-    cursorMark) through a REAL index: three consecutive pages of 10
-    for the BM25 query, each page one single-stage kernel job with
-    after=(score, doc_id) taken from the previous page's last row.
-    Page N moves <= k rows per shard exactly like page 1 — the only
-    paging discipline that survives 10^12 docs (OFFSET moves N*k rows
-    per shard). Oracle: ranks 1-30 of the full BM25 ordering, sliced
-    by rank into the three pages — the pages must tile the global
-    ordering exactly, no overlap, no gap."""
+def search_after_explain(spark, sf_dir):
+    """Cursor deep paging + score explain off ONE real index (both
+    new-in-round-5 Solr/Lucene surfaces share the build and the query):
+
+    phases 'p1'/'p2'/'p3' — searchAfter (Lucene IndexSearcher.
+        searchAfter / Solr cursorMark): three consecutive pages of 10,
+        each page one single-stage kernel job with after=(score,
+        doc_id) from the previous page's last row. Page N moves <= k
+        rows per shard exactly like page 1 — the only paging
+        discipline that survives 10^12 docs (OFFSET moves N*k rows per
+        shard). Oracle: ranks 1-30 of the full BM25 ordering sliced by
+        rank — the pages must tile it exactly, no overlap, no gap.
+        Paging rows carry term=''/tf=-1/df=-1/idf=-1 (n/a).
+    phase 'explain'       — score explain (Lucene IndexSearcher.
+        explain / Solr debug=results, SURVEY S12): per-(doc, term)
+        BM25 factor breakdown for the engine's top-5 docs, read
+        declaratively off the doc dictionary — no postings decode;
+        score column = the term's contribution; contributions sum to
+        the kernel score (test-asserted to 1e-9 in
+        tests/test_index_search.py)."""
     import shutil
     import tempfile
 
-    from tangent_spark.plans.search import bm25_topk_wand
+    from tangent_spark.plans.search import bm25_topk_wand, explain_score
 
     base = tempfile.mkdtemp(prefix="tangent_after_entry_")
     try:
@@ -1387,37 +1397,18 @@ def search_after_topk(spark, sf_dir):
                 spark, store, SEARCH_AFTER_QUERY, 10, after=cursor
             ).collect()
             out += [
-                (page, int(r["doc_id"]), round(float(r["score"]), 4))
+                (page, int(r["doc_id"]), "", -1, -1, -1.0,
+                 round(float(r["score"]), 4))
                 for r in rows
             ]
             if not rows:
                 break
             cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(out, "phase string, doc_id long, score double")
-
-
-def bm25_explain(spark, sf_dir):
-    """Score explain (Lucene IndexSearcher.explain / Solr
-    debug=results, the reference's Solr surface SURVEY S12): per-term
-    BM25 contribution breakdown for the engine's top-5 docs of the
-    BM25 query, read declaratively off the doc dictionary — no
-    postings decode. sum(contribution) per doc must equal the
-    kernel's score; the oracle recomputes both the top-5 cut and the
-    per-term algebra from the raw corpus."""
-    import shutil
-    import tempfile
-
-    from tangent_spark.plans.search import bm25_topk_wand, explain_score
-
-    base = tempfile.mkdtemp(prefix="tangent_explain_entry_")
-    try:
-        store = _simple_store(spark, sf_dir, base)
         top = bm25_topk_wand(spark, store, SEARCH_AFTER_QUERY, 5).collect()
         ids = [int(r["doc_id"]) for r in top]
-        out = [
+        out += [
             (
+                "explain",
                 int(r["doc_id"]),
                 r["term"],
                 int(r["tf"]),
@@ -1433,8 +1424,63 @@ def bm25_explain(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(
         out,
-        "doc_id long, term string, tf int, df int, idf double, contribution double",
+        "phase string, doc_id long, term string, tf int, df int, "
+        "idf double, score double",
     )
+
+
+def fielded_bm25_topk(spark, sf_dir):
+    """Fielded (multi-field) boosted BM25 through a REAL fielded index
+    (plans/fielded.py — the Solr `title:q^2 OR body:q` surface the
+    reference delegated to its Solr sidecar, SURVEY S12). Documents
+    are split deterministically into title = first 8 simple tokens,
+    body = the rest; each field is its own postings space with its own
+    docCount IDF and its own length norm (Lucene per-field norms).
+
+    phase 'flat'    — boosts {title: 1, body: 1};
+    phase 'boosted' — boosts {title: 2, body: 1} (title hits must
+        outrank where the flat ordering had them tied or behind).
+
+    Oracle recomputes the per-field tf/dl/df/avgdl/docCount and the
+    boosted two-field BM25 sum from the raw corpus with the identical
+    pos<=8 field split."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.fielded import build_fielded_index, fielded_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_fielded_entry_")
+    try:
+        fdocs = (
+            _docs(spark, sf_dir)
+            .withColumn("toks", tokens_col_simple(F.col("text")))
+            .select(
+                "doc_id",
+                F.array_join(F.slice("toks", 1, 8), " ").alias("title"),
+                F.expr(
+                    "array_join(slice(toks, 9, size(toks)), ' ')"
+                ).alias("body"),
+            )
+        )
+        cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
+        store = build_fielded_index(
+            spark, fdocs, f"{base}/f", ("title", "body"), cfg
+        )
+        out = []
+        for phase, boosts in (
+            ("flat", {"title": 1.0, "body": 1.0}),
+            ("boosted", {"title": 2.0, "body": 1.0}),
+        ):
+            out += [
+                (phase, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in fielded_topk(
+                    spark, store, SEARCH_AFTER_QUERY, 20, boosts
+                ).collect()
+            ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
 
 
 def delete_bm25_topk(spark, sf_dir):

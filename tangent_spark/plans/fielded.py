@@ -1,0 +1,231 @@
+"""Fielded (multi-field) index build + boosted per-field BM25 search.
+
+Lucene keeps one inverted index PER FIELD — postings are keyed by
+(field, term), every field carries its own length normalization
+("norms": dl over that field's tokens only, normalized by that field's
+average length) and its own docCount for IDF. Solr's fielded query
+surface (`q=title:spark^2 OR body:spark`, the qf expansion of
+edismax) scores a BooleanQuery SUM over the per-field TermQueries.
+The reference exposed this entire surface through its Solr sidecar
+(reference text/text_engine_client.py:15-52 builds fielded dismax
+requests; SURVEY S12) — here it is the SAME doc-sharded engine:
+fielded terms live in the one postings space as ``field:term`` rows
+with per-field dl, so the build's shuffle inventory, the block codec,
+block-max WAND pruning, tombstone masks and searchAfter paging all
+apply unchanged.
+
+Scoring (Lucene BooleanQuery-sum semantics — a query expanded to one
+boosted TermQuery per (field, term); NOT dismax max-plus-tie, a
+documented divergence from edismax's default combiner):
+
+    score(d) = sum_f sum_t boost_f * idf_f(t)
+                             * tfnorm(tf_{f,t,d}, dl_f(d), avgdl_f)
+    idf_f(t) = ln(1 + (N_f - df_{f,t} + 0.5) / (df_{f,t} + 0.5))
+
+where N_f = docCount(field f) = docs with >= 1 token in f (Lucene's
+per-field docCount, not the corpus size), and avgdl_f is the mean
+token length of field f over those docs.
+
+Scale shape — identical to plans/search.bm25_topk_wand, ONE job per
+query: postings filtered to the |q| x |fields| prefixed terms
+(term-major parquet sort order -> row-group pruning at the scan),
+per-(field, term) stats broadcast-joined JVM-side so every postings
+row enters the shared kernel carrying its boosted ``idf`` AND its
+field's ``avgdl`` (_score_shard's per-row-avgdl path), per-shard
+block-max interval sweep, global TakeOrderedAndProject of <= k rows
+per shard. Correctness of the block-max bound under mixed fields:
+each row's bound is computed with ITS OWN field's avgdl, and a doc's
+rows for every field live in the same shard (shard = doc_id %
+n_shards), so each doc is scored exactly once with its full
+cross-field sum.
+
+Limitation (documented): streaming appends (streaming/incremental)
+re-tokenize a single text column and so do not yet understand fielded
+term spaces; build fielded indexes with build_fielded_index only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.functions.tokenize import terms_df
+from tangent_spark.sources.store import IndexStore
+
+# Lucene's field:term postings key. Tokens are [a-z0-9]+ (both
+# analysis chains), so the first ':' always delimits the field.
+FIELD_SEP = ":"
+
+
+def field_terms_df(
+    docs: DataFrame,
+    fields: tuple[str, ...],
+    id_col: str = "doc_id",
+    tokenizer: str = "porter",
+) -> DataFrame:
+    """Per-field term rows in the indexer's (doc_id, term, tf, dl)
+    shape: term = 'field:token', dl = THAT field's token count for the
+    doc (the per-field norm). One tokenize pass per field over the
+    same scan; docs where a field is empty simply emit no rows for it
+    (Lucene: the doc lacks the field)."""
+    parts = [
+        terms_df(docs, id_col, f, tokenizer).select(
+            "doc_id",
+            F.concat(F.lit(f + FIELD_SEP), F.col("term")).alias("term"),
+            "tf",
+            "dl",
+        )
+        for f in fields
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def build_fielded_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    fields: tuple[str, ...] | list[str],
+    cfg: IndexConfig = IndexConfig(),
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+) -> IndexStore:
+    """Build (or resume) a fielded index: the standard build pipeline
+    fed pre-fielded term rows (build_index's text_col=None path — no
+    catch-all tokenization), plus a ``field_stats`` stage recording
+    per-field docCount and avgdl for query-time IDF/norms. The fields
+    tuple is persisted in the config so fielded_topk can validate
+    boost keys and a config-mismatched resume is rejected."""
+    from tangent_spark.plans.indexer import build_index
+
+    fields = tuple(fields)
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    cfg = dataclasses.replace(cfg, fields=fields)
+    store = build_index(
+        spark,
+        docs,
+        out_dir,
+        cfg,
+        id_col=id_col,
+        text_col=None,
+        extra_terms=field_terms_df(docs, fields, id_col, cfg.tokenizer),
+        url_col=url_col,
+    )
+
+    # ---- stage: field_stats (per-field docCount + avgdl) -------------------
+    if not store.stage_done("field_stats"):
+        import time
+
+        t0 = time.time()
+        terms = spark.read.parquet(store.path("terms"))
+        fs = (
+            terms.withColumn(
+                "field", F.substring_index("term", FIELD_SEP, 1)
+            )
+            .groupBy("field")
+            .agg(
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.sum("tf").cast("long").alias("total_tokens"),
+            )
+            .withColumn(
+                "avgdl", F.col("total_tokens") / F.col("n_docs")
+            )
+        )
+        fs.write.mode("overwrite").parquet(store.path("field_stats"))
+        rows = spark.read.parquet(store.path("field_stats")).collect()
+        store.commit_stage(
+            "field_stats",
+            ["field_stats"],
+            {
+                "fields": {r["field"]: int(r["n_docs"]) for r in rows},
+                "secs": time.time() - t0,
+            },
+        )
+    return store
+
+
+def fielded_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    boosts: dict[str, float],
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Boosted multi-field BM25 top-k (Solr ``title:q^2 OR body:q``) —
+    one single-stage job off the fielded postings; see the module
+    docstring for semantics and the scale argument. ``after`` is the
+    searchAfter cursor (plans/search.Searcher.topk): exact here for
+    the same reason as the plain kernel — every doc's full cross-field
+    score is produced in one shard pass."""
+    from tangent_spark.plans.search import (
+        _WAND_SCHEMA,
+        _score_shard,
+        load_deleted_ids,
+        query_terms,
+    )
+
+    cfg = store.get_config()
+    unknown = set(boosts) - set(cfg.fields)
+    if unknown:
+        raise ValueError(
+            f"unknown fields {sorted(unknown)}; index has {cfg.fields}"
+        )
+    qts = query_terms(query, cfg.tokenizer)
+    if not qts or not boosts:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    prefixed = [f"{f}{FIELD_SEP}{t}" for f in sorted(boosts) for t in qts]
+    bdf = spark.createDataFrame(
+        sorted((f, float(b)) for f, b in boosts.items()),
+        "field string, boost double",
+    )
+    # per-(field, term) boosted idf + per-field avgdl, all JVM-side on
+    # vocabulary-scale tables filtered to <= |q| x |fields| rows, then
+    # broadcast into the postings scan
+    qstats = (
+        spark.read.parquet(store.path("term_stats"))
+        .filter(F.col("term").isin(prefixed))
+        .withColumn("field", F.substring_index("term", FIELD_SEP, 1))
+        .join(F.broadcast(spark.read.parquet(store.path("field_stats"))), "field")
+        .join(F.broadcast(bdf), "field")
+        .select(
+            "term",
+            (
+                F.col("boost")
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    kern = _score_shard(
+        1.0,  # unused: every row carries its field's avgdl
+        cfg,
+        k,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
+    )
+
+    def apply_kern(pdf):
+        return kern(pdf)
+
+    local = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(prefixed))
+        .join(F.broadcast(qstats), "term")
+        .groupBy("shard")
+        .applyInPandas(apply_kern, schema=_WAND_SCHEMA)
+    )
+    return (
+        local.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

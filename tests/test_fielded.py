@@ -1,0 +1,238 @@
+"""Fielded index (plans/fielded.py): per-field postings spaces with
+per-field norms and docCount IDF, boosted boolean-sum scoring — the
+Solr `title:q^2 OR body:q` surface the reference delegated to its
+Solr sidecar (reference text/text_engine_client.py:15-52). Rank
+identity is asserted against an independent pure-Python oracle that
+recomputes the whole formula from the raw field texts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.oracle import _tok
+from tangent_spark.plans.fielded import build_fielded_index, fielded_topk
+from tangent_spark.plans.indexer import build_index
+from tangent_spark.plans.search import bm25_topk_wand
+from tests.conftest import assert_rank_identical
+
+N_DOCS = 100
+BOOSTS = {"title": 2.0, "body": 1.0}
+QUERIES = [
+    "matrix theorem proof",
+    "spark shuffle partition",
+    "the of and",
+    "convergence",
+    "nonexistentterm matrix",
+]
+
+
+def fielded_rank(local, query, boosts, k, k1=1.2, b=0.75, tokenizer="porter"):
+    """Pure-Python fielded BM25: local = [(doc_id, {field: text})].
+    score(d) = sum_f sum_t boost_f * idf_f(t) * tfnorm(tf, dl_f, avgdl_f),
+    idf_f over docCount(f) = docs with >= 1 token in f."""
+    qts = _tok(query, tokenizer)
+    per_field: dict[str, dict[int, dict[str, int]]] = {}
+    dls: dict[str, dict[int, int]] = {}
+    for doc_id, fields in local:
+        for f, text in fields.items():
+            toks = _tok(text, tokenizer)
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            per_field.setdefault(f, {})[doc_id] = tf
+            dls.setdefault(f, {})[doc_id] = len(toks)
+    scores: dict[int, float] = {}
+    for f, boost in boosts.items():
+        docs_f = per_field.get(f, {})
+        n_f = len(docs_f)
+        if not n_f:
+            continue
+        avgdl_f = sum(dls[f].values()) / n_f
+        for t in set(qts):
+            df = sum(1 for tf in docs_f.values() if t in tf)
+            if not df:
+                continue
+            idf = math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
+            for doc_id, tf in docs_f.items():
+                if t not in tf:
+                    continue
+                dl = dls[f][doc_id]
+                tfn = (
+                    tf[t] * (k1 + 1.0)
+                    / (tf[t] + k1 * (1.0 - b + b * dl / avgdl_f))
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + boost * idf * tfn
+    ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return ranked[:k]
+
+
+@pytest.fixture(scope="module")
+def fielded_corpus(spark):
+    """Synthetic pages split into title (first 6 tokens) / body (rest);
+    every 10th doc gets an EMPTY title so docCount(title) < n_docs and
+    the per-field-N IDF actually differs from corpus-N."""
+    pages = pages_with_doc_ids(generate_pages(spark, N_DOCS, partitions=6))
+    toks = F.split(F.col("text"), " ")
+    docs = pages.select(
+        "doc_id",
+        "url",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("")).otherwise(
+            F.array_join(F.slice(toks, 1, 6), " ")
+        ).alias("title"),
+        F.expr("array_join(slice(split(text, ' '), 7, size(split(text, ' '))), ' ')").alias(
+            "body"
+        ),
+    ).persist()
+    local = [
+        (int(r["doc_id"]), {"title": r["title"], "body": r["body"]})
+        for r in docs.collect()
+    ]
+    return docs, sorted(local)
+
+
+@pytest.fixture(scope="module")
+def fielded_store(spark, fielded_corpus, tmp_path_factory):
+    docs, _ = fielded_corpus
+    out = str(tmp_path_factory.mktemp("fidx") / "index")
+    cfg = IndexConfig(n_shards=8, block_size=16)
+    return build_fielded_index(
+        spark, docs, out, ("title", "body"), cfg, url_col="url"
+    )
+
+
+def test_field_stats_stage(spark, fielded_store, fielded_corpus):
+    _, local = fielded_corpus
+    fs = {
+        r["field"]: r
+        for r in spark.read.parquet(fielded_store.path("field_stats")).collect()
+    }
+    n_title = sum(1 for _, d in local if _tok(d["title"], "porter"))
+    n_body = sum(1 for _, d in local if _tok(d["body"], "porter"))
+    assert fs["title"]["n_docs"] == n_title < N_DOCS
+    assert fs["body"]["n_docs"] == n_body == N_DOCS
+    assert fielded_store.get_config().fields == ("title", "body")
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_fielded_rank_identity(spark, fielded_store, fielded_corpus, query):
+    _, local = fielded_corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fielded_topk(spark, fielded_store, query, 15, BOOSTS).collect()
+    ]
+    assert_rank_identical(got, fielded_rank(local, query, BOOSTS, 15))
+
+
+def test_title_only_boosts_subset(spark, fielded_store, fielded_corpus):
+    """Querying only the title field must rank by title postings alone
+    (empty-title docs can never appear)."""
+    _, local = fielded_corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fielded_topk(
+            spark, fielded_store, "matrix theorem", 10, {"title": 1.0}
+        ).collect()
+    ]
+    assert got == fielded_rank(local, "matrix theorem", {"title": 1.0}, 10)
+    assert all(d % 10 != 0 for d, _ in got)
+
+
+def test_boost_flips_ranking(spark, tmp_path):
+    """A term only in A's title and only in B's body: title-heavy boosts
+    rank A first, body-heavy boosts rank B first."""
+    rows = [
+        (0, "needle alpha beta", "gamma delta epsilon zeta"),
+        (1, "alpha beta gamma", "needle delta epsilon zeta"),
+        (2, "alpha beta gamma", "delta epsilon zeta eta"),
+    ]
+    docs = _spark_docs(rows)
+    store = build_fielded_index(
+        docs.sparkSession,
+        docs,
+        str(tmp_path / "flip"),
+        ("title", "body"),
+        IndexConfig(n_shards=2, block_size=8),
+    )
+    spark = docs.sparkSession
+    top_t = fielded_topk(spark, store, "needle", 2, {"title": 5.0, "body": 1.0}).collect()
+    top_b = fielded_topk(spark, store, "needle", 2, {"title": 1.0, "body": 5.0}).collect()
+    assert [r["doc_id"] for r in top_t] == [0, 1]
+    assert [r["doc_id"] for r in top_b] == [1, 0]
+
+
+def _spark_docs(rows):
+    from tangent_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    return spark.createDataFrame(rows, "doc_id long, title string, body string")
+
+
+def test_single_field_matches_plain_index(spark, tmp_path):
+    """A one-field fielded index over the full text must score exactly
+    like the plain index (same N: every page has tokens; same avgdl;
+    boost 1.0) — the fielded path is the plain kernel, generalized."""
+    pages = pages_with_doc_ids(generate_pages(spark, 60, partitions=4)).persist()
+    cfg = IndexConfig(n_shards=4, block_size=16)
+    plain = build_index(spark, pages, str(tmp_path / "plain"), cfg)
+    fld = build_fielded_index(
+        spark, pages, str(tmp_path / "fld"), ("text",), cfg
+    )
+    q = "matrix convergence theorem"
+    want = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in bm25_topk_wand(spark, plain, q, 10).collect()
+    ]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fielded_topk(spark, fld, q, 10, {"text": 1.0}).collect()
+    ]
+    assert_rank_identical(got, want)
+
+
+def test_fielded_search_after_tiles(spark, fielded_store):
+    want = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in fielded_topk(
+            spark, fielded_store, "matrix theorem proof", 20, BOOSTS
+        ).collect()
+    ]
+    got, cursor = [], None
+    for _ in range(4):
+        rows = fielded_topk(
+            spark, fielded_store, "matrix theorem proof", 5, BOOSTS, after=cursor
+        ).collect()
+        got += [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+    assert got == want
+
+
+def test_unknown_boost_field_rejected(spark, fielded_store):
+    with pytest.raises(ValueError, match="unknown fields"):
+        fielded_topk(spark, fielded_store, "matrix", 5, {"headline": 1.0})
+
+
+def test_fielded_resume_skips_stages(spark, fielded_corpus, fielded_store):
+    import time
+
+    docs, _ = fielded_corpus
+    t0 = time.time()
+    again = build_fielded_index(
+        spark,
+        docs,
+        fielded_store.root,
+        ("title", "body"),
+        IndexConfig(n_shards=8, block_size=16),
+        url_col="url",
+    )
+    assert time.time() - t0 < 10
+    assert again.stage_done("field_stats")
+
+
+def test_fielded_empty_query(spark, fielded_store):
+    assert fielded_topk(spark, fielded_store, "", 5, BOOSTS).count() == 0
+    assert fielded_topk(spark, fielded_store, "!!!", 5, BOOSTS).count() == 0
