@@ -42,7 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_tokenize_tf": eq.t9_tokenize_tf,
         "a1_term_dict": eq.a1_term_dict,  # phases: dict (A1) + hist (A8)
         "a4_doc_stats": eq.a4_doc_stats,
-        "a5_corpus_stats": eq.a5_corpus_stats,
+        "a5_corpus_stats": eq.a5_corpus_stats,  # phases: corpus (A5) + q13 (Q13)
         "p4_dedup_count": eq.p4_dedup_count,
         "q3_or_union": eq.q3_or_union,  # phases: union (Q3) + capped (Q4)
         "q5_wildcard": eq.q5_wildcard,
@@ -65,7 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_search_routes": eq.api_search_routes,
         "ann_ivf_topk": eq.ann_ivf_topk,
         "ann_pq_topk": eq.ann_pq_topk,
-        "q13_distinct_docs": eq.q13_distinct_docs,
+        "grouped_collapse_topk": eq.grouped_collapse_topk,
         "r10_doc_agg": eq.r10_doc_agg,
         "merge_bm25_topk": eq.merge_bm25_topk,
         "incremental_bm25_all": eq.incremental_bm25_all,
@@ -140,9 +140,12 @@ def oracle_sql() -> dict[str, str]:
             "max(tf)::INT AS max_tf FROM tf GROUP BY 1"
         ),
         "a5_corpus_stats": (
-            f"WITH {_TOK}, {_DL} "
-            "SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_tokens, "
-            "round(avg(dl), 4)::DOUBLE AS avgdl FROM dl"
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "c AS (SELECT 'corpus' AS phase, count(*)::BIGINT AS n_docs, "
+            "sum(dl)::BIGINT AS total_tokens, round(avg(dl), 4)::DOUBLE AS avgdl FROM dl), "
+            "q AS (SELECT 'q13' AS phase, count(DISTINCT doc_id)::BIGINT AS n_docs, "
+            f"(-1)::BIGINT AS total_tokens, (-1.0)::DOUBLE AS avgdl FROM tf WHERE term IN {_UNION_IN}) "
+            "SELECT * FROM c UNION ALL SELECT * FROM q"
         ),
         "p4_dedup_count": (
             f"WITH {_TOK} "
@@ -310,9 +313,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'exact' AS phase, doc_id, phrase_tf FROM ex "
             "UNION ALL SELECT 'near' AS phase, doc_id, phrase_tf FROM nr"
         ),
-        "q13_distinct_docs": (
-            f"WITH {_TOK}, {_TF} "
-            f"SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf WHERE term IN {_UNION_IN}"
+        # result grouping / field collapse: top-5 source groups by best
+        # hit, 2 docs per group, per-group total hit counts — the whole
+        # contract recomputed from raw BM25 scores + window functions
+        "grouped_collapse_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "sc AS (SELECT m.doc_id, sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "g AS (SELECT sc.doc_id, sc.score, d.source FROM sc "
+            "JOIN documents d USING (doc_id)), "
+            "ranked AS (SELECT source, doc_id, score, row_number() OVER ("
+            "PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rig FROM g), "
+            "hits AS (SELECT source, count(*)::BIGINT AS group_hits FROM g GROUP BY 1), "
+            "topg AS (SELECT source FROM ranked WHERE rig = 1 "
+            "ORDER BY score DESC, doc_id ASC LIMIT 5) "
+            "SELECT r.source AS grp, h.group_hits, r.rig::INT AS rank_in_group, "
+            "r.doc_id, round(r.score, 4)::DOUBLE AS score "
+            "FROM ranked r JOIN topg USING (source) JOIN hits h USING (source) "
+            "WHERE r.rig <= 2"
         ),
         "r10_doc_agg": (
             "SELECT user_id, round(max(value), 4)::DOUBLE AS top_score, "

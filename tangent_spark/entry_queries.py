@@ -117,12 +117,30 @@ def a4_doc_stats(spark, sf_dir):
 
 
 def a5_corpus_stats(spark, sf_dir):
-    """A5/A7-analog: global counters the manifest stores (consistency check)."""
-    return _dl(spark, sf_dir).agg(
+    """A5/A7-analog + Q13 in one contract entry (phase column; same
+    oracle math as the former separate entries):
+
+    phase 'corpus' — global counters the manifest stores (consistency
+        check): n_docs, total_tokens, avgdl;
+    phase 'q13'    — distinct matched-doc count for the union query
+        (n_docs = count; total_tokens = -1, avgdl = -1, n/a)."""
+    corpus = _dl(spark, sf_dir).agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
         F.round(F.avg("dl"), 4).alias("avgdl"),
+    ).select(F.lit("corpus").alias("phase"), "n_docs", "total_tokens", "avgdl")
+    q13 = (
+        _tf(spark, sf_dir)
+        .filter(F.col("term").isin(UNION_TERMS))
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .select(
+            F.lit("q13").alias("phase"),
+            "n_docs",
+            F.lit(-1).cast("long").alias("total_tokens"),
+            F.lit(-1.0).alias("avgdl"),
+        )
     )
+    return corpus.unionByName(q13)
 
 
 def p4_dedup_count(spark, sf_dir):
@@ -357,12 +375,39 @@ def phrase_match(spark, sf_dir):
     return exact.unionByName(near)
 
 
-def q13_distinct_docs(spark, sf_dir):
-    """Q13: distinct matched-doc count for the union query."""
-    return (
-        _tf(spark, sf_dir)
-        .filter(F.col("term").isin(UNION_TERMS))
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+def grouped_collapse_topk(spark, sf_dir):
+    """Result grouping / field collapse through a REAL index
+    (plans/group.grouped_topk — Solr group=true / collapse, the web
+    site-dedup surface, SURVEY S12): top-5 source groups for the BM25
+    query ordered by their best hit, 2 docs per group, with per-group
+    total hit counts (Solr numFound per group). Oracle recomputes full
+    BM25 scores, the per-group ranking, the group ordering and the
+    hit counts from the raw corpus."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.group import grouped_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_group_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, meta=("source",))
+        out = [
+            (
+                r["grp"],
+                int(r["group_hits"]),
+                int(r["rank_in_group"]),
+                int(r["doc_id"]),
+                round(float(r["score"]), 4),
+            )
+            for r in grouped_topk(
+                spark, store, SEARCH_AFTER_QUERY, "source", k=5, group_limit=2
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "grp string, group_hits long, rank_in_group int, doc_id long, score double",
     )
 
 
