@@ -59,6 +59,10 @@ def search(
     k: int = 10,
     searcher=None,
     where: str | None = None,
+    after: tuple[float, int] | None = None,
+    group_by: str | None = None,
+    group_limit: int = 1,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -67,10 +71,60 @@ def search(
     the word index's IndexConfig.meta_cols) restricts text routes to
     matching documents — Lucene filter semantics, see
     plans.boolean.filtered_topk; the formula route does not support it
-    (the formula store's expression index has no doc metadata)."""
+    (the formula store's expression index has no doc metadata).
+
+    Round-5 result-shaping options (plain-BM25 route only — each maps
+    to its Solr/Lucene counterpart and raises on routes that do not
+    support it rather than silently ignoring the request):
+
+      * after=(score, doc_id) — cursor deep paging (Solr cursorMark /
+        Lucene searchAfter); the next page strictly after the cursor.
+      * group_by / group_limit — result grouping / field collapse
+        (Solr group=true): returns the grouping contract columns
+        (grp, group_hits, rank_in_group, doc_id, score), not the plain
+        (doc_id, score) shape.
+      * boosts={field: weight} — fielded search over a
+        plans.fielded.build_fielded_index store (Solr title:q^2
+        OR body:q); combinable with `after`.
+    """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
     kind = route(query)
+    shaping = [
+        name
+        for name, on in (
+            ("after", after is not None),
+            ("group_by", group_by is not None),
+            ("boosts", boosts is not None),
+        )
+        if on
+    ]
+    if shaping and (kind != "bm25" or where is not None):
+        raise ValueError(
+            f"{'/'.join(shaping)} only supported on the plain BM25 route "
+            f"(query routed to {kind!r}"
+            + (", with a metadata filter)" if where is not None else ")")
+        )
+    if boosts is not None:
+        if group_by is not None:
+            raise ValueError("group_by is not supported with fielded boosts")
+        from tangent_spark.plans.fielded import fielded_topk
+
+        return fielded_topk(spark, stores.words, query, k, boosts, after=after)
+    if group_by is not None:
+        if after is not None:
+            raise ValueError("cursor paging is not supported with grouping")
+        from tangent_spark.plans.group import grouped_topk
+
+        return grouped_topk(
+            spark, stores.words, query, group_by, k=k, group_limit=group_limit
+        )
+    if after is not None:
+        if searcher is not None:
+            return searcher.topk(query, k, after=after)
+        from tangent_spark.plans.search import bm25_topk_wand
+
+        return bm25_topk_wand(spark, stores.words, query, k, after=after)
     if kind == "formula":
         if where is not None:
             raise ValueError("metadata filters are not supported on the formula route")

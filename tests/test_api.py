@@ -27,7 +27,7 @@ def test_route():
 def stores(spark, tmp_path_factory):
     pages = pages_with_doc_ids(generate_pages(spark, 150, partitions=6)).persist()
     base = tmp_path_factory.mktemp("api")
-    cfg = IndexConfig(n_shards=4, block_size=32)
+    cfg = IndexConfig(n_shards=4, block_size=32, meta_cols=("lang",))
     words = build_index(spark, pages, str(base / "w"), cfg, url_col="url")
     formulas = build_formula_index(spark, pages, str(base / "f"), cfg)
     return pages, SearchStores(words=words, formulas=formulas)
@@ -126,3 +126,66 @@ def test_malformed_fragment_does_not_crash(spark, stores):
     # parser rejects it and the result is simply empty, never a crash
     rows = search(spark, ss, "solve <mws:qvar", 5).collect()
     assert rows == [] or rows
+
+
+def test_search_after_route(spark, stores):
+    """search(after=...) pages tile the one-shot front-door ordering."""
+    _, ss = stores
+    q = "matrix convergence theorem"
+    want = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, ss, q, 10).collect()]
+    got, cursor = [], None
+    for _ in range(2):
+        rows = search(spark, ss, q, 5, after=cursor).collect()
+        got += [(r["doc_id"], round(r["score"], 9)) for r in rows]
+        cursor = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+    assert got == want
+
+
+def test_search_group_route(spark, stores):
+    """search(group_by=...) returns the grouping contract and matches
+    plans.group.grouped_topk exactly."""
+    from tangent_spark.plans.group import grouped_topk
+
+    _, ss = stores
+    q = "matrix convergence theorem"
+    got = [tuple(r) for r in search(spark, ss, q, 3, group_by="lang", group_limit=2).collect()]
+    want = [tuple(r) for r in grouped_topk(spark, ss.words, q, "lang", k=3, group_limit=2).collect()]
+    assert got == want and got
+
+
+def test_search_fielded_route(spark, stores, tmp_path):
+    """search(boosts=...) serves a fielded store; combinable with after."""
+    from tangent_spark.plans.fielded import build_fielded_index, fielded_topk
+
+    pages, _ = stores
+    docs = pages.select(
+        "doc_id",
+        F.expr("array_join(slice(split(text, ' '), 1, 6), ' ')").alias("title"),
+        F.expr("array_join(slice(split(text, ' '), 7, size(split(text, ' '))), ' ')").alias("body"),
+    )
+    fstore = build_fielded_index(
+        spark, docs, str(tmp_path / "fapi"), ("title", "body"),
+        IndexConfig(n_shards=4, block_size=32),
+    )
+    q, boosts = "matrix convergence theorem", {"title": 2.0, "body": 1.0}
+    got = [tuple(r) for r in search(spark, fstore, q, 5, boosts=boosts).collect()]
+    want = [tuple(r) for r in fielded_topk(spark, fstore, q, 5, boosts).collect()]
+    assert got == want and got
+    page2 = search(spark, fstore, q, 2, boosts=boosts, after=(got[1][1], got[1][0])).collect()
+    assert [tuple(r) for r in page2] == got[2:4]
+
+
+def test_search_shaping_rejected_off_bm25_route(spark, stores):
+    """Result-shaping options must raise on unsupported routes, never
+    silently ignore the request."""
+    _, ss = stores
+    with pytest.raises(ValueError, match="only supported on the plain BM25"):
+        search(spark, ss, "matrix +theorem", 5, after=(1.0, 3))
+    with pytest.raises(ValueError, match="only supported on the plain BM25"):
+        search(spark, ss, '"exact phrase"', 5, group_by="lang")
+    with pytest.raises(ValueError, match="only supported on the plain BM25"):
+        search(spark, ss, "matrix", 5, where="lang = 'en'", group_by="lang")
+    with pytest.raises(ValueError, match="not supported with"):
+        search(spark, ss, "matrix", 5, group_by="lang", boosts={"title": 1.0})
+    with pytest.raises(ValueError, match="not supported with"):
+        search(spark, ss, "matrix", 5, group_by="lang", after=(1.0, 3))
