@@ -63,6 +63,7 @@ def search(
     group_by: str | None = None,
     group_limit: int = 1,
     boosts: dict[str, float] | None = None,
+    synonyms: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -86,6 +87,9 @@ def search(
       * boosts={field: weight} — fielded search over a
         plans.fielded.build_fielded_index store (Solr title:q^2
         OR body:q); combinable with `after`.
+      * synonyms={token: [expansion, ...]} — query-time synonym
+        expansion (Lucene SynonymQuery: group max-df idf, per-doc tf
+        sum); combinable with `after`.
     """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
@@ -96,6 +100,7 @@ def search(
             ("after", after is not None),
             ("group_by", group_by is not None),
             ("boosts", boosts is not None),
+            ("synonyms", synonyms is not None),
         )
         if on
     ]
@@ -106,11 +111,21 @@ def search(
             + (", with a metadata filter)" if where is not None else ")")
         )
     if boosts is not None:
-        if group_by is not None:
-            raise ValueError("group_by is not supported with fielded boosts")
+        if group_by is not None or synonyms is not None:
+            raise ValueError(
+                "group_by/synonyms are not supported with fielded boosts"
+            )
         from tangent_spark.plans.fielded import fielded_topk
 
         return fielded_topk(spark, stores.words, query, k, boosts, after=after)
+    if synonyms is not None:
+        if group_by is not None:
+            raise ValueError("group_by is not supported with synonyms")
+        from tangent_spark.plans.search import bm25_topk_synonyms
+
+        return bm25_topk_synonyms(
+            spark, stores.words, query, k, synonyms, after=after
+        )
     if group_by is not None:
         if after is not None:
             raise ValueError("cursor paging is not supported with grouping")

@@ -202,6 +202,17 @@ def _score_shard(
     boundary is bit-deterministic. Block-max pruning stays exact under
     the cursor — a range's upper bound also bounds its post-cursor
     docs' scores, so the threshold skip never drops a qualifying doc.
+
+    Synonym groups (Lucene SynonymQuery — bm25_topk_synonyms): when a
+    `syn` column is present, rows sharing a group id are ONE pseudo-
+    term: per doc the members' tfs are summed BEFORE tf-normalization
+    (tfnorm(sum tf), never sum of tfnorms) and the row's `idf` is the
+    group idf (from the group's max df, Lucene's SynonymQuery
+    docFreq). Block-max stays exact: tfnorm is concave with f(0)=0,
+    hence subadditive in tf, so the sum of member block bounds (each
+    computed at the group idf) upper-bounds the merged contribution.
+    The decoded-block cache stores raw (ids, tfs, dls) on this path —
+    contributions are only defined per group after the merge.
     """
 
     def kernel(pdf: pd.DataFrame, cache=None) -> pd.DataFrame:
@@ -215,6 +226,10 @@ def _score_shard(
         # OWN average length, Lucene per-field norms); plain indexes have
         # no such column and use the corpus scalar
         has_av = "avgdl" in pdf.columns
+        # synonym groups (see docstring): rows sharing syn merge tfs
+        # per doc before tf-normalization
+        has_syn = "syn" in pdf.columns
+        syn_ids = pdf["syn"].to_numpy(np.int64) if has_syn else None
         # --- collect block metadata for every query-term row ---------------
         blocks = []  # (lo, hi, bound, row_idx, blk_idx)
         for ri in range(len(pdf)):
@@ -282,6 +297,7 @@ def _score_shard(
             rlo, rhi = starts[r], ends[r]
             cover = np.flatnonzero((blk_lo <= rhi) & (blk_hi >= rlo))
             all_ids, all_contrib = [], []
+            syn_buf: dict = {}  # group id -> [(ids, tfs, dls, idf, row_avgdl)]
             for ci in cover:
                 _, _, _, ri, bi = blocks[ci]
                 key = (int(rids[ri]), bi)
@@ -300,21 +316,58 @@ def _score_shard(
                     dm = _deleted_mask(ids, deleted)
                     if dm is not None:  # tombstoned docs never score
                         ids, tfs, dls = ids[dm], tfs[dm], dls[dm]
-                    contrib = float(row["idf"]) * bm25_tf_norm(
-                        tfs,
-                        dls,
-                        float(row["avgdl"]) if has_av else avgdl,
-                        cfg.k1,
-                        cfg.b,
-                    )
-                    cache[key] = (ids, contrib)
+                    if has_syn:
+                        # contributions only exist per GROUP after the
+                        # tf merge — cache the raw decoded triplet
+                        cache[key] = (ids, tfs, dls)
+                    else:
+                        contrib = float(row["idf"]) * bm25_tf_norm(
+                            tfs,
+                            dls,
+                            float(row["avgdl"]) if has_av else avgdl,
+                            cfg.k1,
+                            cfg.b,
+                        )
+                        cache[key] = (ids, contrib)
                     decoded += 1
+                if has_syn:
+                    ids, tfs, dls = cache[key]
+                    s = np.searchsorted(ids, rlo, side="left")
+                    e = np.searchsorted(ids, rhi, side="right")
+                    if e > s:
+                        syn_buf.setdefault(int(syn_ids[ri]), []).append(
+                            (
+                                ids[s:e], tfs[s:e], dls[s:e],
+                                float(pdf.iloc[ri]["idf"]),
+                                float(pdf.iloc[ri]["avgdl"]) if has_av else avgdl,
+                            )
+                        )
+                    continue
                 ids, contrib = cache[key]
                 s = np.searchsorted(ids, rlo, side="left")
                 e = np.searchsorted(ids, rhi, side="right")
                 if e > s:
                     all_ids.append(ids[s:e])
                     all_contrib.append(contrib[s:e])
+            if has_syn:
+                # per group: sum member tfs per doc, THEN normalize once
+                for parts in syn_buf.values():
+                    g_ids = np.concatenate([p[0] for p in parts])
+                    g_tfs = np.concatenate([p[1] for p in parts])
+                    g_dls = np.concatenate([p[2] for p in parts])
+                    g_idf, g_avgdl = parts[0][3], parts[0][4]
+                    guids, gfirst, ginv = np.unique(
+                        g_ids, return_index=True, return_inverse=True
+                    )
+                    tf_sum = np.zeros(guids.size, dtype=np.int64)
+                    np.add.at(tf_sum, ginv, g_tfs)
+                    all_ids.append(guids)
+                    all_contrib.append(
+                        g_idf
+                        * bm25_tf_norm(
+                            tf_sum, g_dls[gfirst], g_avgdl, cfg.k1, cfg.b
+                        )
+                    )
             if not all_ids:
                 continue
             cat_ids = np.concatenate(all_ids)
@@ -431,6 +484,92 @@ def bm25_topk_wand(
         with_metrics,
         deleted=load_deleted_ids(spark, store),
         after=(float(after[0]), int(after[1])) if after is not None else None,
+    )
+
+
+def bm25_topk_synonyms(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    synonyms: dict[str, list[str]],
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Query-time synonym expansion (Lucene SynonymQuery / Solr
+    query-time synonym filter, reference's Solr analysis chain SURVEY
+    S12): each analyzed query term plus its synonyms scores as ONE
+    pseudo-term — per doc, member tfs are summed before the BM25
+    tf-normalization and the idf comes from the group's max df
+    (Lucene's SynonymQuery docFreq = max over members). `synonyms`
+    maps a query token to its expansion strings; both sides pass
+    through the index's analysis chain, so {'fast': ['quick']} matches
+    however 'fast'/'quick' stem. A term claimed by two groups stays in
+    the first (query order) — a multiset union would double-score it.
+
+    Scale shape: identical to bm25_topk_wand — ONE job. The group df
+    aggregation (max over members) and the per-term group idf are
+    broadcast-side JVM aggregates over vocabulary rows filtered to the
+    member terms; the kernel merges member postings per doc inside the
+    shard (see _score_shard's synonym path) with block-max pruning
+    intact (subadditive tf-norm keeps the bounds valid)."""
+    from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
+
+    cfg = store.get_config()
+    # groups form in QUERY ORDER (query_terms sorts+dedups — that would
+    # let a later token steal an earlier group's synonym and silently
+    # split the group): analyzer-order dedup, first occurrence wins,
+    # exactly like a Lucene synonym graph filter
+    tok = tokenize_porter if cfg.tokenizer == "porter" else tokenize_simple
+    qts = list(dict.fromkeys(tok(query)))
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    assigned: dict[str, int] = {}
+    for gi, t in enumerate(qts):
+        members = [t] + [m for s in synonyms.get(t, ()) for m in tok(s)]
+        for m in members:
+            assigned.setdefault(m, gi)
+    mdf = spark.createDataFrame(
+        sorted(assigned.items()), "term string, syn int"
+    )
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    N = float(cs["n_docs"])
+    avgdl = float(cs["avgdl"]) if cs["avgdl"] else 1.0
+    # group idf from the group's max df over members PRESENT in the
+    # vocabulary — all broadcast-small joins, still one query job
+    stats = (
+        spark.read.parquet(store.path("term_stats"))
+        .join(F.broadcast(mdf), "term")
+        .select("term", "syn", "df")
+    )
+    gstats = stats.groupBy("syn").agg(F.max("df").alias("gdf"))
+    qstats = (
+        stats.join(F.broadcast(gstats), "syn")
+        .select(
+            "term",
+            "syn",
+            F.log(
+                F.lit(1.0) + (F.lit(N) - F.col("gdf") + 0.5) / (F.col("gdf") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    kern = _score_shard(
+        avgdl,
+        cfg,
+        k,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
+    )
+    local = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(sorted(assigned)))
+        .join(F.broadcast(qstats), "term")
+        .groupBy("shard")
+        .applyInPandas(lambda pdf: kern(pdf), schema=_WAND_SCHEMA)
+    )
+    return (
+        local.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
     )
 
 

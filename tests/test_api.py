@@ -189,3 +189,19 @@ def test_search_shaping_rejected_off_bm25_route(spark, stores):
         search(spark, ss, "matrix", 5, group_by="lang", boosts={"title": 1.0})
     with pytest.raises(ValueError, match="not supported with"):
         search(spark, ss, "matrix", 5, group_by="lang", after=(1.0, 3))
+
+
+def test_search_synonyms_route(spark, stores):
+    """search(synonyms=...) matches plans.search.bm25_topk_synonyms and
+    is rejected off the plain-BM25 route."""
+    from tangent_spark.plans.search import bm25_topk_synonyms
+
+    _, ss = stores
+    q, syns = "matrix proof", {"matrix": ["kernel"]}
+    got = [tuple(r) for r in search(spark, ss, q, 5, synonyms=syns).collect()]
+    want = [tuple(r) for r in bm25_topk_synonyms(spark, ss.words, q, 5, syns).collect()]
+    assert got == want and got
+    with pytest.raises(ValueError, match="only supported on the plain BM25"):
+        search(spark, ss, "a +b", 5, synonyms=syns)
+    with pytest.raises(ValueError, match="not supported with"):
+        search(spark, ss, q, 5, synonyms=syns, group_by="lang")
