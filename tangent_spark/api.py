@@ -64,6 +64,8 @@ def search(
     group_limit: int = 1,
     boosts: dict[str, float] | None = None,
     synonyms: dict[str, list[str]] | None = None,
+    sort_by: str | None = None,
+    sort_ascending: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -90,6 +92,9 @@ def search(
       * synonyms={token: [expansion, ...]} — query-time synonym
         expansion (Lucene SynonymQuery: group max-df idf, per-doc tf
         sum); combinable with `after`.
+      * sort_by / sort_ascending — order the match set by a metadata
+        column instead of relevance (Solr sort=<field> asc|desc);
+        returns (doc_id, <field>) rows.
     """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
@@ -101,6 +106,7 @@ def search(
             ("group_by", group_by is not None),
             ("boosts", boosts is not None),
             ("synonyms", synonyms is not None),
+            ("sort_by", sort_by is not None),
         )
         if on
     ]
@@ -109,6 +115,15 @@ def search(
             f"{'/'.join(shaping)} only supported on the plain BM25 route "
             f"(query routed to {kind!r}"
             + (", with a metadata filter)" if where is not None else ")")
+        )
+    if sort_by is not None:
+        if group_by is not None or boosts is not None or synonyms is not None \
+                or after is not None:
+            raise ValueError("sort_by is not combinable with other shaping options")
+        from tangent_spark.plans.sortby import sorted_topk
+
+        return sorted_topk(
+            spark, stores.words, query, sort_by, k=k, ascending=sort_ascending
         )
     if boosts is not None:
         if group_by is not None or synonyms is not None:

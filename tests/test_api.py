@@ -205,3 +205,19 @@ def test_search_synonyms_route(spark, stores):
         search(spark, ss, "a +b", 5, synonyms=syns)
     with pytest.raises(ValueError, match="not supported with"):
         search(spark, ss, q, 5, synonyms=syns, group_by="lang")
+
+
+def test_search_sort_by_route(spark, stores):
+    """search(sort_by=...) orders the match set by metadata and is
+    rejected when combined with other shaping options."""
+    from tangent_spark.plans.sortby import sorted_topk
+
+    _, ss = stores
+    q = "matrix convergence theorem"
+    got = [tuple(r) for r in search(spark, ss, q, 5, sort_by="lang", sort_ascending=True).collect()]
+    want = [tuple(r) for r in sorted_topk(spark, ss.words, q, "lang", k=5, ascending=True).collect()]
+    assert got == want and got
+    with pytest.raises(ValueError, match="not combinable"):
+        search(spark, ss, q, 5, sort_by="lang", after=(1.0, 3))
+    with pytest.raises(ValueError, match="only supported on the plain BM25"):
+        search(spark, ss, "a +b", 5, sort_by="lang")
