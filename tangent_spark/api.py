@@ -66,6 +66,7 @@ def search(
     synonyms: dict[str, list[str]] | None = None,
     sort_by: str | None = None,
     sort_ascending: bool = False,
+    recency_boost: dict | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -95,6 +96,9 @@ def search(
       * sort_by / sort_ascending — order the match set by a metadata
         column instead of relevance (Solr sort=<field> asc|desc);
         returns (doc_id, <field>) rows.
+      * recency_boost={'by': ts_col, 'now': datetime, ...} — kwargs
+        for plans.search.boosted_topk (Solr boost=recip: BM25 x
+        1/(1 + age/half_life)); combinable with `after`.
     """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
@@ -107,6 +111,7 @@ def search(
             ("boosts", boosts is not None),
             ("synonyms", synonyms is not None),
             ("sort_by", sort_by is not None),
+            ("recency_boost", recency_boost is not None),
         )
         if on
     ]
@@ -118,12 +123,22 @@ def search(
         )
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \
-                or after is not None:
+                or after is not None or recency_boost is not None:
             raise ValueError("sort_by is not combinable with other shaping options")
         from tangent_spark.plans.sortby import sorted_topk
 
         return sorted_topk(
             spark, stores.words, query, sort_by, k=k, ascending=sort_ascending
+        )
+    if recency_boost is not None:
+        if group_by is not None or boosts is not None or synonyms is not None:
+            raise ValueError(
+                "recency_boost combines only with `after` (cursor paging)"
+            )
+        from tangent_spark.plans.search import boosted_topk
+
+        return boosted_topk(
+            spark, stores.words, query, k, after=after, **recency_boost
         )
     if boosts is not None:
         if group_by is not None or synonyms is not None:

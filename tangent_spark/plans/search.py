@@ -170,7 +170,8 @@ def filter_deleted(df: DataFrame, deleted: np.ndarray | None) -> DataFrame:
 
 
 def _score_shard(
-    avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None, after=None
+    avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None, after=None,
+    doc_weights=None,
 ):
     """Per-shard kernel: block-max pruning via an interval sweep.
 
@@ -202,6 +203,14 @@ def _score_shard(
     boundary is bit-deterministic. Block-max pruning stays exact under
     the cursor — a range's upper bound also bounds its post-cursor
     docs' scores, so the threshold skip never drops a qualifying doc.
+
+    `doc_weights=(sorted doc_ids, weights, missing)` multiplies every
+    doc's summed BM25 score by its weight (Lucene FunctionScoreQuery /
+    Solr boost= — boosted_topk builds recency weights); docs absent
+    from the map score x `missing`. All weights and `missing` must lie
+    in (0, 1] — then every unweighted range bound still upper-bounds
+    the weighted scores, so the block-max threshold skip stays EXACT
+    (merely looser); boosted_topk enforces the invariant.
 
     Synonym groups (Lucene SynonymQuery — bm25_topk_synonyms): when a
     `syn` column is present, rows sharing a group id are ONE pseudo-
@@ -376,6 +385,15 @@ def _score_shard(
             sums = np.zeros(uids.size, dtype=np.float64)
             np.add.at(sums, inv, cat_c)
             docs_scored += uids.size
+            if doc_weights is not None:
+                w_ids, w_vals, w_missing = doc_weights
+                wpos = np.minimum(
+                    np.searchsorted(w_ids, uids), max(w_ids.size - 1, 0)
+                )
+                w_ok = (w_ids[wpos] == uids) if w_ids.size else np.zeros(
+                    uids.size, bool
+                )
+                sums = sums * np.where(w_ok, w_vals[wpos], w_missing)
             if after is not None:
                 # searchAfter cursor: keep docs strictly after (s, d) in
                 # (score desc, doc_id asc) order; scores here are full
@@ -425,6 +443,7 @@ def _wand_plan(
     with_metrics: bool,
     deleted=None,
     after=None,
+    doc_weights=None,
 ) -> DataFrame:
     """The whole query as ONE declarative plan: filter postings to the
     query terms (parquet row-group pruning / in-memory scan), broadcast-
@@ -437,7 +456,9 @@ def _wand_plan(
             + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
-    kern = _score_shard(avgdl, cfg, k, deleted=deleted, after=after)
+    kern = _score_shard(
+        avgdl, cfg, k, deleted=deleted, after=after, doc_weights=doc_weights
+    )
 
     def apply_kern(pdf: pd.DataFrame) -> pd.DataFrame:
         return kern(pdf)
@@ -484,6 +505,69 @@ def bm25_topk_wand(
         with_metrics,
         deleted=load_deleted_ids(spark, store),
         after=(float(after[0]), int(after[1])) if after is not None else None,
+    )
+
+
+def boosted_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    by: str,
+    now,
+    half_life_days: float = 30.0,
+    missing: float = 1.0,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Recency-boosted BM25 (Lucene FunctionScoreQuery / Solr
+    `boost=recip(ms(NOW,date),...)`): final score = BM25 x
+    1 / (1 + age_days / half_life_days), age taken from timestamp
+    metadata column `by` (IndexConfig.meta_cols) against the caller-
+    supplied `now` (explicit for determinism — pass
+    datetime.now(timezone.utc) in production). Weights lie in (0, 1],
+    so block-max pruning stays exact (see _score_shard.doc_weights);
+    `missing` (also in (0, 1]) scores docs without the field. Future
+    timestamps clamp to age 0 (weight 1.0). One single-stage job, same
+    as bm25_topk_wand — the doc->weight map rides the same broadcast
+    as the filter/facet machinery."""
+    from tangent_spark.plans.boolean import _facet_map
+
+    if not (0.0 < missing <= 1.0):
+        raise ValueError("missing weight must be in (0, 1]")
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be > 0")
+    cfg = store.get_config()
+    if by not in cfg.meta_cols:
+        raise ValueError(
+            f"boost field {by!r} not in the index's meta_cols {cfg.meta_cols}"
+        )
+    qts = query_terms(query, cfg.tokenizer)
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    fmap = _facet_map(store.read(spark, "docs"), by, 1_000_000)
+    if fmap is None:
+        raise ValueError("docs dictionary too large to broadcast the boost map")
+    ids, vals = fmap
+    ts = pd.to_datetime(pd.Series(vals))
+    age_days = (pd.Timestamp(now).tz_localize(None) - ts.dt.tz_localize(None)) \
+        / pd.Timedelta(days=1)
+    age = np.maximum(age_days.to_numpy(np.float64), 0.0)  # future -> age 0
+    weights = 1.0 / (1.0 + age / float(half_life_days))
+    ok = np.isfinite(weights)
+    dw = (ids[ok], weights[ok], float(missing))
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    return _wand_plan(
+        spark.read.parquet(store.path("postings")),
+        spark.read.parquet(store.path("term_stats")),
+        qts,
+        int(cs["n_docs"]),
+        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        cfg,
+        k,
+        False,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
+        doc_weights=dw,
     )
 
 

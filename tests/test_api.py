@@ -221,3 +221,25 @@ def test_search_sort_by_route(spark, stores):
         search(spark, ss, q, 5, sort_by="lang", after=(1.0, 3))
     with pytest.raises(ValueError, match="only supported on the plain BM25"):
         search(spark, ss, "a +b", 5, sort_by="lang")
+
+
+def test_search_recency_boost_route(spark, stores, tmp_path):
+    """search(recency_boost=...) matches plans.search.boosted_topk."""
+    import datetime
+
+    from tangent_spark.plans.search import boosted_topk
+
+    pages, _ = stores
+    store = build_index(
+        spark, pages, str(tmp_path / "rb"),
+        IndexConfig(n_shards=4, block_size=32, meta_cols=("warc_ts",)),
+        url_col="url",
+    )
+    now = datetime.datetime(2025, 6, 1)
+    q = "matrix convergence theorem"
+    rb = {"by": "warc_ts", "now": now, "half_life_days": 7.0}
+    got = [tuple(r) for r in search(spark, store, q, 5, recency_boost=rb).collect()]
+    want = [tuple(r) for r in boosted_topk(spark, store, q, 5, "warc_ts", now, half_life_days=7.0).collect()]
+    assert got == want and got
+    with pytest.raises(ValueError, match="combines only with"):
+        search(spark, store, q, 5, recency_boost=rb, group_by="lang")
