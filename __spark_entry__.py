@@ -273,10 +273,26 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bm.doc_id AND tf.term = 'join') "
             "ORDER BY score DESC, doc_id ASC LIMIT 10), "
             f"r3 AS (SELECT 'formula' AS route, doc_id, score "
-            f"FROM read_parquet('{_GOLDEN_DIR}/api_formula_route.parquet')) "
+            f"FROM read_parquet('{_GOLDEN_DIR}/api_formula_route.parquet')), "
+            # wildcard route `dat* ?uery`: the expansion re-derived
+            # with LIKE / regexp_full_match over the SQL vocabulary
+            # (Lucene top-terms rewrite cap never binds at this scale),
+            # each expanded term scored with its own idf
+            "mw AS (SELECT * FROM tf WHERE term LIKE 'dat%' "
+            "OR regexp_full_match(term, '.uery')), "
+            "dfw AS (SELECT term, count(*)::DOUBLE AS df FROM mw GROUP BY 1), "
+            "bw AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM mw m JOIN dfw dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "r4 AS (SELECT 'wildcard' AS route, doc_id, score FROM bw "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10) "
             "SELECT route, doc_id, score FROM r1 "
             "UNION ALL SELECT route, doc_id, score FROM r2 "
-            "UNION ALL SELECT route, doc_id, score FROM r3"
+            "UNION ALL SELECT route, doc_id, score FROM r3 "
+            "UNION ALL SELECT route, doc_id, score FROM r4"
         ),
         "ann_ivf_topk": (
             # full probe (n_probe == n_centroids) is exact by construction,

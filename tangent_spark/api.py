@@ -13,6 +13,10 @@ Routing rules (deterministic, inspectable via `route()`):
            (plans.rerank.combine_math_text).
   * query uses boolean syntax (+term / -term / "a phrase")
         -> plans.boolean.boolean_topk over the word index.
+  * query has a bare wildcard token (te*t / ?uery)
+        -> plans.wildcard.wildcard_topk (Lucene MultiTermQuery
+           top-terms scoring-boolean rewrite over the vocabulary,
+           then the standard block-max kernel).
   * anything else
         -> warm BM25 (Searcher) when one is supplied, else one-shot
            block-max WAND (plans.search.bm25_topk_wand).
@@ -35,6 +39,7 @@ from tangent_spark.sources.store import IndexStore
 _MATH = re.compile(r"<math|<mws:qvar", re.IGNORECASE)
 _BOOL = re.compile(r'(^|\s)[+-]\S|"')
 _MATH_BLOCK = re.compile(r"<math.*?</math>", re.IGNORECASE | re.DOTALL)
+_WILD = re.compile(r"[*?]")
 
 
 @dataclass
@@ -44,11 +49,17 @@ class SearchStores:
 
 
 def route(query: str) -> str:
-    """'formula' | 'boolean' | 'bm25' — which path search() will take."""
+    """'formula' | 'boolean' | 'wildcard' | 'bm25' — which path
+    search() will take. Wildcard metacharacters inside boolean syntax
+    route to 'boolean' and are rejected there (explicitly unsupported
+    combination — see search()); a MathML query keeps its `*`/`?`
+    (they are formula markup, not globs)."""
     if _MATH.search(query):
         return "formula"
     if _BOOL.search(query):
         return "boolean"
+    if _WILD.search(query):
+        return "wildcard"
     return "bm25"
 
 
@@ -115,11 +126,38 @@ def search(
         )
         if on
     ]
-    if shaping and (kind != "bm25" or where is not None):
+    if shaping and (kind not in ("bm25", "wildcard") or where is not None):
         raise ValueError(
             f"{'/'.join(shaping)} only supported on the plain BM25 route "
             f"(query routed to {kind!r}"
             + (", with a metadata filter)" if where is not None else ")")
+        )
+    if kind == "wildcard":
+        # cursor paging composes (the expanded disjunction serves
+        # through the same kernel); the other shaping options and
+        # metadata filters do not expand patterns yet — raise rather
+        # than silently treating `qu*ry` as the literal tokens qu/ry
+        if shaping and shaping != ["after"]:
+            raise ValueError(
+                f"{'/'.join(shaping)} not supported with wildcard terms"
+            )
+        if where is not None:
+            raise ValueError(
+                "metadata filters are not supported with wildcard terms"
+            )
+        if searcher is not None:
+            return searcher.wildcard(query, k, after=after)
+        from tangent_spark.plans.wildcard import wildcard_topk
+
+        return wildcard_topk(spark, stores.words, query, k, after=after)
+    if kind == "boolean" and _WILD.search(re.sub(r'"[^"]*"', " ", query)):
+        # a bare (unquoted) wildcard token inside boolean syntax would
+        # silently tokenize `qu*ry` -> qu/ry; reject it explicitly
+        # (quoted phrases keep their punctuation — `"how?"` is fine).
+        # Checked before the `where` branch too: filtered_topk serves
+        # boolean-routed queries and has the same tokenizer.
+        raise ValueError(
+            "wildcard terms inside boolean queries are not supported"
         )
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \

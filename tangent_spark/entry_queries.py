@@ -1018,6 +1018,7 @@ def snippet_windows(spark, sf_dir):
 
 API_BM25_QUERY = "data query spark"
 API_BOOL_QUERY = "data query +spark -join"
+API_WILD_QUERY = "dat* ?uery"
 
 
 def _api_stores(spark, sf_dir, base, with_words=True):
@@ -1066,9 +1067,13 @@ def api_search_routes(spark, sf_dir):
     """End-to-end front-door routing (api.search): ONE query per route
     over freshly built stores — 'bm25' (plain words -> warm/cold WAND
     path), 'boolean' (+/- syntax -> conjunctive planner), 'formula'
-    (MathML -> Dice over the expression index). The bm25/boolean rows
-    are twinned by independent DuckDB BM25 SQL over the same documents
-    table; the formula rows by the api_formula_route golden parquet."""
+    (MathML -> Dice over the expression index), 'wildcard' (`dat*
+    ?uery` -> MultiTermQuery rewrite against the vocabulary, then the
+    same kernel). The bm25/boolean/wildcard rows are twinned by
+    independent DuckDB BM25 SQL over the same documents table (the
+    wildcard twin re-derives the expansion with LIKE/regexp over the
+    SQL-tokenized vocabulary); the formula rows by the
+    api_formula_route golden parquet."""
     import shutil
     import tempfile
 
@@ -1082,6 +1087,7 @@ def api_search_routes(spark, sf_dir):
             ("bm25", API_BM25_QUERY),
             ("boolean", API_BOOL_QUERY),
             ("formula", _FORMULA_QUERY),
+            ("wildcard", API_WILD_QUERY),
         ):
             for r in search(spark, ss, q, 10).collect():
                 out.append((route_name, int(r["doc_id"]), round(float(r["score"]), 4)))

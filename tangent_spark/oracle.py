@@ -23,13 +23,17 @@ def _tok(text: str, tokenizer: str) -> list[str]:
 
 def bm25_rank(
     docs: Sequence[tuple[int, str]],
-    query: str,
+    query: str | Sequence[str],
     k: int,
     k1: float = 1.2,
     b: float = 0.75,
     tokenizer: str = "porter",
 ) -> list[tuple[int, float]]:
-    """Exhaustive BM25 top-k: [(doc_id, score)] sorted (score desc, id asc)."""
+    """Exhaustive BM25 top-k: [(doc_id, score)] sorted (score desc, id asc).
+
+    `query` is either raw text (analyzed with `tokenizer`) or an
+    already-analyzed term list (used verbatim — wildcard/synonym
+    expansions are index terms, re-stemming would corrupt them)."""
     tf: dict[int, Counter] = {}
     dl: dict[int, int] = {}
     for doc_id, text in docs:
@@ -39,7 +43,10 @@ def bm25_rank(
             dl[doc_id] = len(toks)
     n_with_tokens = len(dl)
     avgdl = sum(dl.values()) / n_with_tokens if n_with_tokens else 1.0
-    qts = sorted(set(_tok(query, tokenizer)))
+    if isinstance(query, str):
+        qts = sorted(set(_tok(query, tokenizer)))
+    else:
+        qts = sorted(set(query))
     dfs = {t: sum(1 for c in tf.values() if t in c) for t in qts}
     scores: dict[int, float] = {}
     for doc_id, counts in tf.items():

@@ -859,6 +859,10 @@ class Searcher:
         self._filter_cache: dict = {}
         # facet (doc_id -> value) maps, cached per metadata column
         self._facet_maps: dict = {}
+        # wildcard pattern -> expanded term list (point-in-time, like
+        # the filter cache: terms added after warm-up need a new
+        # Searcher to enter an expansion)
+        self._wildcard_cache: dict = {}
         # one task wave per query: shards are merged into at most
         # defaultParallelism scan tasks (the kernel regroups by shard
         # in-partition, so correctness is unaffected)
@@ -1013,6 +1017,35 @@ class Searcher:
             shard_partitioned=True,
             deleted=self.deleted,
             serving=self.serving if self._has_positions else None,
+        )
+
+    def wildcard(
+        self,
+        query: str,
+        k: int,
+        max_expansions: int = 1024,
+        decode_counter=None,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Warm wildcard BM25 top-k (plans.wildcard — Lucene
+        MultiTermQuery, top-terms scoring-boolean rewrite): each
+        `te*t`/`?uery` token expands against the persisted term_stats
+        cache (one bounded in-memory job per NEW pattern; repeats hit
+        the expansion cache), then the expanded disjunction serves
+        through the standard ONE-job warm kernel."""
+        from tangent_spark.plans.wildcard import wildcard_terms
+
+        qts = wildcard_terms(
+            self.term_stats,
+            query,
+            self.cfg.tokenizer,
+            max_expansions,
+            expansion_cache=self._wildcard_cache,
+        )
+        if not qts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.topk(
+            "", k, decode_counter=decode_counter, terms=qts, after=after
         )
 
     def suggest(self, prefix: str, k: int = 10) -> DataFrame:

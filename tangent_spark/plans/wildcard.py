@@ -1,0 +1,179 @@
+"""Wildcard term queries (`te*t`, `?uery`) over the word index.
+
+The reference outsources its word-term serving to Solr (SURVEY S12;
+ranking/query.py builds Solr queries verbatim), and Solr/Lucene answer
+wildcard terms by REWRITING them against the term dictionary
+(MultiTermQuery). This module is the Spark-native equivalent with
+`TopTermsScoringBooleanQueryRewrite(max_expansions)` semantics:
+
+  1. each wildcard pattern expands to the vocabulary terms it matches,
+     keeping the `max_expansions` highest-df terms on overflow (Lucene's
+     top-terms rewrite keeps the highest-weight terms; for wildcards the
+     boost is constant, so docFreq is the blended weight — and df-desc
+     is the only cap order that never drops a term a smaller expansion
+     would have kept);
+  2. the expanded terms plus the query's literal terms score as ONE
+     plain disjunctive BM25 query, each expanded term with its own idf.
+
+(Lucene's *default* rewrite is CONSTANT_SCORE_BLENDED; the scoring-
+boolean rewrite used here is an explicit Lucene option via
+`setRewriteMethod` and is the member of the family whose scores an
+ANSI-SQL oracle can reproduce term-by-term.)
+
+Analysis semantics follow Lucene's multi-term rule: wildcard tokens are
+NOT sent through the analysis chain (stemming a pattern would corrupt
+it) — they are lowercased and stripped to the index alphabet
+[a-z0-9*?]. Literal tokens take the index's normal analyzer.
+
+Scale shape: expansion is ONE bounded job per pattern — a scan of the
+term_stats table with the pattern's literal prefix pushed down to the
+parquet reader (PushedFilters: StringStartsWith) and the full pattern
+as an anchored regex, returning at most max_expansions + 1 rows
+(TakeOrdered by df desc). Serving is then exactly bm25_topk_wand's
+ONE-job block-max plan over the expanded term set; a warm Searcher
+additionally caches each pattern's expansion (point-in-time, like its
+filter cache), so a repeated wildcard query costs one job total.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tangent_spark.sources.store import IndexStore
+
+_WILDCARD_RX = re.compile(r"[*?]")
+# the index alphabet plus the two wildcard metacharacters — anything
+# else in a wildcard token (punctuation the analyzer would eat) drops
+_ALPHABET_RX = re.compile(r"[^a-z0-9*?]+")
+
+
+def is_wildcard_token(token: str) -> bool:
+    return _WILDCARD_RX.search(token) is not None
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Anchored regex for a `*`/`?` glob over index terms."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def literal_prefix(pattern: str) -> str:
+    """The literal chars before the first wildcard — the pushdown key."""
+    m = _WILDCARD_RX.search(pattern)
+    return pattern[: m.start()] if m else pattern
+
+
+def parse_wildcard_query(
+    query: str, tokenizer: str
+) -> tuple[list[str], list[str]]:
+    """Split a query into (wildcard patterns, analyzed literal terms).
+
+    Whitespace-separated tokens containing `*` or `?` are patterns
+    (lowercased, restricted to the index alphabet, NOT analyzed —
+    Lucene multi-term rule); everything else passes through the index's
+    analysis chain. Both lists are sorted and de-duplicated."""
+    from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
+
+    tok = tokenize_porter if tokenizer == "porter" else tokenize_simple
+    patterns, literal_text = set(), []
+    for raw in query.split():
+        if is_wildcard_token(raw):
+            p = _ALPHABET_RX.sub("", raw.lower())
+            # a token reduced to pure wildcards ('*', '??') matches the
+            # whole vocabulary — legal, the expansion cap bounds it;
+            # a token reduced to nothing drops like any empty token
+            if p:
+                patterns.add(p)
+        else:
+            literal_text.append(raw)
+    lits = sorted(set(tok(" ".join(literal_text)))) if literal_text else []
+    return sorted(patterns), lits
+
+
+def expand_pattern(
+    term_stats: DataFrame, pattern: str, max_expansions: int = 1024
+) -> list[str]:
+    """Vocabulary terms matching a `*`/`?` pattern, capped at the
+    `max_expansions` highest-df terms (df desc, term asc — the
+    top-terms rewrite order). ONE bounded job: prefix pushed down,
+    anchored regex on top, TakeOrdered of at most max_expansions rows."""
+    if max_expansions <= 0:
+        raise ValueError("max_expansions must be positive")
+    m = term_stats.select("term", "df")
+    pre = literal_prefix(pattern)
+    if pre:
+        m = m.filter(F.col("term").startswith(pre))
+    if pre != pattern:  # pure-literal "patterns" need no regex pass
+        m = m.filter(F.col("term").rlike(wildcard_regex(pattern)))
+    rows = (
+        m.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def wildcard_terms(
+    term_stats: DataFrame,
+    query: str,
+    tokenizer: str,
+    max_expansions: int = 1024,
+    expansion_cache: dict | None = None,
+) -> list[str]:
+    """The full expanded term set for a mixed literal/wildcard query.
+    `expansion_cache` (optional, {(pattern, cap): [terms]}) lets a warm
+    Searcher skip the expansion job for repeated patterns."""
+    patterns, terms = parse_wildcard_query(query, tokenizer)
+    out = set(terms)
+    for p in patterns:
+        key = (p, max_expansions)
+        if expansion_cache is not None and key in expansion_cache:
+            out.update(expansion_cache[key])
+            continue
+        exp = expand_pattern(term_stats, p, max_expansions)
+        if expansion_cache is not None:
+            expansion_cache[key] = exp
+        out.update(exp)
+    return sorted(out)
+
+
+def wildcard_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    max_expansions: int = 1024,
+    with_metrics: bool = False,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Cold wildcard BM25 top-k straight off the parquet index: expand,
+    then the standard ONE-job block-max WAND plan (deleted docs masked,
+    searchAfter paging supported — the expanded query is an ordinary
+    disjunction from the kernel's point of view)."""
+    from tangent_spark.plans.search import _wand_plan, load_deleted_ids
+
+    cfg = store.get_config()
+    ts = spark.read.parquet(store.path("term_stats"))
+    qts = wildcard_terms(ts, query, cfg.tokenizer, max_expansions)
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    return _wand_plan(
+        spark.read.parquet(store.path("postings")),
+        ts,
+        qts,
+        int(cs["n_docs"]),
+        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        cfg,
+        k,
+        with_metrics,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
+    )

@@ -1,0 +1,221 @@
+"""Wildcard term queries (plans/wildcard.py): expansion vs a pure-python
+glob oracle over the vocabulary, cap semantics, pushdown, and
+rank-identity of the served scores with BM25 over the expanded set.
+"""
+
+import fnmatch
+import math
+from collections import Counter
+
+import pytest
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.functions.tokenize import tokenize_porter
+from tangent_spark.oracle import bm25_rank
+from tangent_spark.plans.indexer import build_index
+from tangent_spark.plans.search import Searcher, bm25_topk_wand
+from tangent_spark.plans.wildcard import (
+    expand_pattern,
+    literal_prefix,
+    parse_wildcard_query,
+    wildcard_regex,
+    wildcard_terms,
+    wildcard_topk,
+)
+
+CFG = IndexConfig(n_shards=4, block_size=16)
+N = 150
+PATTERNS = ["con*", "ma?h", "*tion", "va?ue*", "th*m"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = pages_with_doc_ids(generate_pages(spark, N, partitions=4)).persist()
+    local = [
+        (int(r["doc_id"]), r["text"]) for r in pages.select("doc_id", "text").collect()
+    ]
+    return pages, sorted(local)
+
+
+@pytest.fixture(scope="module")
+def store(spark, corpus, tmp_path_factory):
+    pages, _ = corpus
+    return build_index(
+        spark, pages, str(tmp_path_factory.mktemp("wc") / "idx"), CFG, url_col="url"
+    )
+
+
+def _vocab_dfs(local):
+    dfs = Counter()
+    for _, text in local:
+        for t in set(tokenize_porter(text)):
+            dfs[t] += 1
+    return dfs
+
+
+def _glob(vocab, pattern):
+    return sorted(t for t in vocab if fnmatch.fnmatchcase(t, pattern))
+
+
+def test_regex_and_prefix():
+    assert wildcard_regex("te*t") == "^te.*t$"
+    assert wildcard_regex("?u.ry") == "^.u\\.ry$"
+    assert literal_prefix("con*") == "con"
+    assert literal_prefix("*tion") == ""
+    assert literal_prefix("ma?h") == "ma"
+
+
+def test_parse_separates_patterns_from_literals():
+    pats, lits = parse_wildcard_query("Data qu*ry  ?ndex data", "porter")
+    assert pats == ["?ndex", "qu*ry"]
+    assert lits == ["data"]
+    # punctuation inside a wildcard token drops to the index alphabet;
+    # a token of pure wildcards survives (cap bounds it); an empty one
+    # drops entirely
+    pats, lits = parse_wildcard_query('"fo*o!" * ,', "porter")
+    assert pats == ["*", "fo*o"]
+    assert lits == []
+
+
+def test_expansion_matches_glob_oracle(spark, store, corpus):
+    _, local = corpus
+    vocab = _vocab_dfs(local)
+    ts = spark.read.parquet(store.path("term_stats"))
+    hit_any = False
+    for pattern in PATTERNS:
+        got = sorted(expand_pattern(ts, pattern, 1024))
+        want = _glob(vocab, pattern)
+        assert got == want, pattern
+        hit_any = hit_any or bool(want)
+    assert hit_any  # the corpus must actually exercise expansions
+
+
+def test_expansion_cap_keeps_top_df(spark, store, corpus):
+    _, local = corpus
+    vocab = _vocab_dfs(local)
+    ts = spark.read.parquet(store.path("term_stats"))
+    # '*' matches the whole vocabulary — the cap keeps the highest-df
+    # terms (df desc, term asc), the top-terms rewrite order
+    cap = 7
+    got = expand_pattern(ts, "*", cap)
+    want = [t for _, t in sorted(((-d, t) for t, d in vocab.items()))[:cap]]
+    assert sorted(got) == sorted(want)
+    assert len(got) == cap
+
+
+def test_prefix_pushdown_reaches_scan(spark, store):
+    ts = spark.read.parquet(store.path("term_stats")).select("term", "df")
+    from pyspark.sql import functions as F
+
+    plan = ts.filter(F.col("term").startswith("con")).filter(
+        F.col("term").rlike(wildcard_regex("con*ed"))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan and "PushedFilters" in plan
+
+
+def test_wildcard_topk_matches_python_oracle(spark, store, corpus):
+    _, local = corpus
+    vocab = _vocab_dfs(local)
+    for query in ("con* data", "ma?h", "*tion value"):
+        qts = wildcard_terms(
+            spark.read.parquet(store.path("term_stats")), query, "porter", 1024
+        )
+        pats, lits = parse_wildcard_query(query, "porter")
+        want_terms = set(lits)
+        for p in pats:
+            want_terms.update(_glob(vocab, p))
+        assert qts == sorted(want_terms), query
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in wildcard_topk(spark, store, query, 15).collect()
+        ]
+        want = bm25_rank(local, qts, 15, CFG.k1, CFG.b, "porter")
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), query
+
+
+def test_wildcard_rank_identical_to_expanded_plain_query(spark, store):
+    ts = spark.read.parquet(store.path("term_stats"))
+    qts = wildcard_terms(ts, "con*", "porter", 1024)
+    assert qts
+    got = wildcard_topk(spark, store, "con*", 10).collect()
+    want = bm25_topk_wand(spark, store, " ".join(qts), 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_warm_wildcard_matches_cold_and_caches(spark, store):
+    s = Searcher(spark, store)
+    try:
+        cold = wildcard_topk(spark, store, "con* data", 10).collect()
+        warm = s.wildcard("con* data", 10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in warm] == [
+            (r["doc_id"], round(r["score"], 9)) for r in cold
+        ]
+        assert ("con*", 1024) in s._wildcard_cache
+        # repeated pattern answers from the cache (no new expansion)
+        before = dict(s._wildcard_cache)
+        s.wildcard("con*", 10).collect()
+        assert s._wildcard_cache == before
+    finally:
+        s.close()
+
+
+def test_no_match_and_empty_query(spark, store):
+    assert wildcard_topk(spark, store, "zzzqqq*", 5).count() == 0
+    assert wildcard_topk(spark, store, "", 5).count() == 0
+
+
+def test_wildcard_respects_deletes(spark, corpus, tmp_path_factory):
+    from tangent_spark.streaming.incremental import delete_docs
+
+    pages, _ = corpus
+    store = build_index(
+        spark, pages, str(tmp_path_factory.mktemp("wcd") / "idx"), CFG, url_col="url"
+    )
+    top = wildcard_topk(spark, store, "con*", 5).collect()
+    assert top
+    victim = int(top[0]["doc_id"])
+    delete_docs(spark, store, doc_ids=[victim], batch_id="wc-del-1")
+    after = wildcard_topk(spark, store, "con*", 5).collect()
+    assert victim not in {int(r["doc_id"]) for r in after}
+
+
+def test_front_door_routes_wildcards(spark, store):
+    from tangent_spark.api import route, search
+
+    assert route("dat* query") == "wildcard"
+    assert route("?uery") == "wildcard"
+    assert route("plain words") == "bm25"
+    assert route('+spark "a b"') == "boolean"
+    got = search(spark, store, "con* data", 10).collect()
+    want = wildcard_topk(spark, store, "con* data", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # cursor paging composes: page 2 strictly after page 1's last row
+    if len(want) >= 4:
+        cur = (float(want[1]["score"]), int(want[1]["doc_id"]))
+        page2 = search(spark, store, "con* data", 2, after=cur).collect()
+        assert [(r["doc_id"], r["score"]) for r in page2] == [
+            (r["doc_id"], r["score"]) for r in want[2:4]
+        ]
+
+
+def test_front_door_rejects_unsupported_wildcard_combos(spark, store):
+    import pytest as _pt
+
+    from tangent_spark.api import search
+
+    with _pt.raises(ValueError, match="boolean"):
+        search(spark, store, "+spark qu*ry", 5)
+    with _pt.raises(ValueError, match="metadata"):
+        search(spark, store, "con*", 5, where="lang = 'en'")
+    with _pt.raises(ValueError, match="wildcard"):
+        search(spark, store, "con*", 5, group_by="source")
+    # '?' INSIDE a quoted phrase is punctuation, not a glob: routes to
+    # boolean and serves (the tokenizer strips it)
+    assert search(spark, store, '+data "how?"', 5).count() >= 0
