@@ -288,11 +288,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM mw m JOIN dfw dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
             "GROUP BY m.doc_id), "
             "r4 AS (SELECT 'wildcard' AS route, doc_id, score FROM bw "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10), "
+            # fuzzy route `data querry~1`: the expansion re-derived
+            # with levenshtein() over the SQL vocabulary (FuzzyQuery
+            # max_expansions cap never binds at this scale), each
+            # expanded term scored with its own idf alongside the
+            # literal term — the scoring-boolean rewrite
+            "mz AS (SELECT * FROM tf WHERE term = 'data' "
+            "OR levenshtein(term, 'querry') <= 1), "
+            "dfz AS (SELECT term, count(*)::DOUBLE AS df FROM mz GROUP BY 1), "
+            "bz AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM mz m JOIN dfz dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "r5f AS (SELECT 'fuzzy' AS route, doc_id, score FROM bz "
             "ORDER BY score DESC, doc_id ASC LIMIT 10) "
             "SELECT route, doc_id, score FROM r1 "
             "UNION ALL SELECT route, doc_id, score FROM r2 "
             "UNION ALL SELECT route, doc_id, score FROM r3 "
-            "UNION ALL SELECT route, doc_id, score FROM r4"
+            "UNION ALL SELECT route, doc_id, score FROM r4 "
+            "UNION ALL SELECT route, doc_id, score FROM r5f"
         ),
         "ann_ivf_topk": (
             # full probe (n_probe == n_centroids) is exact by construction,

@@ -133,6 +133,17 @@ def main() -> None:
     searcher.boolean(bool_queries[0], 10).collect()
     searcher.filtered(BM25_QUERIES[0], 10, "lang = 'en'").collect()
     searcher.facets(BM25_QUERIES[0], "lang").collect()
+    # multi-term rewrites (round 5): the warm-up rep pays the one-time
+    # vocabulary expansion; later reps serve from the expansion cache
+    multiterm_queries = ["dat* value", "quer?", "spark~1 data", "tabl~2"]
+    searcher.wildcard(multiterm_queries[0], 10).collect()
+    searcher.fuzzy(multiterm_queries[2], 10).collect()
+
+    def run_multiterm(q):
+        if "*" in q or "?" in q:
+            searcher.wildcard(q, 10).collect()
+        else:
+            searcher.fuzzy(q, 10).collect()
 
     surfaces = {
         "bm25_wand_total": lambda: serving_sweep(
@@ -152,6 +163,9 @@ def main() -> None:
             [BM25_QUERIES[0]],
             lambda q: searcher.facets(q, "lang").collect(),
             rounds=1,
+        ),
+        "multiterm_total": lambda: serving_sweep(
+            multiterm_queries, run_multiterm, rounds=1
         ),
     }
     trials = {name: [] for name in surfaces}
@@ -249,7 +263,8 @@ def main() -> None:
         + timings.get("phrase_total", 0.0)
         + timings.get("boolean_total", 0.0)
         + timings.get("filtered_total", 0.0)
-        + timings.get("facet_lang", 0.0),
+        + timings.get("facet_lang", 0.0)
+        + timings.get("multiterm_total", 0.0),
         3,
     )
     out = {

@@ -73,16 +73,22 @@ def main() -> None:
     run_levels = tuple(
         int(x) for x in os.environ.get("SCALING_RUN_LEVELS", "").split(",") if x
     ) or LEVELS
+    # SCALING_PIN=1 pins each run to exactly N CPUs (taskset -c 0..N-1).
+    # Unpinned, a local[2] JVM on an idle 32-core box borrows spare
+    # cores for GC / parquet compression / IO threads — free help a
+    # real 2-core executor would never get — which inflates the
+    # low-parallelism baseline and understates scaling efficiency.
+    pin = os.environ.get("SCALING_PIN", "") == "1"
     for cpus in run_levels:
         for rep in range(REPEATS):
             out = os.path.join(work, f"r{cpus}_{int(time.time()*1000)}.json")
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(cpus)
-            subprocess.run(
-                [sys.executable, os.path.join(_REPO, "scripts", "scaling_bench.py"),
-                 "--cpus", str(cpus), "--pages", pages_path, "--out", out],
-                check=True, env=env,
-            )
+            cmd = [sys.executable, os.path.join(_REPO, "scripts", "scaling_bench.py"),
+                   "--cpus", str(cpus), "--pages", pages_path, "--out", out]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            subprocess.run(cmd, check=True, env=env)
 
     # best-of over ALL recorded runs in this work dir (repeat invocations
     # with SCALING_WORK_DIR pinned accumulate evidence)

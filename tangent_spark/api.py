@@ -13,6 +13,10 @@ Routing rules (deterministic, inspectable via `route()`):
            (plans.rerank.combine_math_text).
   * query uses boolean syntax (+term / -term / "a phrase")
         -> plans.boolean.boolean_topk over the word index.
+  * query has a fuzzy token (querry~ / querry~1)
+        -> plans.fuzzy.fuzzy_topk (Lucene FuzzyQuery: vocabulary
+           terms within max_edits expand into a disjunction, then
+           the standard block-max kernel).
   * query has a bare wildcard token (te*t / ?uery)
         -> plans.wildcard.wildcard_topk (Lucene MultiTermQuery
            top-terms scoring-boolean rewrite over the vocabulary,
@@ -49,15 +53,20 @@ class SearchStores:
 
 
 def route(query: str) -> str:
-    """'formula' | 'boolean' | 'wildcard' | 'bm25' — which path
-    search() will take. Wildcard metacharacters inside boolean syntax
-    route to 'boolean' and are rejected there (explicitly unsupported
-    combination — see search()); a MathML query keeps its `*`/`?`
-    (they are formula markup, not globs)."""
+    """'formula' | 'boolean' | 'fuzzy' | 'wildcard' | 'bm25' — which
+    path search() will take. Wildcard metacharacters / fuzzy suffixes
+    inside boolean syntax route to 'boolean' and are rejected there
+    (explicitly unsupported combinations — see search()); a MathML
+    query keeps its `*`/`?`/`~` (they are formula markup, not
+    operators)."""
+    from tangent_spark.plans.fuzzy import is_fuzzy_token
+
     if _MATH.search(query):
         return "formula"
     if _BOOL.search(query):
         return "boolean"
+    if any(is_fuzzy_token(t) for t in query.split()):
+        return "fuzzy"
     if _WILD.search(query):
         return "wildcard"
     return "bm25"
@@ -126,12 +135,40 @@ def search(
         )
         if on
     ]
-    if shaping and (kind not in ("bm25", "wildcard") or where is not None):
+    if shaping and (
+        kind not in ("bm25", "wildcard", "fuzzy") or where is not None
+    ):
         raise ValueError(
             f"{'/'.join(shaping)} only supported on the plain BM25 route "
             f"(query routed to {kind!r}"
             + (", with a metadata filter)" if where is not None else ")")
         )
+    if kind == "fuzzy":
+        # cursor paging composes (the expanded disjunction serves
+        # through the same kernel); the other shaping options and
+        # metadata filters do not expand fuzzy targets yet — raise
+        # rather than silently scoring `querry~1` as the literal
+        # token `querry1`. A wildcard/fuzzy mix in one query is also
+        # rejected (Lucene keeps them as separate token queries; the
+        # literal remainder here goes through the analyzer, which
+        # would shred a bare `dat*` into `dat`).
+        if shaping and shaping != ["after"]:
+            raise ValueError(
+                f"{'/'.join(shaping)} not supported with fuzzy terms"
+            )
+        if where is not None:
+            raise ValueError(
+                "metadata filters are not supported with fuzzy terms"
+            )
+        if _WILD.search(query):
+            raise ValueError(
+                "wildcard and fuzzy terms cannot be combined in one query"
+            )
+        if searcher is not None:
+            return searcher.fuzzy(query, k, after=after)
+        from tangent_spark.plans.fuzzy import fuzzy_topk
+
+        return fuzzy_topk(spark, stores.words, query, k, after=after)
     if kind == "wildcard":
         # cursor paging composes (the expanded disjunction serves
         # through the same kernel); the other shaping options and
@@ -159,6 +196,18 @@ def search(
         raise ValueError(
             "wildcard terms inside boolean queries are not supported"
         )
+    if kind == "boolean":
+        # likewise a bare fuzzy token (`querry~1`) inside boolean
+        # syntax would silently tokenize to `querry1`; phrases keep
+        # their slop suffix (`"a b"~2` is proximity syntax, stripped
+        # with its quotes before the check)
+        from tangent_spark.plans.fuzzy import is_fuzzy_token
+
+        stripped = re.sub(r'"[^"]*"(~\d+)?', " ", query)
+        if any(is_fuzzy_token(t.lstrip("+-")) for t in stripped.split()):
+            raise ValueError(
+                "fuzzy terms inside boolean queries are not supported"
+            )
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \
                 or after is not None or recency_boost is not None:

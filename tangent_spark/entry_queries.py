@@ -1019,6 +1019,7 @@ def snippet_windows(spark, sf_dir):
 API_BM25_QUERY = "data query spark"
 API_BOOL_QUERY = "data query +spark -join"
 API_WILD_QUERY = "dat* ?uery"
+API_FUZZY_QUERY = "data querry~1"
 
 
 def _api_stores(spark, sf_dir, base, with_words=True):
@@ -1069,10 +1070,12 @@ def api_search_routes(spark, sf_dir):
     path), 'boolean' (+/- syntax -> conjunctive planner), 'formula'
     (MathML -> Dice over the expression index), 'wildcard' (`dat*
     ?uery` -> MultiTermQuery rewrite against the vocabulary, then the
-    same kernel). The bm25/boolean/wildcard rows are twinned by
-    independent DuckDB BM25 SQL over the same documents table (the
-    wildcard twin re-derives the expansion with LIKE/regexp over the
-    SQL-tokenized vocabulary); the formula rows by the
+    same kernel), 'fuzzy' (`querry~1` -> FuzzyQuery rewrite: vocabulary
+    terms within 1 edit, then the same kernel). The bm25/boolean/
+    wildcard/fuzzy rows are twinned by independent DuckDB BM25 SQL over
+    the same documents table (the wildcard twin re-derives the
+    expansion with LIKE/regexp, the fuzzy twin with levenshtein() over
+    the SQL-tokenized vocabulary); the formula rows by the
     api_formula_route golden parquet."""
     import shutil
     import tempfile
@@ -1088,6 +1091,7 @@ def api_search_routes(spark, sf_dir):
             ("boolean", API_BOOL_QUERY),
             ("formula", _FORMULA_QUERY),
             ("wildcard", API_WILD_QUERY),
+            ("fuzzy", API_FUZZY_QUERY),
         ):
             for r in search(spark, ss, q, 10).collect():
                 out.append((route_name, int(r["doc_id"]), round(float(r["score"]), 4)))

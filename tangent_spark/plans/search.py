@@ -859,10 +859,11 @@ class Searcher:
         self._filter_cache: dict = {}
         # facet (doc_id -> value) maps, cached per metadata column
         self._facet_maps: dict = {}
-        # wildcard pattern -> expanded term list (point-in-time, like
-        # the filter cache: terms added after warm-up need a new
-        # Searcher to enter an expansion)
+        # wildcard pattern / fuzzy target -> expanded term list
+        # (point-in-time, like the filter cache: terms added after
+        # warm-up need a new Searcher to enter an expansion)
         self._wildcard_cache: dict = {}
+        self._fuzzy_cache: dict = {}
         # one task wave per query: shards are merged into at most
         # defaultParallelism scan tasks (the kernel regroups by shard
         # in-partition, so correctness is unaffected)
@@ -1041,6 +1042,40 @@ class Searcher:
             self.cfg.tokenizer,
             max_expansions,
             expansion_cache=self._wildcard_cache,
+        )
+        if not qts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.topk(
+            "", k, decode_counter=decode_counter, terms=qts, after=after
+        )
+
+    def fuzzy(
+        self,
+        query: str,
+        k: int,
+        max_expansions: int = 50,
+        prefix_length: int = 0,
+        transpositions: bool = False,
+        decode_counter=None,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Warm fuzzy BM25 top-k (plans.fuzzy — Lucene FuzzyQuery,
+        scoring-boolean rewrite): each `term~`/`term~N` token expands
+        to the vocabulary terms within N edits against the persisted
+        term_stats cache (one bounded in-memory job per NEW target;
+        repeats hit the expansion cache), then the expanded disjunction
+        plus the query's literal terms serves through the standard
+        ONE-job warm kernel."""
+        from tangent_spark.plans.fuzzy import fuzzy_terms
+
+        qts = fuzzy_terms(
+            self.term_stats,
+            query,
+            self.cfg.tokenizer,
+            max_expansions,
+            prefix_length,
+            transpositions,
+            expansion_cache=self._fuzzy_cache,
         )
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
