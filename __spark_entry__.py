@@ -304,12 +304,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM mz m JOIN dfz dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
             "GROUP BY m.doc_id), "
             "r5f AS (SELECT 'fuzzy' AS route, doc_id, score FROM bz "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10), "
+            # regexp route `/quer./ data`: the expansion re-derived
+            # with regexp_full_match (anchored, the RegexpQuery
+            # contract) over the SQL vocabulary
+            "mr AS (SELECT * FROM tf WHERE term = 'data' "
+            "OR regexp_full_match(term, 'quer.')), "
+            "dfr AS (SELECT term, count(*)::DOUBLE AS df FROM mr GROUP BY 1), "
+            "br AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM mr m JOIN dfr dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "r6r AS (SELECT 'regexp' AS route, doc_id, score FROM br "
             "ORDER BY score DESC, doc_id ASC LIMIT 10) "
             "SELECT route, doc_id, score FROM r1 "
             "UNION ALL SELECT route, doc_id, score FROM r2 "
             "UNION ALL SELECT route, doc_id, score FROM r3 "
             "UNION ALL SELECT route, doc_id, score FROM r4 "
-            "UNION ALL SELECT route, doc_id, score FROM r5f"
+            "UNION ALL SELECT route, doc_id, score FROM r5f "
+            "UNION ALL SELECT route, doc_id, score FROM r6r"
         ),
         "ann_ivf_topk": (
             # full probe (n_probe == n_centroids) is exact by construction,

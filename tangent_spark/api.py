@@ -13,6 +13,10 @@ Routing rules (deterministic, inspectable via `route()`):
            (plans.rerank.combine_math_text).
   * query uses boolean syntax (+term / -term / "a phrase")
         -> plans.boolean.boolean_topk over the word index.
+  * query has a regexp token (/que.y/)
+        -> plans.wildcard.regexp_topk (Lucene RegexpQuery: anchored
+           match against the vocabulary, top-terms scoring-boolean
+           rewrite, then the standard block-max kernel).
   * query has a fuzzy token (querry~ / querry~1)
         -> plans.fuzzy.fuzzy_topk (Lucene FuzzyQuery: vocabulary
            terms within max_edits expand into a disjunction, then
@@ -53,18 +57,23 @@ class SearchStores:
 
 
 def route(query: str) -> str:
-    """'formula' | 'boolean' | 'fuzzy' | 'wildcard' | 'bm25' — which
-    path search() will take. Wildcard metacharacters / fuzzy suffixes
-    inside boolean syntax route to 'boolean' and are rejected there
-    (explicitly unsupported combinations — see search()); a MathML
-    query keeps its `*`/`?`/`~` (they are formula markup, not
-    operators)."""
+    """'formula' | 'boolean' | 'regexp' | 'fuzzy' | 'wildcard' |
+    'bm25' — which path search() will take. Wildcard metacharacters /
+    fuzzy suffixes / regexp tokens inside boolean syntax route to
+    'boolean' and are rejected there (explicitly unsupported
+    combinations — see search()); a MathML query keeps its
+    `*`/`?`/`~` (they are formula markup, not operators). Regexp
+    wins over fuzzy/wildcard (a `/.../` token is unambiguous and its
+    body may contain their metacharacters)."""
     from tangent_spark.plans.fuzzy import is_fuzzy_token
+    from tangent_spark.plans.wildcard import is_regexp_token
 
     if _MATH.search(query):
         return "formula"
     if _BOOL.search(query):
         return "boolean"
+    if any(is_regexp_token(t) for t in query.split()):
+        return "regexp"
     if any(is_fuzzy_token(t) for t in query.split()):
         return "fuzzy"
     if _WILD.search(query):
@@ -136,13 +145,43 @@ def search(
         if on
     ]
     if shaping and (
-        kind not in ("bm25", "wildcard", "fuzzy") or where is not None
+        kind not in ("bm25", "wildcard", "fuzzy", "regexp")
+        or where is not None
     ):
         raise ValueError(
             f"{'/'.join(shaping)} only supported on the plain BM25 route "
             f"(query routed to {kind!r}"
             + (", with a metadata filter)" if where is not None else ")")
         )
+    if kind == "regexp":
+        # same contract as the other multi-term routes: cursor paging
+        # composes; other shaping, metadata filters, and mixing with
+        # fuzzy/wildcard tokens outside the /.../ bodies are rejected
+        # rather than silently analyzed away
+        from tangent_spark.plans.fuzzy import is_fuzzy_token
+        from tangent_spark.plans.wildcard import is_regexp_token
+
+        if shaping and shaping != ["after"]:
+            raise ValueError(
+                f"{'/'.join(shaping)} not supported with regexp terms"
+            )
+        if where is not None:
+            raise ValueError(
+                "metadata filters are not supported with regexp terms"
+            )
+        rest = [t for t in query.split() if not is_regexp_token(t)]
+        if any(is_fuzzy_token(t) for t in rest) or any(
+            _WILD.search(t) for t in rest
+        ):
+            raise ValueError(
+                "fuzzy/wildcard terms cannot be combined with regexp "
+                "terms in one query"
+            )
+        if searcher is not None:
+            return searcher.regexp(query, k, after=after)
+        from tangent_spark.plans.wildcard import regexp_topk
+
+        return regexp_topk(spark, stores.words, query, k, after=after)
     if kind == "fuzzy":
         # cursor paging composes (the expanded disjunction serves
         # through the same kernel); the other shaping options and
@@ -207,6 +246,12 @@ def search(
         if any(is_fuzzy_token(t.lstrip("+-")) for t in stripped.split()):
             raise ValueError(
                 "fuzzy terms inside boolean queries are not supported"
+            )
+        from tangent_spark.plans.wildcard import is_regexp_token
+
+        if any(is_regexp_token(t.lstrip("+-")) for t in stripped.split()):
+            raise ValueError(
+                "regexp terms inside boolean queries are not supported"
             )
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \

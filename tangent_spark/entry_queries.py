@@ -1020,6 +1020,7 @@ API_BM25_QUERY = "data query spark"
 API_BOOL_QUERY = "data query +spark -join"
 API_WILD_QUERY = "dat* ?uery"
 API_FUZZY_QUERY = "data querry~1"
+API_RE_QUERY = "/quer./ data"
 
 
 def _api_stores(spark, sf_dir, base, with_words=True):
@@ -1071,11 +1072,13 @@ def api_search_routes(spark, sf_dir):
     (MathML -> Dice over the expression index), 'wildcard' (`dat*
     ?uery` -> MultiTermQuery rewrite against the vocabulary, then the
     same kernel), 'fuzzy' (`querry~1` -> FuzzyQuery rewrite: vocabulary
-    terms within 1 edit, then the same kernel). The bm25/boolean/
-    wildcard/fuzzy rows are twinned by independent DuckDB BM25 SQL over
-    the same documents table (the wildcard twin re-derives the
-    expansion with LIKE/regexp, the fuzzy twin with levenshtein() over
-    the SQL-tokenized vocabulary); the formula rows by the
+    terms within 1 edit, then the same kernel), 'regexp' (`/quer./` ->
+    RegexpQuery: anchored vocabulary match, then the same kernel). The
+    bm25/boolean/wildcard/fuzzy/regexp rows are twinned by independent
+    DuckDB BM25 SQL over the same documents table (the wildcard twin
+    re-derives the expansion with LIKE/regexp, the fuzzy twin with
+    levenshtein(), the regexp twin with regexp_full_match() over the
+    SQL-tokenized vocabulary); the formula rows by the
     api_formula_route golden parquet."""
     import shutil
     import tempfile
@@ -1092,6 +1095,7 @@ def api_search_routes(spark, sf_dir):
             ("formula", _FORMULA_QUERY),
             ("wildcard", API_WILD_QUERY),
             ("fuzzy", API_FUZZY_QUERY),
+            ("regexp", API_RE_QUERY),
         ):
             for r in search(spark, ss, q, 10).collect():
                 out.append((route_name, int(r["doc_id"]), round(float(r["score"]), 4)))

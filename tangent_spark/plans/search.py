@@ -1049,6 +1049,33 @@ class Searcher:
             "", k, decode_counter=decode_counter, terms=qts, after=after
         )
 
+    def regexp(
+        self,
+        query: str,
+        k: int,
+        max_expansions: int = 1024,
+        decode_counter=None,
+        after: tuple[float, int] | None = None,
+    ) -> DataFrame:
+        """Warm regexp BM25 top-k (plans.wildcard — Lucene RegexpQuery,
+        `/pattern/` tokens matched anchored against the vocabulary,
+        top-terms scoring-boolean rewrite). Expansions share the
+        wildcard cache under namespaced keys."""
+        from tangent_spark.plans.wildcard import regexp_terms
+
+        qts = regexp_terms(
+            self.term_stats,
+            query,
+            self.cfg.tokenizer,
+            max_expansions,
+            expansion_cache=self._wildcard_cache,
+        )
+        if not qts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.topk(
+            "", k, decode_counter=decode_counter, terms=qts, after=after
+        )
+
     def fuzzy(
         self,
         query: str,

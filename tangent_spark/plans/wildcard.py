@@ -1,4 +1,5 @@
-"""Wildcard term queries (`te*t`, `?uery`) over the word index.
+"""Wildcard (`te*t`, `?uery`) and regexp (`/que.y/`) term queries
+over the word index.
 
 The reference outsources its word-term serving to Solr (SURVEY S12;
 ranking/query.py builds Solr queries verbatim), and Solr/Lucene answer
@@ -33,6 +34,14 @@ as an anchored regex, returning at most max_expansions + 1 rows
 ONE-job block-max plan over the expanded term set; a warm Searcher
 additionally caches each pattern's expansion (point-in-time, like its
 filter cache), so a repeated wildcard query costs one job total.
+
+Regexp terms (Lucene RegexpQuery, query-parser syntax `/pattern/`)
+ride the identical machinery: the slash-delimited body is matched
+ANCHORED against whole vocabulary terms (Lucene regexps are implicitly
+anchored), any literal prefix of the pattern is pushed to the scan,
+and the expansion caps/scores exactly like a wildcard. The regex
+dialect is Java's (Spark rlike) — oracles must stay inside the
+Java/POSIX common subset (no lookahead in twinned queries).
 """
 
 from __future__ import annotations
@@ -49,8 +58,19 @@ _WILDCARD_RX = re.compile(r"[*?]")
 _ALPHABET_RX = re.compile(r"[^a-z0-9*?]+")
 
 
+_REGEXP_TOKEN_RX = re.compile(r"^/(?P<body>.+)/$")
+# a leading run of plain index-alphabet chars in a regex body is a
+# literal prefix iff the char AFTER the run cannot quantify/alternate
+# it away ('x*' matches empty; 'a|b' alternates the whole body)
+_RE_META = set(".?+*|{}[]()\\^$")
+
+
 def is_wildcard_token(token: str) -> bool:
     return _WILDCARD_RX.search(token) is not None
+
+
+def is_regexp_token(token: str) -> bool:
+    return _REGEXP_TOKEN_RX.match(token) is not None
 
 
 def wildcard_regex(pattern: str) -> str:
@@ -70,6 +90,132 @@ def literal_prefix(pattern: str) -> str:
     """The literal chars before the first wildcard — the pushdown key."""
     m = _WILDCARD_RX.search(pattern)
     return pattern[: m.start()] if m else pattern
+
+
+def regexp_prefix(body: str) -> str:
+    """The provable literal prefix of a regex body — the pushdown key.
+    Conservative: any alternation anywhere voids it (the '|' may apply
+    to the whole body), and a quantifier right after the leading
+    literal run surrenders the run's last char ('abc*' only guarantees
+    'ab')."""
+    if "|" in body:
+        return ""
+    run = []
+    for ch in body:
+        if ch in _RE_META:
+            if ch in "*?+{" and run:
+                run.pop()
+            break
+        run.append(ch)
+    return "".join(run)
+
+
+def parse_regexp_query(
+    query: str, tokenizer: str
+) -> tuple[list[str], list[str]]:
+    """Split a query into (regex bodies, analyzed literal terms).
+    Whitespace-separated `/.../` tokens are regexps (lowercased, NOT
+    analyzed — Lucene multi-term rule); everything else passes through
+    the index's analysis chain. Both lists sorted and de-duplicated."""
+    from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
+
+    tok = tokenize_porter if tokenizer == "porter" else tokenize_simple
+    bodies, literal_text = set(), []
+    for raw in query.split():
+        m = _REGEXP_TOKEN_RX.match(raw)
+        if m:
+            bodies.add(m.group("body").lower())
+        else:
+            literal_text.append(raw)
+    lits = sorted(set(tok(" ".join(literal_text)))) if literal_text else []
+    return sorted(bodies), lits
+
+
+def expand_regexp(
+    term_stats: DataFrame, body: str, max_expansions: int = 1024
+) -> list[str]:
+    """Vocabulary terms fully matching a regex body (anchored — the
+    Lucene RegexpQuery contract), capped at the `max_expansions`
+    highest-df terms (df desc, term asc). ONE bounded job with the
+    provable literal prefix pushed to the scan."""
+    if max_expansions <= 0:
+        raise ValueError("max_expansions must be positive")
+    # pre-flight the pattern driver-side so a malformed regex raises a
+    # clean error here instead of a Java PatternSyntaxException inside
+    # a task. (Python's re dialect is a near-subset of Java's; the
+    # Java-only extras — possessive quantifiers etc. — are rejected up
+    # front, a documented limitation.)
+    try:
+        re.compile(body)
+    except re.error as ex:
+        raise ValueError(f"invalid regexp term /{body}/: {ex}") from None
+    m = term_stats.select("term", "df")
+    pre = regexp_prefix(body)
+    if pre:
+        m = m.filter(F.col("term").startswith(pre))
+    m = m.filter(F.col("term").rlike(f"^(?:{body})$"))
+    rows = (
+        m.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def regexp_terms(
+    term_stats: DataFrame,
+    query: str,
+    tokenizer: str,
+    max_expansions: int = 1024,
+    expansion_cache: dict | None = None,
+) -> list[str]:
+    """The full expanded term set for a mixed literal/regexp query.
+    Cache keys are namespaced ('re', body, cap) so a warm Searcher can
+    share one expansion cache across wildcard and regexp queries."""
+    bodies, terms = parse_regexp_query(query, tokenizer)
+    out = set(terms)
+    for body in bodies:
+        key = ("re", body, max_expansions)
+        if expansion_cache is not None and key in expansion_cache:
+            out.update(expansion_cache[key])
+            continue
+        exp = expand_regexp(term_stats, body, max_expansions)
+        if expansion_cache is not None:
+            expansion_cache[key] = exp
+        out.update(exp)
+    return sorted(out)
+
+
+def regexp_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    max_expansions: int = 1024,
+    with_metrics: bool = False,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Cold regexp BM25 top-k: expand, then the standard ONE-job
+    block-max WAND plan (deleted docs masked, searchAfter paging
+    supported)."""
+    from tangent_spark.plans.search import _wand_plan, load_deleted_ids
+
+    cfg = store.get_config()
+    ts = spark.read.parquet(store.path("term_stats"))
+    qts = regexp_terms(ts, query, cfg.tokenizer, max_expansions)
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    return _wand_plan(
+        spark.read.parquet(store.path("postings")),
+        ts,
+        qts,
+        int(cs["n_docs"]),
+        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        cfg,
+        k,
+        with_metrics,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
+    )
 
 
 def parse_wildcard_query(

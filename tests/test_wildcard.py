@@ -1,10 +1,12 @@
-"""Wildcard term queries (plans/wildcard.py): expansion vs a pure-python
-glob oracle over the vocabulary, cap semantics, pushdown, and
-rank-identity of the served scores with BM25 over the expanded set.
+"""Wildcard and regexp term queries (plans/wildcard.py): expansion vs
+pure-python glob / re.fullmatch oracles over the vocabulary, cap
+semantics, pushdown, and rank-identity of the served scores with BM25
+over the expanded set.
 """
 
 import fnmatch
 import math
+import re as _re
 from collections import Counter
 
 import pytest
@@ -17,8 +19,13 @@ from tangent_spark.plans.indexer import build_index
 from tangent_spark.plans.search import Searcher, bm25_topk_wand
 from tangent_spark.plans.wildcard import (
     expand_pattern,
+    expand_regexp,
     literal_prefix,
+    parse_regexp_query,
     parse_wildcard_query,
+    regexp_prefix,
+    regexp_terms,
+    regexp_topk,
     wildcard_regex,
     wildcard_terms,
     wildcard_topk,
@@ -203,6 +210,116 @@ def test_front_door_routes_wildcards(spark, store):
         assert [(r["doc_id"], r["score"]) for r in page2] == [
             (r["doc_id"], r["score"]) for r in want[2:4]
         ]
+
+
+REGEXPS = ["con.*", "ma.h", ".*tion", "th(e|eorem)", "grap.?"]
+
+
+def test_regexp_prefix_extraction():
+    assert regexp_prefix("conv.*") == "conv"
+    assert regexp_prefix("abc*") == "ab"  # '*' may erase the 'c'
+    assert regexp_prefix("abc?") == "ab"
+    assert regexp_prefix("abc{0,2}") == "ab"
+    assert regexp_prefix("a|b") == ""  # alternation voids the prefix
+    assert regexp_prefix("ab(c|d)") == ""
+    assert regexp_prefix(r"\d+") == ""
+    assert regexp_prefix("plain") == "plain"
+
+
+def test_parse_regexp_query():
+    bodies, lits = parse_regexp_query("Data /QU.RY/ /the+/ data", "porter")
+    assert bodies == ["qu.ry", "the+"]
+    assert lits == ["data"]
+
+
+def test_malformed_regexp_raises_clean_valueerror(spark, store):
+    ts = spark.read.parquet(store.path("term_stats"))
+    with pytest.raises(ValueError, match="invalid regexp"):
+        expand_regexp(ts, "[", 10)
+
+
+def test_regexp_expansion_matches_fullmatch_oracle(spark, store, corpus):
+    _, local = corpus
+    vocab = _vocab_dfs(local)
+    ts = spark.read.parquet(store.path("term_stats"))
+    hit_any = False
+    for body in REGEXPS:
+        got = sorted(expand_regexp(ts, body, 1024))
+        want = sorted(t for t in vocab if _re.fullmatch(body, t))
+        assert got == want, body
+        hit_any = hit_any or bool(want)
+    assert hit_any
+
+
+def test_regexp_cap_keeps_top_df(spark, store, corpus):
+    _, local = corpus
+    vocab = _vocab_dfs(local)
+    ts = spark.read.parquet(store.path("term_stats"))
+    cap = 7
+    got = expand_regexp(ts, ".*", cap)  # whole vocabulary, cap binds
+    want = [t for _, t in sorted(((-d, t) for t, d in vocab.items()))[:cap]]
+    assert sorted(got) == sorted(want)
+
+
+def test_regexp_rank_identical_to_expanded_plain_query(spark, store):
+    ts = spark.read.parquet(store.path("term_stats"))
+    qts = regexp_terms(ts, "/con.*/ data", "porter")
+    assert qts
+    got = regexp_topk(spark, store, "/con.*/ data", 10).collect()
+    want = bm25_topk_wand(spark, store, " ".join(qts), 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_warm_regexp_matches_cold_and_caches(spark, store):
+    s = Searcher(spark, store)
+    try:
+        cold = regexp_topk(spark, store, "/con.*/ data", 10).collect()
+        warm = s.regexp("/con.*/ data", 10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in warm] == [
+            (r["doc_id"], round(r["score"], 9)) for r in cold
+        ]
+        assert ("re", "con.*", 1024) in s._wildcard_cache
+        before = dict(s._wildcard_cache)
+        s.regexp("/con.*/", 10).collect()
+        assert s._wildcard_cache == before
+    finally:
+        s.close()
+
+
+def test_front_door_routes_regexp(spark, store):
+    from tangent_spark.api import route, search
+
+    assert route("/con.*/ data") == "regexp"
+    assert route("/a~1/") == "regexp"  # slash token wins over fuzzy
+    assert route("con* data") == "wildcard"
+    got = search(spark, store, "/con.*/ data", 10).collect()
+    want = regexp_topk(spark, store, "/con.*/ data", 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    if len(want) >= 4:
+        cur = (float(want[1]["score"]), int(want[1]["doc_id"]))
+        page2 = search(spark, store, "/con.*/ data", 2, after=cur).collect()
+        assert [(r["doc_id"], r["score"]) for r in page2] == [
+            (r["doc_id"], r["score"]) for r in want[2:4]
+        ]
+
+
+def test_front_door_rejects_unsupported_regexp_combos(spark, store):
+    from tangent_spark.api import search
+
+    with pytest.raises(ValueError, match="boolean"):
+        search(spark, store, "+spark /con.*/", 5)
+    with pytest.raises(ValueError, match="metadata"):
+        search(spark, store, "/con.*/", 5, where="lang = 'en'")
+    with pytest.raises(ValueError, match="regexp"):
+        search(spark, store, "/con.*/", 5, group_by="source")
+    with pytest.raises(ValueError, match="combined"):
+        search(spark, store, "/con.*/ qu*ry", 5)
+    with pytest.raises(ValueError, match="combined"):
+        search(spark, store, "/con.*/ querry~1", 5)
 
 
 def test_front_door_rejects_unsupported_wildcard_combos(spark, store):
