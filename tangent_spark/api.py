@@ -96,6 +96,7 @@ def search(
     sort_by: str | None = None,
     sort_ascending: bool = False,
     recency_boost: dict | None = None,
+    min_should_match=0,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -128,10 +129,22 @@ def search(
       * recency_boost={'by': ts_col, 'now': datetime, ...} — kwargs
         for plans.search.boosted_topk (Solr boost=recip: BM25 x
         1/(1 + age/half_life)); combinable with `after`.
+      * min_should_match — Solr mm spec (int, '-n', 'p%', '-p%'; see
+        plans.boolean.resolve_mm): matches must contain at least that
+        many DISTINCT should terms; serves the bm25/boolean routes
+        (including `where` filters) and rejects the other routes and
+        shaping options rather than silently ignoring the constraint.
     """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
     kind = route(query)
+    if min_should_match and kind not in ("bm25", "boolean"):
+        # checked before the multi-term/formula routes dispatch so the
+        # constraint is never silently dropped
+        raise ValueError(
+            f"min_should_match only supported on the bm25/boolean "
+            f"routes (query routed to {kind!r})"
+        )
     shaping = [
         name
         for name, on in (
@@ -253,6 +266,37 @@ def search(
             raise ValueError(
                 "regexp terms inside boolean queries are not supported"
             )
+    if min_should_match:
+        # Solr mm: serves the bm25/boolean routes (the boolean grammar
+        # is a superset of plain BM25 — a bare query is all-should),
+        # composes with `where`, rejects everything else explicitly
+        if shaping:
+            raise ValueError(
+                f"min_should_match is not combinable with {'/'.join(shaping)}"
+            )
+        if kind == "bm25":
+            from tangent_spark.plans.search import query_terms
+
+            if not query_terms(query, stores.words.get_config().tokenizer):
+                return spark.createDataFrame([], "doc_id long, score double")
+        if where is not None:
+            if searcher is not None:
+                return searcher.filtered(
+                    query, k, where, min_should_match=min_should_match
+                )
+            from tangent_spark.plans.boolean import filtered_topk
+
+            return filtered_topk(
+                spark, stores.words, query, k, where,
+                min_should_match=min_should_match,
+            )
+        if searcher is not None:
+            return searcher.boolean(query, k, min_should_match=min_should_match)
+        from tangent_spark.plans.boolean import boolean_topk
+
+        return boolean_topk(
+            spark, stores.words, query, k, min_should_match=min_should_match
+        )
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \
                 or after is not None or recency_boost is not None:

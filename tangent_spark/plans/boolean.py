@@ -151,14 +151,59 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     return out
 
 
+def resolve_mm(spec, n_should: int) -> int:
+    """Resolve a Solr-style `minimum_should_match` spec against the
+    query's distinct SHOULD-term count (Solr `mm` param / Lucene
+    BooleanQuery.setMinimumNumberShouldMatch):
+
+      * positive int n  — n should terms required, used AS-IS (Lucene:
+        a value greater than the should count matches nothing);
+      * negative int -n — all but n required (n_should - n);
+      * 'p%'            — floor(p/100 * n_should) required;
+      * '-p%'           — all but floor(p/100 * n_should) required;
+      * 0 / None / ''   — no constraint (plain boolean semantics).
+
+    Negative and percentage forms are clamped into [0, n_should] (the
+    Solr dismax discipline — '200%' degrades to all-required instead
+    of match-nothing; only an explicit positive int can overshoot)."""
+    if spec is None:
+        return 0
+    if isinstance(spec, int):
+        return spec if spec >= 0 else max(0, n_should + spec)
+    s = str(spec).strip()
+    if not s:
+        return 0
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    if s.endswith("%"):
+        import math as _m
+
+        val = int(_m.floor(float(s[:-1]) / 100.0 * n_should))
+    else:
+        val = int(s)
+        if not neg:
+            return val  # positive int spec: Lucene as-is semantics
+    if neg:
+        val = n_should - val
+    return max(0, min(val, n_should))
+
+
 class _TermRoles:
     """Per-term scoring/membership roles, closure-shipped to the shard
-    kernel: idf (driver-resolved), must-check index, must-not flag."""
+    kernel: idf (driver-resolved), must-check index, must-not flag,
+    and — when minimum_should_match is in play — the should-term
+    ordinal map plus the required distinct-should count `mm`."""
 
-    def __init__(self, idf_map, must_check, must_not, k1, b, avgdl):
+    def __init__(
+        self, idf_map, must_check, must_not, k1, b, avgdl,
+        should_check=(), mm: int = 0,
+    ):
         self.idf = dict(idf_map)
         self.must_id = {t: i for i, t in enumerate(must_check)}
         self.not_set = set(must_not)
+        self.should_id = {t: i for i, t in enumerate(should_check)}
+        self.mm = int(mm)
         self.k1, self.b, self.avgdl = float(k1), float(b), float(avgdl)
 
     def frame(self, term, ids, tfs, dls) -> pd.DataFrame:
@@ -176,6 +221,9 @@ class _TermRoles:
                 ),
                 "is_not": np.full(
                     ids.size, 1 if term in self.not_set else 0, dtype=np.int32
+                ),
+                "should_id": np.full(
+                    ids.size, self.should_id.get(term, -1), dtype=np.int32
                 ),
             }
         )
@@ -276,7 +324,16 @@ def _should_only_sweep(
     `head1 head2 -rare` therefore decodes the must-not list plus only
     the head blocks that can still reach the running top-k — Lucene
     WANDs these the same way; the old path decoded every matched
-    block."""
+    block.
+
+    minimum_should_match (roles.mm > 0) composes with the pruning
+    exactly: each point-range's aggregation is COMPLETE for the docs
+    inside it (every block covering a doc's id intersects its range),
+    so the per-doc distinct-should count is exact there and docs below
+    mm are dropped before they can enter the running top-k. Pruning on
+    `ub < threshold` stays rank-safe — ub bounds any doc's total score
+    whether or not it satisfies mm, and the threshold only comes from
+    surviving (mm-satisfying) docs."""
     decoded = 0
     # must-not ids first (doc-id blobs only — score=False skips tf/dl)
     deny_parts = []
@@ -351,7 +408,7 @@ def _should_only_sweep(
             break
         rlo, rhi = starts[r], ends[r]
         cover = np.flatnonzero((lo <= rhi) & (hi >= rlo))
-        all_ids, all_contrib = [], []
+        all_ids, all_contrib, all_sid = [], [], []
         for ci in cover:
             _, _, _, ri, bi = blocks[ci]
             key = (ri, bi)
@@ -372,6 +429,9 @@ def _should_only_sweep(
             if e > s:
                 all_ids.append(ids[s:e])
                 all_contrib.append(contrib[s:e])
+                if roles.mm > 0:
+                    sid = roles.should_id.get(pos_rows[ri]["term"], -1)
+                    all_sid.append(np.full(e - s, sid, dtype=np.int32))
         if not all_ids:
             continue
         cat_ids = np.concatenate(all_ids)
@@ -379,6 +439,21 @@ def _should_only_sweep(
         uids, inv = np.unique(cat_ids, return_inverse=True)
         sums = np.zeros(uids.size, dtype=np.float64)
         np.add.at(sums, inv, cat_c)
+        if roles.mm > 0:
+            # distinct should terms per doc inside this range (exact:
+            # the range sees every posting of its docs)
+            cat_sid = np.concatenate(all_sid)
+            ok = cat_sid >= 0
+            n_sid = max(1, len(roles.should_id))
+            cnt = np.zeros(uids.size, dtype=np.int64)
+            if ok.any():
+                keys = inv[ok].astype(np.int64) * np.int64(n_sid) + cat_sid[ok]
+                udoc = np.unique(keys) // np.int64(n_sid)
+                np.add.at(cnt, udoc.astype(np.int64), 1)
+            keepm = cnt >= roles.mm
+            if not keepm.any():
+                continue
+            uids, sums = uids[keepm], sums[keepm]
         top_docs = np.concatenate([top_docs, uids])
         top_scores = np.concatenate([top_scores, sums])
         if top_scores.size > k:
@@ -530,6 +605,14 @@ def _boolean_shard_kernel(
             .reindex(score.index, fill_value=0)
         )
         keep = (nm == n_must_check) & (deny == 0)
+        if roles.mm > 0:
+            ns = (
+                rows.loc[rows["should_id"] >= 0]
+                .groupby("doc_id", sort=False)["should_id"]
+                .nunique()
+                .reindex(score.index, fill_value=0)
+            )
+            keep &= ns >= roles.mm
         out = pd.DataFrame(
             {"doc_id": score.index[keep].astype(np.int64), "score": score[keep]}
         ).reset_index(drop=True)
@@ -651,9 +734,14 @@ def boolean_topk(
     query: str,
     k: int,
     decode_counter=None,
+    min_should_match=0,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a boolean query string off the index
     (cold path: postings/stats read from parquet per query).
+    `min_should_match` takes any Solr mm spec (see resolve_mm): a doc
+    must then match at least that many DISTINCT should terms on top of
+    the usual must/phrase/not constraints; scores are unchanged for
+    surviving docs (BM25 over all their matching positive terms).
 
     Raises ValueError if the query has no positive clause, or if it
     carries a phrase but the index was built without positions."""
@@ -671,6 +759,7 @@ def boolean_topk(
         avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
         decode_counter=decode_counter,
         deleted=load_deleted_ids(spark, store),
+        min_should_match=min_should_match,
     )
 
 
@@ -693,6 +782,7 @@ def _boolean_plan(
     return_matches: bool = False,
     serving: DataFrame | None = None,
     facet=None,
+    min_should_match=0,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -716,6 +806,15 @@ def _boolean_plan(
     per-shard kernel (no positional equi-join chain, no shuffle, local
     top-k stays on) — the whole boolean+phrase query remains ONE job.
 
+    `min_should_match` (any Solr mm spec — see resolve_mm) requires
+    each match to contain at least that many DISTINCT should terms in
+    addition to the must/phrase/not constraints; surviving docs keep
+    their full BM25 score. Both kernel paths enforce it in-kernel: the
+    conjunction aggregate counts distinct should ordinals next to its
+    must-coverage count, and the should-only sweep filters per range
+    before the running top-k (pruning stays rank-exact — see
+    _should_only_sweep).
+
     `facet` ((by_field, sorted doc_ids, values, rows_counter), implies
     return_matches semantics): per-shard facet aggregation against the
     broadcast (doc_id -> value) map — only (value, count) partials
@@ -736,6 +835,12 @@ def _boolean_plan(
 
     must = sorted(set(q.must))
     must_not = sorted(set(q.must_not))
+    should_check = sorted(set(q.should))
+    mm = resolve_mm(min_should_match, len(should_check))
+    if mm > len(should_check):
+        # Lucene: minimumShouldMatch above the should-clause count
+        # matches nothing (facet callers guard this route themselves)
+        return spark.createDataFrame([], _OUT_SCHEMA)
 
     # one bounded lookup resolves every positive term's df (idf) AND the
     # seed choice; terms absent from the index simply have no idf/rows
@@ -761,7 +866,10 @@ def _boolean_plan(
         seed = None
         must_check = []
         all_terms = sorted(set(qts) | set(must_not))
-    roles = _TermRoles(idf_map, must_check, must_not, cfg.k1, cfg.b, avgdl)
+    roles = _TermRoles(
+        idf_map, must_check, must_not, cfg.k1, cfg.b, avgdl,
+        should_check=should_check if mm > 0 else (), mm=mm,
+    )
     # warm in-kernel phrase route: the combined serving cache holds the
     # shard's positions rows next to its postings rows, so phrase
     # clauses resolve inside the kernel and never force a join
@@ -872,6 +980,7 @@ def facet_counts(
     max_driver_candidates: int = 1_000_000,
     max_driver_docs: int = 1_000_000,
     rows_counter=None,
+    min_should_match=0,
 ) -> DataFrame:
     """Hit counts per value of a docs-dictionary metadata column for a
     boolean query — the classic search-engine facet panel (Solr served
@@ -902,6 +1011,8 @@ def facet_counts(
             return facet_empty(docs, by)
     cfg = store.get_config()
     q = parse_boolean_query(query, cfg)
+    if resolve_mm(min_should_match, len(set(q.should))) > len(set(q.should)):
+        return facet_empty(docs, by)  # mm above the should count: no hits
     facet = None
     if cand_df is None and not (q.phrases or q.not_phrases):
         fmap = _facet_map(docs, by, max_driver_docs)
@@ -923,6 +1034,7 @@ def facet_counts(
         cand_df=cand_df,
         return_matches=True,
         facet=facet,
+        min_should_match=min_should_match,
     )
     if facet is not None:
         return matches  # already (by, n_docs) in the facet contract order
@@ -964,6 +1076,7 @@ def filtered_topk(
     where: str,
     decode_counter=None,
     max_driver_candidates: int = 1_000_000,
+    min_should_match=0,
 ) -> DataFrame:
     """Top-k for a boolean/BM25 query RESTRICTED to documents matching
     a SQL predicate over the docs dictionary's metadata columns
@@ -1004,4 +1117,5 @@ def filtered_topk(
         deleted=load_deleted_ids(spark, store),
         ext_cand=ids,
         cand_df=cand_df,
+        min_should_match=min_should_match,
     )

@@ -995,12 +995,16 @@ class Searcher:
             .select("query_id", "doc_id", "score", "rank")
         )
 
-    def boolean(self, query: str, k: int, decode_counter=None) -> DataFrame:
+    def boolean(
+        self, query: str, k: int, decode_counter=None, min_should_match=0,
+    ) -> DataFrame:
         """Warm boolean serving (`bare +must -not "phrase"`): the same
         plan as plans.boolean.boolean_topk, but postings, term_stats,
         and positions come from this Searcher's cached shard
         partitions — zero file I/O per query — and the rarest-must-term
-        seed lookup answers from the resident head lexicon."""
+        seed lookup answers from the resident head lexicon.
+        `min_should_match` takes any Solr mm spec (boolean.resolve_mm)
+        and is enforced inside the same one-job kernel."""
         from tangent_spark.plans.boolean import _boolean_plan
 
         return _boolean_plan(
@@ -1018,6 +1022,7 @@ class Searcher:
             shard_partitioned=True,
             deleted=self.deleted,
             serving=self.serving if self._has_positions else None,
+            min_should_match=min_should_match,
         )
 
     def wildcard(
@@ -1201,6 +1206,7 @@ class Searcher:
         where: str,
         decode_counter=None,
         max_driver_candidates: int = 1_000_000,
+        min_should_match=0,
     ) -> DataFrame:
         """Warm metadata-filtered serving: boolean/BM25 top-k restricted
         to docs matching a SQL predicate over the docs dictionary
@@ -1237,6 +1243,7 @@ class Searcher:
             ext_cand=ids,
             cand_df=cand_df,
             serving=self.serving if self._has_positions else None,
+            min_should_match=min_should_match,
         )
 
     def facets(

@@ -680,3 +680,138 @@ def test_parse_slop_edge_cases():
     q5 = parse_boolean_query('-"gradient descent" ~1 fast', cfg)
     assert q5.not_phrases == [(tokenize_porter("gradient descent"), 1)]
     assert q5.should == tokenize_porter("fast")
+
+
+# --- minimum_should_match ----------------------------------------------------
+
+def test_resolve_mm():
+    """Solr mm spec grammar (boolean.resolve_mm): positive ints are
+    Lucene as-is (overshoot = match nothing upstream), negative and
+    percentage forms follow the Solr dismax rules and clamp."""
+    from tangent_spark.plans.boolean import resolve_mm
+
+    assert resolve_mm(None, 4) == 0
+    assert resolve_mm(0, 4) == 0
+    assert resolve_mm("", 4) == 0
+    assert resolve_mm(2, 4) == 2
+    assert resolve_mm(9, 4) == 9        # as-is: plan returns no hits
+    assert resolve_mm("9", 4) == 9
+    assert resolve_mm(-1, 4) == 3       # all but one
+    assert resolve_mm(-9, 4) == 0
+    assert resolve_mm("-1", 4) == 3
+    assert resolve_mm("50%", 4) == 2
+    assert resolve_mm("75%", 4) == 3
+    assert resolve_mm("80%", 4) == 3    # floor
+    assert resolve_mm("-25%", 4) == 3
+    assert resolve_mm("200%", 4) == 4   # percent forms clamp
+    assert resolve_mm("-200%", 4) == 0
+
+
+def _oracle_mm(local, should, mm, k, must=(), must_not=()):
+    """Brute force with the mm constraint: BM25 over all positive
+    terms, restricted to docs with >= mm distinct should terms (plus
+    the usual must / must-not constraints)."""
+    terms = _doc_terms(local)
+    should_s = set(tokenize_porter(" ".join(should)))
+    must_s = set(tokenize_porter(" ".join(must)))
+    not_s = set(tokenize_porter(" ".join(must_not)))
+    pos = " ".join(sorted(should_s | must_s))
+    full = bm25_rank(local, pos, len(local))
+    out = [
+        (d, s)
+        for d, s in full
+        if len(should_s & terms[d]) >= mm
+        and must_s <= terms[d]
+        and not (not_s & terms[d])
+    ]
+    return out[:k]
+
+
+def test_mm_should_only_matches_oracle(spark, store, corpus):
+    """Should-only queries take the threshold-pruning sweep; mm must
+    filter per range without breaking rank-exactness."""
+    _, local = corpus
+    should = ["matrix", "convergence", "theorem"]
+    for mm in (1, 2, 3):
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in boolean_topk(
+                spark, store, " ".join(should), 15, min_should_match=mm
+            ).collect()
+        ]
+        assert_rank_identical(got, _oracle_mm(local, should, mm, 15))
+    # mm=2 must be a strict subset situation vs mm=1 on this corpus
+    n1 = len(_oracle_mm(local, should, 1, 10**9))
+    n2 = len(_oracle_mm(local, should, 2, 10**9))
+    assert n2 < n1, "corpus should discriminate mm=1 vs mm=2"
+
+
+def test_mm_with_must_and_not_matches_oracle(spark, store, corpus):
+    """mm composes with must (conjunction kernel path) and must-not."""
+    _, local = corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(
+            spark, store, "matrix convergence +theorem -slow", 15,
+            min_should_match=2,
+        ).collect()
+    ]
+    want = _oracle_mm(
+        local, ["matrix", "convergence"], 2, 15,
+        must=["theorem"], must_not=["slow"],
+    )
+    assert_rank_identical(got, want)
+
+
+def test_mm_above_should_count_matches_nothing(spark, store):
+    assert boolean_topk(
+        spark, store, "matrix convergence", 10, min_should_match=3
+    ).count() == 0
+    # Lucene: mm > 0 with zero should clauses also matches nothing
+    assert boolean_topk(
+        spark, store, "+matrix", 10, min_should_match=1
+    ).count() == 0
+
+
+def test_mm_warm_matches_cold(spark, store):
+    s = Searcher(spark, store)
+    try:
+        for q, mm in [("matrix convergence theorem", 2),
+                      ("matrix convergence +theorem", "100%")]:
+            warm = [
+                (r["doc_id"], round(float(r["score"]), 9))
+                for r in s.boolean(q, 15, min_should_match=mm).collect()
+            ]
+            cold = [
+                (r["doc_id"], round(float(r["score"]), 9))
+                for r in boolean_topk(
+                    spark, store, q, 15, min_should_match=mm
+                ).collect()
+            ]
+            assert warm == cold and warm
+    finally:
+        s.close()
+
+
+def test_mm_api_routing_and_rejections(spark, store, corpus):
+    """Front door: mm serves bm25/boolean routes, rejects the rest."""
+    from tangent_spark.api import search
+
+    _, local = corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search(
+            spark, store, "matrix convergence theorem", k=15,
+            min_should_match=2,
+        ).collect()
+    ]
+    assert_rank_identical(
+        got, _oracle_mm(local, ["matrix", "convergence", "theorem"], 2, 15)
+    )
+    with pytest.raises(ValueError, match="min_should_match"):
+        search(spark, store, "mat*", k=5, min_should_match=1)
+    with pytest.raises(ValueError, match="min_should_match"):
+        search(
+            spark, store, "matrix theorem", k=5,
+            min_should_match=1, group_by="lang",
+        )
