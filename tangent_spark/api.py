@@ -134,6 +134,13 @@ def search(
         many DISTINCT should terms; serves the bm25/boolean routes
         (including `where` filters) and rejects the other routes and
         shaping options rather than silently ignoring the constraint.
+
+    In-query Lucene boost syntax (`matrix^2.5`, `+must^3`, `"a b"^2`)
+    is honored on the plain-BM25 and boolean routes (warm and cold,
+    incl. `where`-filtered and mm queries): the boost scales the
+    term's idf inside the kernels, keeping block-max pruning exact
+    (plans.search.split_term_boosts / plans.boolean grammar). The
+    batch path rejects it (shared decode cache).
     """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)

@@ -10,6 +10,8 @@ IndexStore, Spark-first:
                -word       -> MUST_NOT(excluded, never scores)
                "w1 w2 .."  -> PHRASE  (required consecutive run; terms
                                        also score; -"..." excludes)
+               clause^B    -> BOOST   (Lucene: idf x B for the
+                                       clause's scoring terms)
 
 Semantics follow the Lucene discipline: a query needs at least one
 positive clause; ranking is plain BM25 over the positive terms
@@ -72,11 +74,16 @@ from tangent_spark.config import IndexConfig
 from tangent_spark.sources.store import IndexStore
 
 # the quoted-phrase alternative only wins when its optional ~N slop
-# suffix ends at a token boundary: '"a b"~2x' is NOT a slop-2 phrase
-# plus a stray 'x' — it degrades to plain-term treatment like any other
-# malformed quoting (ADVICE r4: silent slop edge cases)
-_CLAUSE = re.compile(r'([+-]?)("([^"]*)"(~\d+)?(?!\S)|\S+)')
+# and/or ^B boost suffixes end at a token boundary: '"a b"~2x' is NOT
+# a slop-2 phrase plus a stray 'x' — it degrades to plain-term
+# treatment like any other malformed quoting (ADVICE r4: silent slop
+# edge cases). Suffix order follows Lucene: slop then boost
+# ('"a b"~2^1.5').
+_CLAUSE = re.compile(
+    r'([+-]?)("([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?(?!\S)|\S+)'
+)
 _DANGLING_SLOP = re.compile(r"^~(\d+)$")
+_DANGLING_BOOST = re.compile(r"^\^(\d+(?:\.\d+)?)$")
 
 _OUT_SCHEMA = "doc_id long, score double"
 _MAXDOC = np.int64(2**62)
@@ -89,6 +96,7 @@ class BooleanQuery:
     must_not: list = field(default_factory=list)    # [term]
     phrases: list = field(default_factory=list)     # [([term, ...], slop)] required
     not_phrases: list = field(default_factory=list)  # [([term, ...], slop)] excluded
+    boosts: dict = field(default_factory=dict)      # {term: idf multiplier}
 
     @property
     def positive_terms(self) -> list:
@@ -114,13 +122,29 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     (`"a b"~2x`) is NOT a phrase — it degrades to plain terms like any
     malformed quoting; a detached `~N` token right after a phrase
     (`"a b" ~2`) attaches to that phrase instead of becoming a bogus
-    numeric term; a `~N` with no preceding phrase is dropped."""
+    numeric term; a `~N` with no preceding phrase is dropped.
+
+    Lucene boost syntax: `term^2.5` / `+term^2.5` scales that term's
+    idf; `"a b"^2` (or `"a b"~3^2`, slop first like Lucene) boosts the
+    phrase's scoring terms. Boosts collect into BooleanQuery.boosts
+    ({stemmed term: multiplier}); a term boosted twice keeps the
+    larger boost (duplicate terms score once — idf-scaling twins
+    split_term_boosts' discipline on the plain route). Boosting a
+    must-not clause is meaningless and ignored."""
     from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
 
+    from tangent_spark.plans.search import _TERM_BOOST
+
     tok = tokenize_porter if cfg.tokenizer == "porter" else tokenize_simple
+
+    def _note_boost(terms, boost):
+        if boost != 1.0:
+            for t in terms:
+                out.boosts[t] = max(boost, out.boosts.get(t, 0.0))
+
     out = BooleanQuery()
     last_phrase = None  # (bucket, index) of the most recent phrase clause
-    for mod, raw, quoted, slop_s in _CLAUSE.findall(query):
+    for mod, raw, quoted, slop_s, boost_s in _CLAUSE.findall(query):
         dangle = _DANGLING_SLOP.match(raw)
         if dangle and not mod:
             if last_phrase is not None:
@@ -129,9 +153,27 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
                 if p_slop == 0:
                     bucket[i] = (p_terms, int(dangle.group(1)))
             continue
+        bdangle = _DANGLING_BOOST.match(raw)
+        if bdangle and not mod:
+            # a detached `^B` right after a phrase boosts that phrase's
+            # terms (mirrors the detached-slop repair); with no
+            # preceding phrase it is dropped like a dangling `~N`
+            if last_phrase is not None:
+                bucket, i = last_phrase
+                _note_boost(bucket[i][0], float(bdangle.group(1)))
+            continue
         is_phrase = raw.startswith('"') and (
-            raw.endswith('"') or (slop_s and raw.endswith(slop_s))
+            raw.endswith('"')
+            or (slop_s and raw.endswith(slop_s))
+            or (boost_s and raw.endswith(boost_s))
         )
+        boost = 1.0
+        if is_phrase:
+            boost = float(boost_s[1:]) if boost_s else 1.0
+        else:
+            m = _TERM_BOOST.match(raw)
+            if m and not raw.startswith('"'):
+                raw, boost = m.group(1), float(m.group(2))
         terms = tok(quoted if is_phrase else raw)
         if not terms:
             continue
@@ -140,14 +182,18 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
             bucket = out.not_phrases if mod == "-" else out.phrases
             bucket.append((terms, slop))
             last_phrase = (bucket, len(bucket) - 1)
+            if mod != "-":  # boosting an excluded phrase is meaningless
+                _note_boost(terms, boost)
             continue
         last_phrase = None
         if mod == "-":
             out.must_not.extend(terms)
         elif mod == "+":
             out.must.extend(terms)
+            _note_boost(terms, boost)
         else:
             out.should.extend(terms)
+            _note_boost(terms, boost)
     return out
 
 
@@ -857,6 +903,12 @@ def _boolean_plan(
     idf_map = {
         t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
     }
+    # Lucene term/phrase boosts (`term^2.5`): scale idf driver-side so
+    # BOTH kernel paths' upper bounds (always idf-derived) carry the
+    # boost and block-max / threshold pruning stay exact
+    for t, bst in q.boosts.items():
+        if t in idf_map:
+            idf_map[t] *= bst
 
     if must:
         seed = min(must, key=lambda t: (dfs[t], t))

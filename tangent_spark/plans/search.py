@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -54,6 +55,35 @@ def idf(N: int, df: int) -> float:
 def query_terms(query: str, tokenizer: str) -> list[str]:
     toks = tokenize_porter(query) if tokenizer == "porter" else tokenize_simple(query)
     return sorted(set(toks))
+
+
+_TERM_BOOST = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+
+
+def split_term_boosts(query: str, tokenizer: str):
+    """Lucene term-boost syntax on the plain BM25 route: a whitespace
+    token `matrix^2.5` scores as `matrix` with its idf scaled 2.5x.
+    Returns (sorted distinct stemmed terms, {stemmed term: boost}) —
+    only terms with a non-1.0 boost appear in the map. A boosted raw
+    token that tokenizes to several index terms boosts each of them;
+    the same term boosted twice keeps the LARGER boost (duplicate
+    query terms score once here — query tf is ignored — so max, not
+    sum, matches that discipline). A `^` not followed by a terminal
+    number is not boost syntax and falls through to the tokenizer like
+    any other punctuation (Lucene-parity caveat: `c^2` therefore means
+    a boosted `c`, as it does in Lucene — escape-free literal carets
+    are not searchable on this route)."""
+    tok = tokenize_porter if tokenizer == "porter" else tokenize_simple
+    terms: set = set()
+    boosts: dict = {}
+    for raw in query.split():
+        m = _TERM_BOOST.match(raw)
+        base, boost = (m.group(1), float(m.group(2))) if m else (raw, 1.0)
+        for t in tok(base):
+            terms.add(t)
+            if boost != 1.0:
+                boosts[t] = max(boost, boosts.get(t, 0.0))
+    return sorted(terms), {t: b for t, b in boosts.items() if b != 1.0}
 
 
 # ---------------------------------------------------------------------------
@@ -444,11 +474,15 @@ def _wand_plan(
     deleted=None,
     after=None,
     doc_weights=None,
+    term_boosts=None,
 ) -> DataFrame:
     """The whole query as ONE declarative plan: filter postings to the
     query terms (parquet row-group pruning / in-memory scan), broadcast-
     join the per-term df to compute idf JVM-side, per-shard block-max
-    kernel, global TakeOrderedAndProject. One Spark job per query."""
+    kernel, global TakeOrderedAndProject. One Spark job per query.
+    `term_boosts` ({term: weight}, Lucene `term^2.5`) scales the idf
+    BEFORE it reaches the kernel, so block-max upper bounds (idf *
+    tfn(max_tf, min_dl)) carry the boost and pruning stays exact."""
     qstats = term_stats.filter(F.col("term").isin(qts)).select(
         "term",
         F.log(
@@ -456,6 +490,17 @@ def _wand_plan(
             + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         ).alias("idf"),
     )
+    if term_boosts:
+        bmap = F.create_map(
+            *[F.lit(x) for t, w in term_boosts.items() for x in (t, float(w))]
+        )
+        qstats = qstats.select(
+            "term",
+            (
+                F.col("idf")
+                * F.coalesce(F.element_at(bmap, F.col("term")), F.lit(1.0))
+            ).alias("idf"),
+        )
     kern = _score_shard(
         avgdl, cfg, k, deleted=deleted, after=after, doc_weights=doc_weights
     )
@@ -488,9 +533,10 @@ def bm25_topk_wand(
     """One-shot query straight off the parquet index (cold path).
 
     `after=(score, doc_id)` is the searchAfter cursor — see
-    Searcher.topk for paging semantics."""
+    Searcher.topk for paging semantics. Lucene term-boost syntax
+    (`matrix^2.5`) is honored — see split_term_boosts."""
     cfg = store.get_config()
-    qts = query_terms(query, cfg.tokenizer)
+    qts, boosts = split_term_boosts(query, cfg.tokenizer)
     if not qts:
         return spark.createDataFrame([], "doc_id long, score double")
     cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
@@ -505,6 +551,7 @@ def bm25_topk_wand(
         with_metrics,
         deleted=load_deleted_ids(spark, store),
         after=(float(after[0]), int(after[1])) if after is not None else None,
+        term_boosts=boosts,
     )
 
 
@@ -902,8 +949,17 @@ class Searcher:
         order. Every page is the same ONE single-stage job moving <= k
         rows per shard — deep page N costs what page 1 costs, the only
         paging discipline that survives 10^12 docs (OFFSET would move
-        N*k rows per shard and re-rank them globally)."""
-        qts = terms if terms is not None else query_terms(query, self.cfg.tokenizer)
+        N*k rows per shard and re-rank them globally).
+
+        Lucene term-boost syntax (`matrix^2.5`) is honored on parsed
+        queries (not on a pre-tokenized `terms` list): the boost scales
+        the term's idf inside the kernel, before the block-max bounds,
+        so pruning stays exact."""
+        boosts = {}
+        if terms is not None:
+            qts = terms
+        else:
+            qts, boosts = split_term_boosts(query, self.cfg.tokenizer)
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")
         add_idf = _idf_from_g_df(self.n_docs)
@@ -917,6 +973,10 @@ class Searcher:
             if not rows:
                 return
             all_rows = add_idf(pd.concat(rows, ignore_index=True))
+            if boosts:
+                all_rows["idf"] = all_rows["idf"].to_numpy() * (
+                    all_rows["term"].map(boosts).fillna(1.0).to_numpy()
+                )
             for _, grp in all_rows.groupby("shard", sort=False):
                 yield shard_kernel(grp.reset_index(drop=True))
 
@@ -947,6 +1007,14 @@ class Searcher:
         accumulator; it receives the total number of blocks actually
         decoded (tested + benched: batch decodes < sum of the same
         queries run singly whenever terms overlap)."""
+        for qid, q in queries.items():
+            if any(_TERM_BOOST.match(tok) for tok in q.split()):
+                # the shared decode cache stores idf-baked contributions
+                # keyed by (row, block) — per-query boosts would poison
+                # it across queries; reject instead of mis-scoring
+                raise ValueError(
+                    f"term boosts are not supported in batch queries ({qid!r})"
+                )
         qterms = {
             str(qid): qts
             for qid, q in queries.items()

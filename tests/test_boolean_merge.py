@@ -815,3 +815,97 @@ def test_mm_api_routing_and_rejections(spark, store, corpus):
             spark, store, "matrix theorem", k=5,
             min_should_match=1, group_by="lang",
         )
+
+
+# --- Lucene boosts in the boolean grammar ------------------------------------
+
+def test_parse_boosts():
+    cfg = IndexConfig()
+    q = parse_boolean_query('matrix^2 +theorem^3 -slow^9 "gradient descent"^1.5', cfg)
+    assert q.boosts["matrix"] == 2.0
+    assert q.boosts[tokenize_porter("theorem")[0]] == 3.0
+    assert tokenize_porter("slow")[0] not in q.boosts  # must-not boost ignored
+    g, d = tokenize_porter("gradient descent")
+    assert q.boosts[g] == 1.5 and q.boosts[d] == 1.5
+    # slop-then-boost suffix order (Lucene), and detached ^B repair
+    q2 = parse_boolean_query('"gradient descent"~3^2', cfg)
+    assert q2.phrases == [([g, d], 3)] and q2.boosts[g] == 2.0
+    q3 = parse_boolean_query('"gradient descent" ^2', cfg)
+    assert q3.phrases == [([g, d], 0)] and q3.boosts[d] == 2.0
+    # malformed boost suffix degrades like malformed slop
+    q4 = parse_boolean_query('"a b"^2x', cfg)
+    assert not q4.phrases and not q4.boosts
+
+
+def _oracle_boosted_boolean(local, weighted, k, must=(), must_not=(), mm=0,
+                            should=()):
+    """Per-term BM25 contributions scaled by boost, membership rules
+    applied driver-side."""
+    from collections import defaultdict
+
+    terms = _doc_terms(local)
+    must_s = set(tokenize_porter(" ".join(must)))
+    not_s = set(tokenize_porter(" ".join(must_not)))
+    should_s = set(tokenize_porter(" ".join(should)))
+    acc = defaultdict(float)
+    for term, w in weighted.items():
+        for d, s in bm25_rank(local, [term], 10**9):
+            acc[d] += w * s
+    out = [
+        (d, s)
+        for d, s in sorted(acc.items(), key=lambda x: (-x[1], x[0]))
+        if must_s <= terms[d]
+        and not (not_s & terms[d])
+        and (mm == 0 or len(should_s & terms[d]) >= mm)
+    ]
+    return out[:k]
+
+
+def test_boolean_boosts_match_oracle(spark, store, corpus):
+    """Boosts ride the idf map, so the conjunction kernel, the
+    should-only sweep, and mm all stay rank-exact under them."""
+    _, local = corpus
+    m, c, t = (tokenize_porter(w)[0] for w in ("matrix", "convergence", "theorem"))
+
+    # conjunction path: +must^3 with boosted should
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(
+            spark, store, "matrix^2 +theorem^3 -slow", 15
+        ).collect()
+    ]
+    want = _oracle_boosted_boolean(
+        local, {m: 2.0, t: 3.0}, 15, must=["theorem"], must_not=["slow"]
+    )
+    assert_rank_identical(got, want)
+
+    # should-only sweep path + mm
+    got2 = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(
+            spark, store, "matrix^2 convergence theorem^0.5", 15,
+            min_should_match=2,
+        ).collect()
+    ]
+    want2 = _oracle_boosted_boolean(
+        local, {m: 2.0, c: 1.0, t: 0.5}, 15, mm=2,
+        should=["matrix", "convergence", "theorem"],
+    )
+    assert_rank_identical(got2, want2)
+
+
+def test_boolean_boosts_warm_matches_cold(spark, store):
+    s = Searcher(spark, store)
+    try:
+        q = 'matrix^2 +theorem "gradient descent"^1.5'
+        warm = [
+            (r["doc_id"], round(float(r["score"]), 9))
+            for r in s.boolean(q, 15).collect()
+        ]
+        cold = [
+            (r["doc_id"], round(float(r["score"]), 9))
+            for r in boolean_topk(spark, store, q, 15).collect()
+        ]
+        assert warm == cold
+    finally:
+        s.close()

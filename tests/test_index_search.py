@@ -14,6 +14,7 @@ from tangent_spark.corpus import generate_pages, pages_with_doc_ids
 from tangent_spark.oracle import bm25_rank
 from tangent_spark.plans.indexer import build_index, verify_index
 from tangent_spark.plans.search import (
+    Searcher,
     bm25_topk_df,
     bm25_topk_index_full,
     bm25_topk_wand,
@@ -383,3 +384,63 @@ def test_explain_empty_inputs(spark, index_store):
 
     assert explain_score(spark, index_store, "", [1]).count() == 0
     assert explain_score(spark, index_store, "matrix", []).count() == 0
+
+
+# --- Lucene term boosts (`term^2.5`) -----------------------------------------
+
+def _boosted_oracle(local, weighted_terms, k):
+    """Brute force: sum of per-term BM25 contributions, each scaled by
+    its boost (bm25_rank per single term, combined driver-side)."""
+    from collections import defaultdict
+
+    acc = defaultdict(float)
+    for term, w in weighted_terms.items():
+        for d, s in bm25_rank(local, [term], 10**9):
+            acc[d] += w * s
+    ranked = sorted(acc.items(), key=lambda x: (-x[1], x[0]))
+    return [(d, s) for d, s in ranked[:k]]
+
+
+def test_term_boosts_cold_and_warm_match_oracle(spark, index_store, corpus):
+    """`matrix^2 convergence` scales matrix's idf 2x in both the cold
+    declarative WAND plan and the warm Searcher kernel; block-max
+    bounds inherit the scaling so pruning stays rank-exact."""
+    from tangent_spark.plans.search import split_term_boosts
+
+    _, local = corpus
+    qts, boosts = split_term_boosts("matrix^2 convergence", "porter")
+    weighted = {t: boosts.get(t, 1.0) for t in qts}
+    want = _boosted_oracle(local, weighted, 12)
+
+    got_cold = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_wand(
+            spark, index_store, "matrix^2 convergence", 12
+        ).collect()
+    ]
+    assert_rank_identical(got_cold, want)
+
+    s = Searcher(spark, index_store)
+    try:
+        got_warm = [
+            (r["doc_id"], r["score"])
+            for r in s.topk("matrix^2 convergence", 12).collect()
+        ]
+        assert_rank_identical(got_warm, want)
+        # boost actually changes the ranking vs the unboosted query
+        plain = [
+            (r["doc_id"], r["score"])
+            for r in s.topk("matrix convergence", 12).collect()
+        ]
+        assert [d for d, _ in got_warm] != [d for d, _ in plain]
+    finally:
+        s.close()
+
+
+def test_term_boost_batch_rejected(spark, index_store):
+    s = Searcher(spark, index_store)
+    try:
+        with pytest.raises(ValueError, match="term boosts"):
+            s.topk_batch({"q1": "matrix^2 convergence"}, 5)
+    finally:
+        s.close()
