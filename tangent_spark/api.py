@@ -57,8 +57,8 @@ class SearchStores:
 
 
 def route(query: str) -> str:
-    """'formula' | 'boolean' | 'regexp' | 'fuzzy' | 'wildcard' |
-    'bm25' — which path search() will take. Wildcard metacharacters /
+    """'match_all' | 'formula' | 'boolean' | 'regexp' | 'fuzzy' |
+    'wildcard' | 'bm25' — which path search() will take. Wildcard metacharacters /
     fuzzy suffixes / regexp tokens inside boolean syntax route to
     'boolean' and are rejected there (explicitly unsupported
     combinations — see search()); a MathML query keeps its
@@ -68,6 +68,8 @@ def route(query: str) -> str:
     from tangent_spark.plans.fuzzy import is_fuzzy_token
     from tangent_spark.plans.wildcard import is_regexp_token
 
+    if query.strip() == "*:*":
+        return "match_all"  # Solr q=*:* — before the wildcard check
     if _MATH.search(query):
         return "formula"
     if _BOOL.search(query):
@@ -151,6 +153,30 @@ def search(
         raise ValueError(
             f"min_should_match only supported on the bm25/boolean "
             f"routes (query routed to {kind!r})"
+        )
+    if kind == "match_all":
+        # Solr q=*:* (Lucene MatchAllDocsQuery): every live doc,
+        # constant score — composes with `where`, `after` OR `sort_by`;
+        # relevance-shaping options are meaningless here and rejected
+        bad = [
+            n
+            for n, on in (
+                ("group_by", group_by is not None),
+                ("boosts", boosts is not None),
+                ("synonyms", synonyms is not None),
+                ("recency_boost", recency_boost is not None),
+            )
+            if on
+        ]
+        if bad:
+            raise ValueError(
+                f"{'/'.join(bad)} not supported with the match-all query"
+            )
+        from tangent_spark.plans.search import match_all_docs
+
+        return match_all_docs(
+            spark, stores.words, k, where=where, after=after,
+            sort_by=sort_by, sort_ascending=sort_ascending,
         )
     shaping = [
         name

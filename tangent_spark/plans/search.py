@@ -199,6 +199,57 @@ def filter_deleted(df: DataFrame, deleted: np.ndarray | None) -> DataFrame:
     return df.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
+def match_all_docs(
+    spark: SparkSession,
+    store: IndexStore,
+    k: int,
+    where: str | None = None,
+    after: tuple[float, int] | None = None,
+    sort_by: str | None = None,
+    sort_ascending: bool = False,
+) -> DataFrame:
+    """Lucene MatchAllDocsQuery / Solr `q=*:*`: every live (non-
+    tombstoned) document matches with constant score 1.0. Default
+    output is (doc_id, score) in doc_id-asc order — with a constant
+    score, Lucene's (score desc, doc id asc) tie-break degenerates to
+    doc order — so `after` (the searchAfter cursor) degenerates to an
+    id cursor: the next k docs with doc_id > after[1]. `sort_by`
+    switches to the sortby contract instead: (doc_id, <field>) rows in
+    (value asc|desc, doc_id asc) order over ALL live docs. `where`
+    restricts through the docs dictionary with the same predicate
+    surface as filtered_topk (IndexConfig.meta_cols).
+
+    Plan shape: the postings are never touched — one docs-dictionary
+    scan (column-pruned to doc_id + the referenced fields, predicate
+    pushed to parquet) -> tombstone anti-mask -> global
+    TakeOrderedAndProject(k). The browse-everything query a search UI
+    issues on an empty search box costs one bounded scan even at
+    10^12 docs."""
+    cfg = store.get_config()
+    docs = filter_deleted(
+        store.read(spark, "docs"), load_deleted_ids(spark, store)
+    )
+    if where is not None:
+        docs = docs.filter(where)
+    if sort_by is not None:
+        if after is not None:
+            raise ValueError("sort_by is not combinable with cursor paging")
+        if sort_by not in cfg.meta_cols:
+            raise ValueError(
+                f"sort field {sort_by!r} not in the index's meta_cols "
+                f"{cfg.meta_cols}"
+            )
+        order = (
+            F.asc(sort_by) if sort_ascending else F.desc(sort_by),
+            F.asc("doc_id"),
+        )
+        return docs.select("doc_id", sort_by).orderBy(*order).limit(k)
+    out = docs.select("doc_id", F.lit(1.0).alias("score"))
+    if after is not None:
+        out = out.filter(F.col("doc_id") > int(after[1]))
+    return out.orderBy(F.asc("doc_id")).limit(k)
+
+
 def _score_shard(
     avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None, after=None,
     doc_weights=None,
@@ -1323,6 +1374,7 @@ class Searcher:
         max_driver_candidates: int = 1_000_000,
         max_driver_docs: int = 1_000_000,
         rows_counter=None,
+        min_should_match=0,
     ) -> DataFrame:
         """Warm facet counts: hit count per value of metadata column
         `by` for the boolean query's match set — same semantics and
@@ -1339,6 +1391,7 @@ class Searcher:
             facet_aggregate,
             facet_empty,
             parse_boolean_query,
+            resolve_mm,
         )
 
         if self._docs is None:
@@ -1351,6 +1404,8 @@ class Searcher:
             if route == "empty":
                 return facet_empty(self._docs, by)
         q = parse_boolean_query(query, self.cfg)
+        if resolve_mm(min_should_match, len(set(q.should))) > len(set(q.should)):
+            return facet_empty(self._docs, by)  # mm above the should count
         has_phrases = bool(q.phrases or q.not_phrases)
         facet = None
         if cand_df is None and (not has_phrases or self._has_positions):
@@ -1379,6 +1434,7 @@ class Searcher:
             return_matches=True,
             serving=self.serving if self._has_positions else None,
             facet=facet,
+            min_should_match=min_should_match,
         )
         if facet is not None:
             return matches

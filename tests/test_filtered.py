@@ -236,3 +236,91 @@ def test_filtered_respects_tombstones_and_appends(
     append_batch(spark, store, batch, batch_id=2)
     hits = _rows(filtered_topk(spark, store, "zyqfiltered", 10, "lang = 'de'"))
     assert len(hits) == 1
+
+
+# --- match-all (*:*) and facet mm --------------------------------------------
+
+def test_match_all_via_front_door(spark, store, pages):
+    """Solr q=*:* — every live doc, constant score, doc-id order;
+    composes with where / after / sort_by, rejects relevance shaping."""
+    from tangent_spark.api import route, search
+    from tangent_spark.plans.search import match_all_docs
+
+    assert route("*:*") == "match_all"
+    n_all = pages.count()
+    got = search(spark, store, "*:*", k=n_all + 10).collect()
+    assert len(got) == n_all
+    assert [r["doc_id"] for r in got] == sorted(r["doc_id"] for r in got)
+    assert {float(r["score"]) for r in got} == {1.0}
+
+    # where composes (same surface as filtered_topk)
+    n_en = pages.filter("lang = 'en'").count()
+    assert search(spark, store, "*:*", k=n_all, where="lang = 'en'").count() == n_en
+
+    # cursor paging: next page strictly after the cursor, no overlap
+    p1 = search(spark, store, "*:*", k=10).collect()
+    p2 = search(spark, store, "*:*", k=10, after=(1.0, p1[-1]["doc_id"])).collect()
+    assert p2[0]["doc_id"] > p1[-1]["doc_id"] and len(p2) == 10
+
+    # sort_by returns the sortby contract over ALL live docs
+    top = search(
+        spark, store, "*:*", k=5, sort_by="lang", sort_ascending=True
+    ).collect()
+    assert [r["lang"] for r in top] == sorted(r["lang"] for r in top)
+
+    with pytest.raises(ValueError, match="match-all"):
+        search(spark, store, "*:*", k=5, group_by="lang")
+    with pytest.raises(ValueError, match="cursor"):
+        match_all_docs(spark, store, 5, after=(1.0, 3), sort_by="lang")
+    with pytest.raises(ValueError, match="min_should_match"):
+        search(spark, store, "*:*", k=5, min_should_match=1)
+
+
+def test_match_all_respects_tombstones(spark, pages, tmp_path_factory):
+    from tangent_spark.api import search
+    from tangent_spark.streaming.incremental import delete_docs
+
+    base = str(tmp_path_factory.mktemp("ma_del"))
+    store = build_index(spark, pages, f"{base}/idx", CFG, url_col="url")
+    victims = [r["doc_id"] for r in pages.limit(3).collect()]
+    delete_docs(spark, store, victims, 1)
+    got = search(spark, store, "*:*", k=N + 10).collect()
+    assert len(got) == N - 3
+
+
+def test_facet_counts_with_mm(spark, store):
+    """mm shrinks the facet panel's match set (docs need >= mm distinct
+    should terms); the terms-table oracle twins it independently."""
+    terms = spark.read.parquet(store.path("terms"))
+    q = parse_boolean_query(Q, CFG)
+    m = (
+        terms.filter(F.col("term").isin(q.positive_terms))
+        .select("doc_id", "term").distinct()
+        .groupBy("doc_id").agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") >= 2)
+        .select("doc_id")
+    )
+    docs = spark.read.parquet(store.path("docs"))
+    exp = [
+        (r["lang"], r["n_docs"])
+        for r in m.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("lang")).collect()
+    ]
+    got = [
+        (r["lang"], r["n_docs"])
+        for r in facet_counts(spark, store, Q, "lang", min_should_match=2).collect()
+    ]
+    assert got == exp and got != _facet_oracle(spark, store, Q)
+    # warm twin
+    s = Searcher(spark, store)
+    try:
+        warm = [
+            (r["lang"], r["n_docs"])
+            for r in s.facets(Q, "lang", min_should_match=2).collect()
+        ]
+        assert warm == exp
+        # mm above the should count: zero-row panel, typed
+        assert s.facets(Q, "lang", min_should_match=9).count() == 0
+    finally:
+        s.close()
