@@ -327,14 +327,22 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
     """Small-star step: orient edges big->small, group each node's
-    SMALLER neighbors, link them all (and the node) to the minimum."""
-    g = (
-        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    SMALLER neighbors, link them all (and the node) to the minimum.
+
+    oriented=True skips the canonicalize + distinct pre-pass — valid
+    when the input is already strictly big->small and deduped, which is
+    exactly what _large_star emits (its output rows are (v, m) with
+    m <= u < v, followed by a distinct). Saves one shuffle per round."""
+    if oriented:
+        g = e
+    else:
+        g = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
     mins = g.groupBy("u").agg(F.min("v").alias("m"))
     return (
         g.join(mins, "u")
@@ -369,7 +377,7 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[Dat
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        nxt = _small_star(_large_star(e)).localCheckpoint()
+        nxt = _small_star(_large_star(e), oriented=True).localCheckpoint()
         # converged iff the edge sets are identical (both canonical
         # big->small and deduped, so count + one-sided anti-join
         # suffice); the previous round's count is carried over, so each
