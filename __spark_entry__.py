@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_bm25_topk": eq.filtered_bm25_topk,
         "search_after_explain": eq.search_after_explain,  # phases: p1-p3 (paging) + explain
         "fielded_bm25_topk": eq.fielded_bm25_topk,  # phases: flat + boosted
+        "multiterm_expand_topk": eq.multiterm_expand_topk,  # phases: glob + regexp + fuzzy
+        "synonym_bm25_topk": eq.synonym_bm25_topk,
+        "boosted_mm_topk": eq.boosted_mm_topk,  # phases: boost + mm
         "facet_counts_lang": eq.facet_counts_lang,
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
@@ -708,6 +711,84 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM sc) "
             "SELECT phase, doc_id, round(score, 4)::DOUBLE AS score "
             "FROM r WHERE rk <= 20"
+        ),
+        # multi-term rewrites (Lucene MultiTermQuery, top-terms scoring
+        # rewrite): each phase expands its pattern against the
+        # vocabulary exactly as the engine does (caps cannot bind on
+        # this corpus), then scores expansion + literals as one
+        # disjunctive BM25 query with per-term idf
+        "multiterm_expand_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "vocab AS (SELECT DISTINCT term FROM tf), "
+            "qt AS ("
+            "  SELECT 'glob' AS phase, term FROM vocab WHERE term LIKE 's%' OR term = 'data' "
+            "  UNION ALL "
+            "  SELECT 'regexp', term FROM vocab WHERE regexp_matches(term, '^s.a[a-z]+$') OR term = 'data' "
+            "  UNION ALL "
+            "  SELECT 'fuzzy', term FROM vocab WHERE levenshtein(term, 'quary') <= 1 "
+            "    OR levenshtein(term, 'sort') <= 2 OR term = 'data'), "
+            "m AS (SELECT qt.phase, tf.* FROM tf JOIN qt USING (term)), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            "  WHERE term IN (SELECT term FROM qt) GROUP BY 1), "
+            "sc AS (SELECT m.phase, m.doc_id, sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT phase, doc_id, score, row_number() OVER ("
+            "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM sc) "
+            "SELECT phase, doc_id, round(score, 4)::DOUBLE AS score FROM r WHERE rk <= 20"
+        ),
+        # SynonymQuery: {data, big} score as one pseudo-term — member
+        # tfs sum per doc BEFORE tf-normalization, group idf from the
+        # group's max df; 'table' scores alone
+        "synonym_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "g(term, syn) AS (VALUES ('data', 0), ('big', 0), ('table', 1)), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            "  WHERE term IN ('data','big','table') GROUP BY 1), "
+            "gdf AS (SELECT g.syn, max(dfs.df) AS gdf FROM g JOIN dfs USING (term) GROUP BY 1), "
+            "agg AS (SELECT tf.doc_id, g.syn, sum(tf.tf)::DOUBLE AS tfs "
+            "  FROM tf JOIN g USING (term) GROUP BY 1, 2) "
+            "SELECT agg.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - gdf.gdf + 0.5) / (gdf.gdf + 0.5)) "
+            "  * agg.tfs * 2.2 / (agg.tfs + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM agg JOIN gdf USING (syn) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 20"
+        ),
+        # score shaping: 'boost' = Lucene term boosts (idf scaled by
+        # the boost: data^2, query^1, table^0.5); 'mm' = Solr
+        # minimum_should_match=3 over 4 should terms (match-count
+        # filter, scores unchanged for survivors)
+        "boosted_mm_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "bq(term, boost) AS (VALUES ('data', 2.0), ('query', 1.0), ('table', 0.5)), "
+            "mb AS (SELECT tf.*, bq.boost FROM tf JOIN bq USING (term)), "
+            "dfb AS (SELECT term, count(*)::DOUBLE AS df FROM tf "
+            "  WHERE term IN ('data','query','table') GROUP BY 1), "
+            "scb AS (SELECT 'boost' AS phase, m.doc_id, sum("
+            "  m.boost * ln(1.0 + (s.n_docs - dfb.df + 0.5) / (dfb.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM mb m JOIN dfb USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY 1, 2), "
+            "mm AS (SELECT * FROM tf WHERE term IN ('data','query','table','value')), "
+            "dfm AS (SELECT term, count(*)::DOUBLE AS df FROM mm GROUP BY 1), "
+            "scm AS (SELECT 'mm' AS phase, m.doc_id, sum("
+            "  ln(1.0 + (s.n_docs - dfm.df + 0.5) / (dfm.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM mm m JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY 1, 2 HAVING count(DISTINCT m.term) >= 3), "
+            "u AS (SELECT * FROM scb UNION ALL SELECT * FROM scm), "
+            "r AS (SELECT phase, doc_id, score, row_number() OVER ("
+            "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM u) "
+            "SELECT phase, doc_id, round(score, 4)::DOUBLE AS score FROM r WHERE rk <= 20"
         ),
         # facet panel: per-lang counts of the boolean MATCH SET (not
         # top-k) — 'any' = docs containing >=1 query term; 'bool' =

@@ -1582,3 +1582,123 @@ def delete_bm25_topk(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(out, "phase string, doc_id long, score double")
+
+
+# --- round-5 multi-term rewrites + scoring shapers (engine-backed) ----------
+
+MULTITERM_GLOB_QUERY = "s* data"
+MULTITERM_REGEXP_QUERY = "/s.a[a-z]+/ data"
+MULTITERM_FUZZY_QUERY = "quary~1 sort~2 data"
+
+
+def multiterm_expand_topk(spark, sf_dir):
+    """Multi-term rewrites end-to-end through the REAL expansion +
+    block-max WAND kernel over a freshly built index, all three
+    rewrite families in one entry (Lucene MultiTermQuery with the
+    TopTermsScoringBooleanQueryRewrite — plans/wildcard.py,
+    plans/fuzzy.py):
+
+    phase 'glob'   — `s* data`: the glob expands against the
+        vocabulary (prefix pushed to the scan, anchored regex on top);
+    phase 'regexp' — `/s.a[a-z]+/ data`: Lucene RegexpQuery syntax,
+        body matched anchored against whole terms;
+    phase 'fuzzy'  — `quary~1 sort~2 data`: Levenshtein expansion
+        (FuzzyTermsEnum order dist asc, df desc, term asc).
+
+    Expanded terms + literals then score as ONE disjunctive BM25 query,
+    each term with its own idf. The expansion caps (1024 glob / 50
+    fuzzy) cannot bind on the contract corpus's vocabulary, so the
+    oracle recomputes each expansion exactly with LIKE / regexp_matches
+    / levenshtein over the token stream."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.fuzzy import fuzzy_topk
+    from tangent_spark.plans.wildcard import regexp_topk, wildcard_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_mt_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = []
+        for phase, fn, q in (
+            ("glob", wildcard_topk, MULTITERM_GLOB_QUERY),
+            ("regexp", regexp_topk, MULTITERM_REGEXP_QUERY),
+            ("fuzzy", fuzzy_topk, MULTITERM_FUZZY_QUERY),
+        ):
+            out += [
+                (phase, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in fn(spark, store, q, 20).collect()
+            ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
+
+
+SYN_QUERY = "data table"
+SYN_MAP = {"data": ["big"]}
+
+
+def synonym_bm25_topk(spark, sf_dir):
+    """Query-time synonym expansion through the REAL kernel
+    (plans/search.bm25_topk_synonyms — Lucene SynonymQuery semantics):
+    'data' and its synonym 'big' score as ONE pseudo-term — member tfs
+    sum per doc BEFORE the BM25 tf-normalization and the group idf
+    comes from the group's max df; 'table' scores alone."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.search import bm25_topk_synonyms
+
+    base = tempfile.mkdtemp(prefix="tangent_syn_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            (int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in bm25_topk_synonyms(
+                spark, store, SYN_QUERY, 20, SYN_MAP
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "doc_id long, score double")
+
+
+BOOST_QUERY = "data^2 query table^0.5"
+MM_QUERY = "data query table value"
+MM_SPEC = 3
+
+
+def boosted_mm_topk(spark, sf_dir):
+    """Score-shaping surfaces through the REAL kernels, both in one
+    entry:
+
+    phase 'boost' — `data^2 query table^0.5` (Lucene term-boost syntax
+        on the plain BM25 route): each boosted term's idf is scaled by
+        its boost, block-max pruning stays exact
+        (plans/search.split_term_boosts);
+    phase 'mm'    — `data query table value` with minimum_should_match
+        = 3 (Solr mm): a doc must match >= 3 distinct should terms;
+        surviving docs keep their full BM25 score over matching terms
+        (plans/boolean.resolve_mm)."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.boolean import boolean_topk
+    from tangent_spark.plans.search import bm25_topk_wand
+
+    base = tempfile.mkdtemp(prefix="tangent_shape_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            ("boost", int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in bm25_topk_wand(spark, store, BOOST_QUERY, 20).collect()
+        ]
+        out += [
+            ("mm", int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in boolean_topk(
+                spark, store, MM_QUERY, 20, min_should_match=MM_SPEC
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
