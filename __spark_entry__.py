@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25_topk": eq.synonym_bm25_topk,
         "boosted_mm_topk": eq.boosted_mm_topk,  # phases: boost + mm
         "facet_counts_lang": eq.facet_counts_lang,
+        "facet_range_nchars": eq.facet_range_nchars,  # phases: all + en
+        "facet_stats_nchars": eq.facet_stats_nchars,
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
         "tpch_q1": eq.tpch_q1,
@@ -806,6 +808,40 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'bool' AS phase, lang, count(*)::BIGINT AS n_docs "
             "FROM m_bool JOIN documents USING (doc_id) GROUP BY lang"
+        ),
+        # numeric range facet over the `data +spark -join` match set
+        # (spark required => match = has-spark minus has-join), 100-char
+        # n_chars buckets, zero-filled in range order; phase 'en'
+        # composes a lang filter
+        "facet_range_nchars": (
+            f"WITH {_TOK}, "
+            "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark' "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')), "
+            "j AS (SELECT m.doc_id, d.n_chars, d.lang FROM m JOIN documents d USING (doc_id)), "
+            "spine AS (SELECT (x * 100)::DOUBLE AS bucket FROM generate_series(0, 5) t(x)), "
+            "c_all AS (SELECT (floor(n_chars / 100.0) * 100)::DOUBLE AS bucket, "
+            "  count(*)::BIGINT AS n FROM j WHERE n_chars >= 0 AND n_chars < 600 GROUP BY 1), "
+            "c_en AS (SELECT (floor(n_chars / 100.0) * 100)::DOUBLE AS bucket, "
+            "  count(*)::BIGINT AS n FROM j WHERE n_chars >= 0 AND n_chars < 600 "
+            "  AND lang = 'en' GROUP BY 1) "
+            "SELECT 'all' AS phase, s.bucket, coalesce(c_all.n, 0)::BIGINT AS n_docs "
+            "FROM spine s LEFT JOIN c_all ON s.bucket = c_all.bucket "
+            "UNION ALL "
+            "SELECT 'en', s.bucket, coalesce(c_en.n, 0)::BIGINT "
+            "FROM spine s LEFT JOIN c_en ON s.bucket = c_en.bucket"
+        ),
+        # stats facet over the same match set: one moment row of
+        # n_chars (count/missing/min/max/sum/mean)
+        "facet_stats_nchars": (
+            f"WITH {_TOK}, "
+            "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark' "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')), "
+            "j AS (SELECT d.n_chars FROM m JOIN documents d USING (doc_id)) "
+            "SELECT count(n_chars)::BIGINT AS n_count, "
+            "(count(*) - count(n_chars))::BIGINT AS n_missing, "
+            "min(n_chars)::DOUBLE AS v_min, max(n_chars)::DOUBLE AS v_max, "
+            "sum(n_chars)::DOUBLE AS v_sum, "
+            "round(avg(n_chars), 4)::DOUBLE AS v_mean FROM j"
         ),
         # query assist, both surfaces off the same vocabulary:
         # 'suggest' = prefix completion (df = docs containing the term,

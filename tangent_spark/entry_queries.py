@@ -1702,3 +1702,68 @@ def boosted_mm_topk(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(out, "phase string, doc_id long, score double")
+
+
+FACET_RANGE_QUERY = "data +spark -join"
+FR_START, FR_END, FR_GAP = 0.0, 600.0, 100.0
+
+
+def facet_range_nchars(spark, sf_dir):
+    """Numeric range facet (Solr facet.range) through the REAL kernel
+    route (plans/boolean.facet_range): hit counts per 100-char bucket
+    of n_chars over the `data +spark -join` match set, phase 'all'
+    unfiltered and phase 'en' with a lang filter composed in. Every
+    bucket appears zero-filled in range order — the Solr shape."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.boolean import facet_range
+
+    base = tempfile.mkdtemp(prefix="tangent_frange_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, meta=("n_chars", "lang"))
+        out = []
+        for phase, where in (("all", None), ("en", "lang = 'en'")):
+            out += [
+                (phase, float(r["bucket"]), int(r["n_docs"]))
+                for r in facet_range(
+                    spark, store, FACET_RANGE_QUERY, "n_chars",
+                    FR_START, FR_END, FR_GAP, where=where,
+                ).collect()
+            ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "phase string, bucket double, n_docs long"
+    )
+
+
+def facet_stats_nchars(spark, sf_dir):
+    """Stats facet (Solr StatsComponent) through the REAL kernel route
+    (plans/boolean.facet_stats): one moment row (count, missing, min,
+    max, sum, mean) of n_chars over the `data +spark -join` match set.
+    The kernel moves one partial per shard regardless of the column's
+    cardinality."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.boolean import facet_stats
+
+    base = tempfile.mkdtemp(prefix="tangent_fstats_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, meta=("n_chars",))
+        r = facet_stats(
+            spark, store, FACET_RANGE_QUERY, "n_chars"
+        ).collect()[0]
+        out = [(
+            int(r["n_count"]), int(r["n_missing"]),
+            float(r["v_min"]), float(r["v_max"]),
+            float(r["v_sum"]), round(float(r["v_mean"]), 4),
+        )]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out,
+        "n_count long, n_missing long, v_min double, v_max double, "
+        "v_sum double, v_mean double",
+    )

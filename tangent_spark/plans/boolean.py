@@ -712,6 +712,66 @@ def _facet_wrap(kernel, ids: np.ndarray, vals: np.ndarray, by: str, rows_counter
     return run
 
 
+def _stats_wrap(kernel, ids: np.ndarray, vals: np.ndarray, rows_counter):
+    """Wrap a match-set kernel into a per-shard MOMENT aggregator
+    (facet_stats' kernel route): map matched doc_ids through the
+    broadcast (doc_id -> double value) arrays and emit ONE partial row
+    per shard (n_count, n_missing, v_min, v_max, v_sum) — rows leaving
+    the kernel are bounded by the shard count, never the match-set or
+    distinct-value size. Shards whose matches are all missing emit NaN
+    min/max; the outer aggregate filters those."""
+
+    cols = ["n_count", "n_missing", "v_min", "v_max", "v_sum"]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = kernel(pdf)
+        if not len(out):
+            return pd.DataFrame({c: [] for c in cols})
+        d = out["doc_id"].to_numpy(np.int64)
+        pos = np.minimum(np.searchsorted(ids, d), ids.size - 1)
+        ok = ids[pos] == d
+        v = vals[pos[ok]].astype(np.float64)
+        m = ~np.isnan(v)
+        fin = v[m]
+        res = pd.DataFrame(
+            {
+                "n_count": [np.int64(fin.size)],
+                "n_missing": [np.int64(v.size - fin.size)],
+                "v_min": [fin.min() if fin.size else np.nan],
+                "v_max": [fin.max() if fin.size else np.nan],
+                "v_sum": [fin.sum() if fin.size else 0.0],
+            }
+        )
+        if rows_counter is not None:
+            rows_counter.add(len(res))
+        return res
+
+    return run
+
+
+_STATS_COLS = (
+    "n_count long, n_missing long, v_min double, v_max double, v_sum double"
+)
+
+
+def _stats_finish(partials: DataFrame) -> DataFrame:
+    """One-row stats contract from moment partials (any granularity:
+    per-shard kernel rows or per-doc fallback rows)."""
+    nn = F.when(~F.isnan("v_min"), F.col("v_min"))
+    nx = F.when(~F.isnan("v_max"), F.col("v_max"))
+    agg = partials.agg(
+        F.coalesce(F.sum("n_count"), F.lit(0)).cast("long").alias("n_count"),
+        F.coalesce(F.sum("n_missing"), F.lit(0)).cast("long").alias("n_missing"),
+        F.min(nn).alias("v_min"),
+        F.max(nx).alias("v_max"),
+        F.coalesce(F.sum("v_sum"), F.lit(0.0)).alias("v_sum"),
+    )
+    return agg.withColumn(
+        "v_mean",
+        F.when(F.col("n_count") > 0, F.col("v_sum") / F.col("n_count")),
+    )
+
+
 def _facet_partials(
     rows_src: DataFrame,
     terms: list[str] | None,
@@ -721,12 +781,21 @@ def _facet_partials(
     ids: np.ndarray,
     vals: np.ndarray,
     rows_counter,
+    mode: str = "counts",
 ) -> DataFrame:
-    """Facet plan tail on the kernel route: per-shard (value, count)
-    partials -> one hash aggregate over <= n_values x shards rows ->
-    the facet ordering contract (n_docs desc, value asc)."""
+    """Facet plan tail on the kernel route. mode='counts' (default):
+    per-shard (value, count) partials -> one hash aggregate over
+    <= n_values x shards rows -> the facet ordering contract (n_docs
+    desc, value asc). mode='stats': per-shard moment partials -> the
+    one-row stats contract (facet_stats)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    if mode == "stats":
+        wrapped = _stats_wrap(kernel, ids, vals, rows_counter)
+        partials = _boolean_rows(
+            rows_src, terms, wrapped, shard_partitioned, schema=_STATS_COLS
+        )
+        return _stats_finish(partials)
     wrapped = _facet_wrap(kernel, ids, vals, by_field.name, rows_counter)
     schema = StructType([by_field, StructField("n_docs", LongType(), False)])
     partials = _boolean_rows(
@@ -1053,6 +1122,37 @@ def facet_counts(
     filters, or phrase clauses on this cold path (no co-located
     positions) — the kernel emits the match set and one hash aggregate
     on the joined metadata column follows."""
+    docs = store.read(spark, "docs")
+    out = _facet_values(
+        spark, store, query, docs.select("doc_id", by), by, where,
+        decode_counter, max_driver_candidates, max_driver_docs,
+        rows_counter, min_should_match,
+    )
+    return facet_empty(docs, by) if out is None else out
+
+
+def _facet_values(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    vdocs: DataFrame,
+    by: str,
+    where: str | None,
+    decode_counter,
+    max_driver_candidates: int,
+    max_driver_docs: int,
+    rows_counter,
+    min_should_match,
+    mode: str = "counts",
+):
+    """The shared facet spine: evaluate the boolean match set once and
+    aggregate a derived (doc_id, <by>) value frame over it.
+    mode='counts' returns the (value, n_docs) facet contract;
+    mode='stats' returns the one-row moment contract. Docs absent from
+    `vdocs` never count (facet_range drops out-of-range docs this
+    way). Returns None for a provably-empty match set (no `where`
+    candidates, or mm above the should count) — callers shape their
+    own empty frame."""
     from tangent_spark.plans.search import load_deleted_ids
 
     docs = store.read(spark, "docs")
@@ -1060,16 +1160,16 @@ def facet_counts(
     if where is not None:
         route, ids, cand_df = _route_filter(spark, docs, where, max_driver_candidates)
         if route == "empty":
-            return facet_empty(docs, by)
+            return None
     cfg = store.get_config()
     q = parse_boolean_query(query, cfg)
     if resolve_mm(min_should_match, len(set(q.should))) > len(set(q.should)):
-        return facet_empty(docs, by)  # mm above the should count: no hits
+        return None  # mm above the should count: no hits
     facet = None
     if cand_df is None and not (q.phrases or q.not_phrases):
-        fmap = _facet_map(docs, by, max_driver_docs)
+        fmap = _facet_map(vdocs, by, max_driver_docs)
         if fmap is not None:
-            facet = (docs.schema[by], fmap[0], fmap[1], rows_counter)
+            facet = (vdocs.schema[by], fmap[0], fmap[1], rows_counter, mode)
     cs = store.read(spark, "corpus_stats").collect()[0]
     matches = _boolean_plan(
         spark,
@@ -1089,8 +1189,125 @@ def facet_counts(
         min_should_match=min_should_match,
     )
     if facet is not None:
-        return matches  # already (by, n_docs) in the facet contract order
-    return facet_aggregate(matches, docs, by)
+        return matches  # already in the mode's contract shape
+    if mode == "stats":
+        v = F.col(by)
+        miss = v.isNull() | F.isnan(v)
+        per_doc = matches.select("doc_id").join(vdocs, "doc_id").select(
+            F.when(miss, 0).otherwise(1).cast("long").alias("n_count"),
+            F.when(miss, 1).otherwise(0).cast("long").alias("n_missing"),
+            F.when(~miss, v).otherwise(F.lit(float("nan"))).alias("v_min"),
+            F.when(~miss, v).otherwise(F.lit(float("nan"))).alias("v_max"),
+            F.when(~miss, v).otherwise(F.lit(0.0)).alias("v_sum"),
+        )
+        return _stats_finish(per_doc)
+    return facet_aggregate(matches, vdocs, by)
+
+
+def facet_range(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: str,
+    start: float,
+    end: float,
+    gap: float,
+    where: str | None = None,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+    max_driver_docs: int = 1_000_000,
+    rows_counter=None,
+    min_should_match=0,
+) -> DataFrame:
+    """Solr `facet.range` over the boolean match set: hit counts per
+    half-open numeric bucket [start + i*gap, start + (i+1)*gap), for
+    start <= value < end. Returns EVERY bucket in range order with
+    zero-filled gaps — (bucket double, n_docs long), bucket asc — the
+    Solr range-facet shape. Docs with NULL or out-of-range values do
+    not count (Solr's `other=before/after` is expressible as two
+    `where` range filters). Date fields facet via a numeric
+    derivation (epoch column) in the docs dictionary.
+
+    Plan shape: identical to facet_counts — the (doc_id -> bucket) map
+    is derived from the docs dictionary with the SAME bucket arithmetic
+    the spine uses (start + k*gap in double, so the equi-join keys are
+    bit-identical) and broadcast into the kernel when it fits; each
+    shard then moves only (bucket, count) partials, bounded by
+    n_buckets x shards."""
+    import math
+
+    if gap <= 0 or end <= start:
+        raise ValueError("facet_range needs gap > 0 and end > start")
+    s, g, e = float(start), float(gap), float(end)
+    docs = store.read(spark, "docs")
+    v = F.col(by).cast("double")
+    bucket = F.when(
+        (v >= s) & (v < e), F.lit(s) + F.floor((v - F.lit(s)) / g) * g
+    )
+    vdocs = (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+    )
+    counts = _facet_values(
+        spark, store, query, vdocs, "bucket", where, decode_counter,
+        max_driver_candidates, max_driver_docs, rows_counter,
+        min_should_match,
+    )
+    n_buckets = int(math.ceil((e - s) / g))
+    spine = spark.range(n_buckets).select(
+        (F.lit(s) + F.col("id").cast("double") * g).alias("bucket")
+    )
+    if counts is None:
+        return spine.select(
+            "bucket", F.lit(0).cast("long").alias("n_docs")
+        ).orderBy("bucket")
+    return (
+        spine.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def facet_stats(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: str,
+    where: str | None = None,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+    max_driver_docs: int = 1_000_000,
+    rows_counter=None,
+    min_should_match=0,
+) -> DataFrame:
+    """Solr StatsComponent over the boolean match set: ONE row
+    (n_count, n_missing, v_min, v_max, v_sum, v_mean) of the numeric
+    metadata column `by` across matching docs — n_missing counts
+    matches whose value is NULL/NaN; min/max/sum/mean are over the
+    rest (v_min/v_max NULL and v_mean NULL when nothing counted).
+
+    Plan shape: the same broadcast value-map route as facet_counts,
+    but the kernel emits MOMENT partials — one row per shard
+    (n, missing, min, max, sum) — so rows moved are bounded by the
+    shard count regardless of the value cardinality (a high-cardinality
+    double column costs the same as a boolean one). Fallback routes
+    (huge dictionary, broad `where`, phrases) aggregate per-doc rows
+    declaratively."""
+    docs = store.read(spark, "docs")
+    vdocs = docs.select("doc_id", F.col(by).cast("double").alias("val"))
+    out = _facet_values(
+        spark, store, query, vdocs, "val", where, decode_counter,
+        max_driver_candidates, max_driver_docs, rows_counter,
+        min_should_match, mode="stats",
+    )
+    if out is None:
+        return _stats_finish(
+            spark.createDataFrame([], _STATS_COLS)
+        )
+    return out
 
 
 def _route_filter(

@@ -1,0 +1,213 @@
+"""Range facets (Solr facet.range) and stats facets (Solr
+StatsComponent) over the boolean match set — plans/boolean.facet_range
+/ facet_stats.
+
+Ground truth for every test is set algebra over the corpus: the match
+set recomputed with boolean_topk (exhaustive k), bucketed/aggregated
+declaratively. The reference outsourced its facet surface to Solr
+(SURVEY S12); these are the numeric halves of that panel, Spark-native.
+
+Scale contract under test: the stats kernel route moves ONE moment
+partial per shard (rows_counter-asserted), never match-set- or
+distinct-value-sized rows; range buckets ride the same (value, count)
+partial route as facet_counts.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tangent_spark.config import IndexConfig
+from tangent_spark.corpus import generate_pages, pages_with_doc_ids
+from tangent_spark.plans.boolean import (
+    boolean_topk,
+    facet_range,
+    facet_stats,
+)
+from tangent_spark.plans.indexer import build_index
+
+CFG = IndexConfig(n_shards=4, block_size=16, meta_cols=("lang", "n_words"))
+N = 150
+QUERIES = ["matrix convergence theorem", "matrix +theorem", "series -matrix"]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    p = pages_with_doc_ids(generate_pages(spark, N, partitions=4))
+    # numeric metadata with some NULLs (every 11th doc) so missing
+    # semantics are exercised end to end
+    return p.withColumn(
+        "n_words",
+        F.when(
+            F.col("doc_id") % 11 == 3, F.lit(None)
+        ).otherwise(F.size(F.split(F.col("text"), r"\s+"))),
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def store(spark, pages, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("frange"))
+    return build_index(spark, pages, f"{base}/idx", CFG, url_col="url")
+
+
+def _match_meta(spark, store, pages, query, where=None):
+    # k=N is exhaustive on this corpus (the same convention as
+    # test_filtered's oracles)
+    m = boolean_topk(spark, store, query, N).select("doc_id")
+    j = m.join(pages.select("doc_id", "lang", "n_words"), "doc_id")
+    return j.filter(where) if where else j
+
+
+START, END, GAP = 0.0, 200.0, 25.0
+
+
+def _range_oracle(spark, store, pages, query, where=None):
+    j = _match_meta(spark, store, pages, query, where)
+    got = {
+        r["bucket"]: r["n"]
+        for r in j.filter(
+            F.col("n_words").isNotNull()
+            & (F.col("n_words") >= START)
+            & (F.col("n_words") < END)
+        )
+        .withColumn(
+            "bucket", (F.floor(F.col("n_words") / GAP) * GAP).cast("double")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_buckets = int(math.ceil((END - START) / GAP))
+    return [
+        (START + i * GAP, got.get(START + i * GAP, 0))
+        for i in range(n_buckets)
+    ]
+
+
+def _stats_oracle(spark, store, pages, query, where=None):
+    j = _match_meta(spark, store, pages, query, where)
+    r = j.agg(
+        F.count(F.col("n_words")).alias("n_count"),
+        F.sum(F.when(F.col("n_words").isNull(), 1).otherwise(0)).alias(
+            "n_missing"
+        ),
+        F.min("n_words").alias("v_min"),
+        F.max("n_words").alias("v_max"),
+        F.sum("n_words").alias("v_sum"),
+        F.avg("n_words").alias("v_mean"),
+    ).collect()[0]
+    return (
+        int(r["n_count"]),
+        int(r["n_missing"] or 0),
+        None if r["v_min"] is None else float(r["v_min"]),
+        None if r["v_max"] is None else float(r["v_max"]),
+        0.0 if r["v_sum"] is None else float(r["v_sum"]),
+        None if r["v_mean"] is None else round(float(r["v_mean"]), 9),
+    )
+
+
+def _stats_row(df):
+    r = df.collect()[0]
+    return (
+        int(r["n_count"]),
+        int(r["n_missing"]),
+        r["v_min"],
+        r["v_max"],
+        float(r["v_sum"]),
+        None if r["v_mean"] is None else round(float(r["v_mean"]), 9),
+    )
+
+
+def test_facet_range_matches_set_algebra(spark, store, pages):
+    for q in QUERIES:
+        got = [
+            (r["bucket"], r["n_docs"])
+            for r in facet_range(
+                spark, store, q, "n_words", START, END, GAP
+            ).collect()
+        ]
+        assert got == _range_oracle(spark, store, pages, q), q
+        # contract shape: every bucket present, in order, zero-filled
+        assert [b for b, _ in got] == [
+            START + i * GAP for i in range(int((END - START) / GAP))
+        ]
+
+
+def test_facet_stats_matches_set_algebra(spark, store, pages):
+    missing_seen = 0
+    for q in QUERIES:
+        got = _stats_row(facet_stats(spark, store, q, "n_words"))
+        assert got == _stats_oracle(spark, store, pages, q), q
+        missing_seen += got[1]
+    assert missing_seen > 0, "fixture should exercise missing values"
+
+
+def test_range_and_stats_compose_with_where(spark, store, pages):
+    q, where = QUERIES[0], "lang = 'en'"
+    got = [
+        (r["bucket"], r["n_docs"])
+        for r in facet_range(
+            spark, store, q, "n_words", START, END, GAP, where=where
+        ).collect()
+    ]
+    assert got == _range_oracle(spark, store, pages, q, where)
+    gs = _stats_row(facet_stats(spark, store, q, "n_words", where=where))
+    assert gs == _stats_oracle(spark, store, pages, q, where)
+
+
+def test_kernel_and_fallback_routes_identical(spark, store, pages):
+    """max_driver_docs=1 forces the match-set fallback; both routes
+    must produce identical contracts."""
+    q = QUERIES[1]
+    kern = [
+        (r["bucket"], r["n_docs"])
+        for r in facet_range(
+            spark, store, q, "n_words", START, END, GAP
+        ).collect()
+    ]
+    fall = [
+        (r["bucket"], r["n_docs"])
+        for r in facet_range(
+            spark, store, q, "n_words", START, END, GAP, max_driver_docs=1
+        ).collect()
+    ]
+    assert kern == fall
+    ks = _stats_row(facet_stats(spark, store, q, "n_words"))
+    fs = _stats_row(
+        facet_stats(spark, store, q, "n_words", max_driver_docs=1)
+    )
+    assert ks == fs
+
+
+def test_stats_partials_bounded_by_shards(spark, store):
+    """The moment-partial contract: rows leaving the stats kernel are
+    bounded by the shard count even though n_words has many distinct
+    values — the 100 TB argument, accumulator-measured."""
+    acc = spark.sparkContext.accumulator(0)
+    facet_stats(spark, store, QUERIES[0], "n_words", rows_counter=acc).collect()
+    assert 0 < acc.value <= CFG.n_shards
+
+
+def test_empty_match_set_shapes(spark, store):
+    got = [
+        (r["bucket"], r["n_docs"])
+        for r in facet_range(
+            spark, store, QUERIES[0], "n_words", START, END, GAP,
+            where="lang = 'zz'",
+        ).collect()
+    ]
+    assert got == [
+        (START + i * GAP, 0) for i in range(int((END - START) / GAP))
+    ]
+    gs = _stats_row(
+        facet_stats(spark, store, QUERIES[0], "n_words", where="lang = 'zz'")
+    )
+    assert gs == (0, 0, None, None, 0.0, None)
+
+
+def test_facet_range_validates_arguments(spark, store):
+    with pytest.raises(ValueError):
+        facet_range(spark, store, QUERIES[0], "n_words", 0, 100, 0)
+    with pytest.raises(ValueError):
+        facet_range(spark, store, QUERIES[0], "n_words", 100, 0, 10)
