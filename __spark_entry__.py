@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts_lang": eq.facet_counts_lang,
         "facet_range_nchars": eq.facet_range_nchars,  # phases: all + en
         "facet_stats_nchars": eq.facet_stats_nchars,
+        "facet_pivot_counts": eq.facet_pivot_counts,
+        "elevated_bm25_topk": eq.elevated_bm25_topk,
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
         "tpch_q1": eq.tpch_q1,
@@ -842,6 +844,44 @@ def oracle_sql() -> dict[str, str]:
             "min(n_chars)::DOUBLE AS v_min, max(n_chars)::DOUBLE AS v_max, "
             "sum(n_chars)::DOUBLE AS v_sum, "
             "round(avg(n_chars), 4)::DOUBLE AS v_mean FROM j"
+        ),
+        # two-level pivot over the same match set: (lang, source) hit
+        # counts, n_docs desc then values asc; NULL pairs skipped
+        "facet_pivot_counts": (
+            f"WITH {_TOK}, "
+            "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark' "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')) "
+            "SELECT d.lang, d.source, count(*)::BIGINT AS n_docs "
+            "FROM m JOIN documents d USING (doc_id) "
+            "WHERE d.lang IS NOT NULL AND d.source IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY n_docs DESC, lang ASC, source ASC"
+        ),
+        # query elevation: docs 7 and 3 pinned to ranks 1-2 in that
+        # order with their real BM25 scores (from the FULL score table,
+        # not the top-k window), organic results minus the pins fill
+        # ranks 3-10
+        "elevated_bm25_topk": (
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "m AS (SELECT * FROM tf WHERE term IN ('data','query','spark')), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "sc AS (SELECT m.doc_id, sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ") AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id), "
+            "pins(rank, doc_id) AS (VALUES (1, 7), (2, 3)), "
+            "head AS (SELECT pins.rank::INT AS rank, pins.doc_id::BIGINT AS doc_id, "
+            "  round(sc.score, 4)::DOUBLE AS score, TRUE AS elevated "
+            "  FROM pins LEFT JOIN sc USING (doc_id)), "
+            "org AS (SELECT doc_id, score FROM sc "
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM pins) "
+            "  ORDER BY score DESC, doc_id ASC LIMIT 8), "
+            "tail AS (SELECT (row_number() OVER (ORDER BY score DESC, doc_id ASC) + 2)::INT AS rank, "
+            "  doc_id::BIGINT AS doc_id, round(score, 4)::DOUBLE AS score, FALSE AS elevated FROM org) "
+            "SELECT rank, doc_id, score, elevated FROM head "
+            "UNION ALL SELECT rank, doc_id, score, elevated FROM tail"
         ),
         # query assist, both surfaces off the same vocabulary:
         # 'suggest' = prefix completion (df = docs containing the term,

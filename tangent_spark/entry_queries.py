@@ -1767,3 +1767,66 @@ def facet_stats_nchars(spark, sf_dir):
         "n_count long, n_missing long, v_min double, v_max double, "
         "v_sum double, v_mean double",
     )
+
+
+def facet_pivot_counts(spark, sf_dir):
+    """Two-level pivot facet (Solr facet.pivot) through the REAL kernel
+    route (plans/boolean.facet_pivot): (lang, source) hit-count pairs
+    over the `data +spark -join` match set, flattened n_docs desc then
+    values asc. The pair rides the kernel as ONE composite value;
+    typed columns are restored by a broadcast join against the
+    dictionary's distinct pairs."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.boolean import facet_pivot
+
+    base = tempfile.mkdtemp(prefix="tangent_fpivot_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, meta=("lang", "source"))
+        out = [
+            (r["lang"], r["source"], int(r["n_docs"]))
+            for r in facet_pivot(
+                spark, store, FACET_RANGE_QUERY, ("lang", "source")
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "lang string, source string, n_docs long"
+    )
+
+
+ELEV_QUERY = "data query spark"
+ELEV_PINS = [7, 3]
+
+
+def elevated_bm25_topk(spark, sf_dir):
+    """Query elevation (Solr QueryElevationComponent) through the REAL
+    serving paths (plans/search.elevated_topk): docs 7 and 3 pinned to
+    ranks 1-2 in that order (real BM25 scores — the candidate-routed
+    boolean kernel scores exactly the pinned set), organic WAND
+    results fill ranks 3-10 with the pinned docs removed."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.search import elevated_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_elev_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            (
+                int(r["rank"]), int(r["doc_id"]),
+                None if r["score"] is None else round(float(r["score"]), 4),
+                bool(r["elevated"]),
+            )
+            for r in elevated_topk(
+                spark, store, ELEV_QUERY, 10, ELEV_PINS
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "rank int, doc_id long, score double, elevated boolean"
+    )

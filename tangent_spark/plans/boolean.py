@@ -1271,6 +1271,58 @@ def facet_range(
     )
 
 
+_PIVOT_SEP = "\x1f"
+
+
+def facet_pivot(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: tuple[str, str],
+    where: str | None = None,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+    max_driver_docs: int = 1_000_000,
+    rows_counter=None,
+    min_should_match=0,
+) -> DataFrame:
+    """Solr `facet.pivot` (two-level): hit counts per (parent, child)
+    metadata value pair over the boolean match set, flattened to
+    (<parent>, <child>, n_docs) rows — n_docs desc, then parent asc,
+    child asc. Docs with a NULL in either pivot column do not count
+    (Solr pivots skip missing buckets).
+
+    Plan shape: the pair is encoded as one composite value
+    (US-separated string) so it rides the SAME broadcast value-map
+    kernel route as facet_counts — each shard moves only
+    (pair, count) partials, bounded by the pivot cardinality x shards;
+    the typed columns are restored by a broadcast join against the
+    dictionary's distinct pairs (facet-cardinality-sized)."""
+    c1, c2 = by
+    docs = store.read(spark, "docs")
+    both = F.col(c1).isNotNull() & F.col(c2).isNotNull()
+    enc = F.concat(
+        F.col(c1).cast("string"), F.lit(_PIVOT_SEP), F.col(c2).cast("string")
+    )
+    vdocs = docs.filter(both).select("doc_id", enc.alias("pv"))
+    counts = _facet_values(
+        spark, store, query, vdocs, "pv", where, decode_counter,
+        max_driver_candidates, max_driver_docs, rows_counter,
+        min_should_match,
+    )
+    pairs = docs.filter(both).select(c1, c2, enc.alias("pv")).distinct()
+    empty = pairs.select(c1, c2).limit(0).withColumn(
+        "n_docs", F.lit(0).cast("long")
+    )
+    if counts is None:
+        return empty
+    return (
+        counts.join(F.broadcast(pairs), "pv")
+        .select(c1, c2, F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(c1), F.asc(c2))
+    )
+
+
 def facet_stats(
     spark: SparkSession,
     store: IndexStore,

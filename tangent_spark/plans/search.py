@@ -755,6 +755,84 @@ def bm25_topk_synonyms(
     )
 
 
+def elevated_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    pinned: list[int],
+) -> DataFrame:
+    """Query elevation (Solr QueryElevationComponent / editorial
+    pinning): `pinned` doc ids occupy the first ranks IN THE GIVEN
+    ORDER — included whether or not they match the query, flagged
+    `elevated` — and organic BM25 results (pinned docs removed) fill
+    the remaining slots. Returns (rank, doc_id, score, elevated):
+    elevated docs keep their real BM25 score when they match (NULL
+    otherwise); organic ranks continue after the elevated block in the
+    usual score desc, doc_id asc order. Deleted docs are never
+    resurrected by elevation.
+
+    Scale shape: scoring the elevated block reuses the boolean
+    kernel's candidate route (ext_cand = the pinned ids — shard
+    pruning + block skips, decode bounded by the pinned set); the
+    organic tail is one standard block-max WAND job. The final rank
+    stitch windows over <= k + |pinned| rows."""
+    from pyspark.sql.window import Window
+
+    from tangent_spark.plans.boolean import _boolean_plan
+
+    deleted = load_deleted_ids(spark, store)
+
+    def _is_deleted(d: int) -> bool:
+        i = int(np.searchsorted(deleted, d))
+        return i < deleted.size and int(deleted[i]) == d
+
+    live = [
+        d for d in dict.fromkeys(int(p) for p in pinned) if not _is_deleted(d)
+    ]
+    organic = bm25_topk_wand(spark, store, query, k + len(live))
+    if not live:
+        return organic.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        ).select("rank", "doc_id", "score", F.lit(False).alias("elevated")) \
+            .filter(F.col("rank") <= k)
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    cand = np.array(sorted(live), dtype=np.int64)
+    pscores = _boolean_plan(
+        spark,
+        store,
+        query,
+        len(live),
+        postings=spark.read.parquet(store.path("postings")),
+        term_stats=spark.read.parquet(store.path("term_stats")),
+        n_docs=int(cs["n_docs"]),
+        avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        deleted=deleted,
+        ext_cand=cand,
+    )
+    pin_df = spark.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(live)], "rank int, doc_id long"
+    )
+    head = pin_df.join(pscores.select("doc_id", "score"), "doc_id", "left") \
+        .select("rank", "doc_id", "score", F.lit(True).alias("elevated"))
+    tail = (
+        organic.join(pin_df.select("doc_id"), "doc_id", "left_anti")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            )
+            + F.lit(len(live)),
+        )
+        .select("rank", "doc_id", "score", F.lit(False).alias("elevated"))
+        .filter(F.col("rank") <= k)
+    )
+    return head.union(tail).orderBy("rank")
+
+
 def explain_score(
     spark: SparkSession,
     store: IndexStore,

@@ -211,3 +211,62 @@ def test_facet_range_validates_arguments(spark, store):
         facet_range(spark, store, QUERIES[0], "n_words", 0, 100, 0)
     with pytest.raises(ValueError):
         facet_range(spark, store, QUERIES[0], "n_words", 100, 0, 10)
+
+
+# --- pivot facets -------------------------------------------------------------
+
+def _pivot_oracle(spark, store, pages, query, where=None):
+    j = _match_meta(spark, store, pages, query, where)
+    return [
+        (r["lang"], r["n_words"], r["n"])
+        for r in j.filter(
+            F.col("lang").isNotNull() & F.col("n_words").isNotNull()
+        )
+        .groupBy("lang", "n_words")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("lang"), F.asc("n_words"))
+        .collect()
+    ]
+
+
+def test_facet_pivot_matches_set_algebra(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_pivot
+
+    for q in QUERIES:
+        got = [
+            (r["lang"], r["n_words"], r["n_docs"])
+            for r in facet_pivot(
+                spark, store, q, ("lang", "n_words")
+            ).collect()
+        ]
+        assert got == _pivot_oracle(spark, store, pages, q), q
+    # typed columns survive the composite-encoding round trip
+    df = facet_pivot(spark, store, QUERIES[0], ("lang", "n_words"))
+    kinds = dict(df.dtypes)
+    assert kinds["lang"] == "string" and kinds["n_words"] in ("int", "bigint")
+
+
+def test_facet_pivot_where_and_fallback(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_pivot
+
+    q, where = QUERIES[1], "lang = 'en'"
+    kern = [
+        (r["lang"], r["n_words"], r["n_docs"])
+        for r in facet_pivot(
+            spark, store, q, ("lang", "n_words"), where=where
+        ).collect()
+    ]
+    assert kern == _pivot_oracle(spark, store, pages, q, where)
+    fall = [
+        (r["lang"], r["n_words"], r["n_docs"])
+        for r in facet_pivot(
+            spark, store, q, ("lang", "n_words"), where=where,
+            max_driver_docs=1,
+        ).collect()
+    ]
+    assert kern == fall
+    # empty match set keeps the typed empty shape
+    empty = facet_pivot(
+        spark, store, q, ("lang", "n_words"), where="lang = 'zz'"
+    )
+    assert empty.count() == 0 and empty.columns == ["lang", "n_words", "n_docs"]
