@@ -99,6 +99,7 @@ def search(
     sort_ascending: bool = False,
     recency_boost: dict | None = None,
     min_should_match=0,
+    pinned: list[int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -131,6 +132,12 @@ def search(
       * recency_boost={'by': ts_col, 'now': datetime, ...} — kwargs
         for plans.search.boosted_topk (Solr boost=recip: BM25 x
         1/(1 + age/half_life)); combinable with `after`.
+      * pinned=[doc_id, ...] — query elevation (Solr
+        QueryElevationComponent): the given ids occupy the first ranks
+        in order, organic results fill the rest; returns the elevation
+        contract columns (rank, doc_id, score, elevated), not the
+        plain (doc_id, score) shape. Combines with no other shaping
+        option.
       * min_should_match — Solr mm spec (int, '-n', 'p%', '-p%'; see
         plans.boolean.resolve_mm): matches must contain at least that
         many DISTINCT should terms; serves the bm25/boolean routes
@@ -165,6 +172,7 @@ def search(
                 ("boosts", boosts is not None),
                 ("synonyms", synonyms is not None),
                 ("recency_boost", recency_boost is not None),
+                ("pinned", pinned is not None),
             )
             if on
         ]
@@ -187,6 +195,7 @@ def search(
             ("synonyms", synonyms is not None),
             ("sort_by", sort_by is not None),
             ("recency_boost", recency_boost is not None),
+            ("pinned", pinned is not None),
         )
         if on
     ]
@@ -330,9 +339,18 @@ def search(
         return boolean_topk(
             spark, stores.words, query, k, min_should_match=min_should_match
         )
+    if pinned is not None:
+        if shaping != ["pinned"]:
+            raise ValueError(
+                "pinned elevation combines with no other shaping option"
+            )
+        from tangent_spark.plans.search import elevated_topk
+
+        return elevated_topk(spark, stores.words, query, k, pinned)
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \
-                or after is not None or recency_boost is not None:
+                or after is not None or recency_boost is not None \
+                or pinned is not None:
             raise ValueError("sort_by is not combinable with other shaping options")
         from tangent_spark.plans.sortby import sorted_topk
 

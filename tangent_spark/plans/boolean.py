@@ -1191,17 +1191,22 @@ def _facet_values(
     if facet is not None:
         return matches  # already in the mode's contract shape
     if mode == "stats":
-        v = F.col(by)
-        miss = v.isNull() | F.isnan(v)
-        per_doc = matches.select("doc_id").join(vdocs, "doc_id").select(
-            F.when(miss, 0).otherwise(1).cast("long").alias("n_count"),
-            F.when(miss, 1).otherwise(0).cast("long").alias("n_missing"),
-            F.when(~miss, v).otherwise(F.lit(float("nan"))).alias("v_min"),
-            F.when(~miss, v).otherwise(F.lit(float("nan"))).alias("v_max"),
-            F.when(~miss, v).otherwise(F.lit(0.0)).alias("v_sum"),
-        )
-        return _stats_finish(per_doc)
+        return _stats_finish(_stats_per_doc(matches, vdocs, by))
     return facet_aggregate(matches, vdocs, by)
+
+
+def _stats_per_doc(matches: DataFrame, vdocs: DataFrame, by: str) -> DataFrame:
+    """Per-doc moment rows over a match set — the stats fallback route
+    (shared by cold facet_stats and the warm Searcher variant)."""
+    v = F.col(by)
+    miss = v.isNull() | F.isnan(v)
+    return matches.select("doc_id").join(vdocs, "doc_id").select(
+        F.when(miss, 0).otherwise(1).cast("long").alias("n_count"),
+        F.when(miss, 1).otherwise(0).cast("long").alias("n_missing"),
+        F.when(~miss, v).otherwise(F.lit(float("nan"))).alias("v_min"),
+        F.when(~miss, v).otherwise(F.lit(float("nan"))).alias("v_max"),
+        F.when(~miss, v).otherwise(F.lit(0.0)).alias("v_sum"),
+    )
 
 
 def facet_range(
@@ -1234,25 +1239,44 @@ def facet_range(
     bit-identical) and broadcast into the kernel when it fits; each
     shard then moves only (bucket, count) partials, bounded by
     n_buckets x shards."""
-    import math
-
-    if gap <= 0 or end <= start:
-        raise ValueError("facet_range needs gap > 0 and end > start")
-    s, g, e = float(start), float(gap), float(end)
-    docs = store.read(spark, "docs")
-    v = F.col(by).cast("double")
-    bucket = F.when(
-        (v >= s) & (v < e), F.lit(s) + F.floor((v - F.lit(s)) / g) * g
-    )
-    vdocs = (
-        docs.select("doc_id", bucket.alias("bucket"))
-        .filter(F.col("bucket").isNotNull())
-    )
+    s, e, g = _range_args(start, end, gap)
+    vdocs = range_bucket_vdocs(store.read(spark, "docs"), by, s, e, g)
     counts = _facet_values(
         spark, store, query, vdocs, "bucket", where, decode_counter,
         max_driver_candidates, max_driver_docs, rows_counter,
         min_should_match,
     )
+    return range_shape(spark, counts, s, e, g)
+
+
+def _range_args(start, end, gap) -> tuple[float, float, float]:
+    if gap <= 0 or end <= start:
+        raise ValueError("facet_range needs gap > 0 and end > start")
+    return float(start), float(end), float(gap)
+
+
+def range_bucket_vdocs(
+    docs: DataFrame, by: str, s: float, e: float, g: float
+) -> DataFrame:
+    """(doc_id, bucket) over in-range docs — bucket = s + k*g in double
+    arithmetic, the SAME expression range_shape's spine uses, so the
+    final equi-join keys are bit-identical."""
+    v = F.col(by).cast("double")
+    bucket = F.when(
+        (v >= s) & (v < e), F.lit(s) + F.floor((v - F.lit(s)) / g) * g
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+    )
+
+
+def range_shape(spark: SparkSession, counts, s: float, e: float, g: float):
+    """Zero-fill (bucket, n_docs) counts onto the full bucket spine in
+    range order; counts=None (provably-empty match set) yields the
+    all-zero spine."""
+    import math
+
     n_buckets = int(math.ceil((e - s) / g))
     spine = spark.range(n_buckets).select(
         (F.lit(s) + F.col("id").cast("double") * g).alias("bucket")
@@ -1300,22 +1324,41 @@ def facet_pivot(
     dictionary's distinct pairs (facet-cardinality-sized)."""
     c1, c2 = by
     docs = store.read(spark, "docs")
-    both = F.col(c1).isNotNull() & F.col(c2).isNotNull()
-    enc = F.concat(
-        F.col(c1).cast("string"), F.lit(_PIVOT_SEP), F.col(c2).cast("string")
-    )
-    vdocs = docs.filter(both).select("doc_id", enc.alias("pv"))
+    vdocs = pivot_vdocs(docs, c1, c2)
     counts = _facet_values(
         spark, store, query, vdocs, "pv", where, decode_counter,
         max_driver_candidates, max_driver_docs, rows_counter,
         min_should_match,
     )
-    pairs = docs.filter(both).select(c1, c2, enc.alias("pv")).distinct()
-    empty = pairs.select(c1, c2).limit(0).withColumn(
-        "n_docs", F.lit(0).cast("long")
+    return pivot_shape(docs, counts, c1, c2)
+
+
+def _pivot_enc(c1: str, c2: str):
+    return F.concat(
+        F.col(c1).cast("string"), F.lit(_PIVOT_SEP), F.col(c2).cast("string")
     )
+
+
+def pivot_vdocs(docs: DataFrame, c1: str, c2: str) -> DataFrame:
+    """(doc_id, pv) — the composite pivot value over docs with BOTH
+    columns present (Solr pivots skip missing buckets)."""
+    both = F.col(c1).isNotNull() & F.col(c2).isNotNull()
+    return docs.filter(both).select("doc_id", _pivot_enc(c1, c2).alias("pv"))
+
+
+def pivot_shape(docs: DataFrame, counts, c1: str, c2: str) -> DataFrame:
+    """Restore typed (parent, child) columns from composite counts via
+    a broadcast join against the dictionary's distinct pairs; the
+    pivot ordering contract (n_docs desc, values asc). counts=None
+    (provably-empty match set) yields the typed empty frame."""
+    both = F.col(c1).isNotNull() & F.col(c2).isNotNull()
+    pairs = docs.filter(both).select(
+        c1, c2, _pivot_enc(c1, c2).alias("pv")
+    ).distinct()
     if counts is None:
-        return empty
+        return pairs.select(c1, c2).limit(0).withColumn(
+            "n_docs", F.lit(0).cast("long")
+        )
     return (
         counts.join(F.broadcast(pairs), "pv")
         .select(c1, c2, F.col("n_docs").cast("long").alias("n_docs"))

@@ -1463,36 +1463,72 @@ class Searcher:
         (value, count) partials out of the kernel; phrase clauses stay
         on the kernel route here because the serving cache co-locates
         positions."""
+        from tangent_spark.plans.boolean import facet_empty
+
+        out = self._facet_spine(
+            query, None, by, (by,), where, decode_counter,
+            max_driver_candidates, max_driver_docs, rows_counter,
+            min_should_match,
+        )
+        return facet_empty(self._warm_docs(), by) if out is None else out
+
+    def _warm_docs(self) -> DataFrame:
+        if self._docs is None:
+            self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
+        return self._docs
+
+    def _facet_spine(
+        self,
+        query: str,
+        vdocs,
+        by: str,
+        map_key: tuple,
+        where,
+        decode_counter,
+        max_driver_candidates: int,
+        max_driver_docs: int,
+        rows_counter,
+        min_should_match,
+        mode: str = "counts",
+    ):
+        """Warm twin of plans.boolean._facet_values, served off the
+        cached postings/positions and the per-key facet-map cache.
+        `vdocs=None` facets the docs dictionary column `by` directly;
+        a derived (doc_id, <by>) frame (range buckets, pivot pairs,
+        stats values) otherwise. Returns None for a provably-empty
+        match set — callers shape their own empty frame."""
         from tangent_spark.plans.boolean import (
             _boolean_plan,
             _facet_map,
+            _stats_finish,
+            _stats_per_doc,
             facet_aggregate,
-            facet_empty,
             parse_boolean_query,
             resolve_mm,
         )
 
-        if self._docs is None:
-            self._docs = self.spark.read.parquet(self.store.path("docs")).persist()
+        docs = self._warm_docs()
+        if vdocs is None:
+            vdocs = docs.select("doc_id", by)
         ids, cand_df = None, None
         if where is not None:
             route, ids, cand_df = self._route_filter_cached(
                 where, max_driver_candidates
             )
             if route == "empty":
-                return facet_empty(self._docs, by)
+                return None
         q = parse_boolean_query(query, self.cfg)
         if resolve_mm(min_should_match, len(set(q.should))) > len(set(q.should)):
-            return facet_empty(self._docs, by)  # mm above the should count
+            return None  # mm above the should count
         has_phrases = bool(q.phrases or q.not_phrases)
         facet = None
         if cand_df is None and (not has_phrases or self._has_positions):
-            key = (by, max_driver_docs)
+            key = (*map_key, max_driver_docs)
             if key not in self._facet_maps:
-                self._facet_maps[key] = _facet_map(self._docs, by, max_driver_docs)
+                self._facet_maps[key] = _facet_map(vdocs, by, max_driver_docs)
             fmap = self._facet_maps[key]
             if fmap is not None:
-                facet = (self._docs.schema[by], fmap[0], fmap[1], rows_counter)
+                facet = (vdocs.schema[by], fmap[0], fmap[1], rows_counter, mode)
         matches = _boolean_plan(
             self.spark,
             self.store,
@@ -1516,7 +1552,97 @@ class Searcher:
         )
         if facet is not None:
             return matches
-        return facet_aggregate(matches, self._docs, by)
+        if mode == "stats":
+            return _stats_finish(_stats_per_doc(matches, vdocs, by))
+        return facet_aggregate(matches, vdocs, by)
+
+    def facet_range(
+        self,
+        query: str,
+        by: str,
+        start: float,
+        end: float,
+        gap: float,
+        where: str | None = None,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+        max_driver_docs: int = 1_000_000,
+        rows_counter=None,
+        min_should_match=0,
+    ) -> DataFrame:
+        """Warm numeric range facet — same contract as
+        plans.boolean.facet_range (zero-filled half-open buckets in
+        range order), served off the cached postings; the bucket map is
+        cached per (column, start, end, gap) like the filter cache."""
+        from tangent_spark.plans.boolean import (
+            _range_args,
+            range_bucket_vdocs,
+            range_shape,
+        )
+
+        s, e, g = _range_args(start, end, gap)
+        vdocs = range_bucket_vdocs(self._warm_docs(), by, s, e, g)
+        counts = self._facet_spine(
+            query, vdocs, "bucket", ("range", by, s, e, g), where,
+            decode_counter, max_driver_candidates, max_driver_docs,
+            rows_counter, min_should_match,
+        )
+        return range_shape(self.spark, counts, s, e, g)
+
+    def facet_stats(
+        self,
+        query: str,
+        by: str,
+        where: str | None = None,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+        max_driver_docs: int = 1_000_000,
+        rows_counter=None,
+        min_should_match=0,
+    ) -> DataFrame:
+        """Warm stats facet — same one-row moment contract as
+        plans.boolean.facet_stats, one moment partial per shard on the
+        kernel route."""
+        from tangent_spark.plans.boolean import (
+            _STATS_COLS,
+            _stats_finish,
+        )
+
+        vdocs = self._warm_docs().select(
+            "doc_id", F.col(by).cast("double").alias("val")
+        )
+        out = self._facet_spine(
+            query, vdocs, "val", ("stats", by), where, decode_counter,
+            max_driver_candidates, max_driver_docs, rows_counter,
+            min_should_match, mode="stats",
+        )
+        if out is None:
+            return _stats_finish(self.spark.createDataFrame([], _STATS_COLS))
+        return out
+
+    def facet_pivot(
+        self,
+        query: str,
+        by: tuple[str, str],
+        where: str | None = None,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+        max_driver_docs: int = 1_000_000,
+        rows_counter=None,
+        min_should_match=0,
+    ) -> DataFrame:
+        """Warm two-level pivot facet — same flattened (parent, child,
+        n_docs) contract as plans.boolean.facet_pivot."""
+        from tangent_spark.plans.boolean import pivot_shape, pivot_vdocs
+
+        c1, c2 = by
+        docs = self._warm_docs()
+        counts = self._facet_spine(
+            query, pivot_vdocs(docs, c1, c2), "pv", ("pivot", c1, c2),
+            where, decode_counter, max_driver_candidates, max_driver_docs,
+            rows_counter, min_should_match,
+        )
+        return pivot_shape(docs, counts, c1, c2)
 
     def _warm_positions(self) -> DataFrame:
         if self.positions is not None:

@@ -114,3 +114,27 @@ def test_deleted_pin_never_resurrected(spark, pages, store, tmp_path_factory):
     got = elevated_topk(spark, s2, Q, 5, [victim]).collect()
     assert victim not in [int(r["doc_id"]) for r in got]
     assert all(not r["elevated"] for r in got)
+
+
+def test_api_pinned_route(spark, store):
+    import pytest as _pytest
+
+    from tangent_spark import api
+
+    org = _organic(spark, store, 10)
+    pins = [org[3][0]]
+    via_api = [
+        (r["rank"], int(r["doc_id"]), r["elevated"])
+        for r in api.search(spark, store, Q, 10, pinned=pins).collect()
+    ]
+    direct = [
+        (r["rank"], int(r["doc_id"]), r["elevated"])
+        for r in elevated_topk(spark, store, Q, 10, pins).collect()
+    ]
+    assert via_api == direct
+    with _pytest.raises(ValueError):
+        api.search(spark, store, Q, 10, pinned=pins, sort_by="lang")
+    with _pytest.raises(ValueError):
+        api.search(spark, store, "data +query", 10, pinned=pins)
+    with _pytest.raises(ValueError):
+        api.search(spark, store, "*:*", 10, pinned=pins)

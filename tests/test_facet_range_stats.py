@@ -270,3 +270,60 @@ def test_facet_pivot_where_and_fallback(spark, store, pages):
         spark, store, q, ("lang", "n_words"), where="lang = 'zz'"
     )
     assert empty.count() == 0 and empty.columns == ["lang", "n_words", "n_docs"]
+
+
+# --- warm Searcher variants ---------------------------------------------------
+
+def test_warm_facet_variants_match_cold(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_pivot
+    from tangent_spark.plans.search import Searcher
+
+    q, where = QUERIES[0], "lang = 'en'"
+    s = Searcher(spark, store)
+    try:
+        for w in (None, where):
+            cold_r = [
+                (r["bucket"], r["n_docs"])
+                for r in facet_range(
+                    spark, store, q, "n_words", START, END, GAP, where=w
+                ).collect()
+            ]
+            warm_r = [
+                (r["bucket"], r["n_docs"])
+                for r in s.facet_range(
+                    q, "n_words", START, END, GAP, where=w
+                ).collect()
+            ]
+            assert warm_r == cold_r, ("range", w)
+            assert _stats_row(s.facet_stats(q, "n_words", where=w)) == \
+                _stats_row(facet_stats(spark, store, q, "n_words", where=w)), \
+                ("stats", w)
+            cold_p = [
+                (r["lang"], r["n_words"], r["n_docs"])
+                for r in facet_pivot(
+                    spark, store, q, ("lang", "n_words"), where=w
+                ).collect()
+            ]
+            warm_p = [
+                (r["lang"], r["n_words"], r["n_docs"])
+                for r in s.facet_pivot(q, ("lang", "n_words"), where=w).collect()
+            ]
+            assert warm_p == cold_p, ("pivot", w)
+        # repeated warm facet serves its value map from the cache —
+        # distinct keys per surface, so no cross-surface collisions
+        keys = set(s._facet_maps)
+        s.facet_range(q, "n_words", START, END, GAP).collect()
+        s.facet_stats(q, "n_words").collect()
+        assert set(s._facet_maps) == keys
+        # empty-match warm shapes
+        assert s.facet_range(
+            q, "n_words", START, END, GAP, where="lang = 'zz'"
+        ).count() == int((END - START) / GAP)
+        assert _stats_row(
+            s.facet_stats(q, "n_words", where="lang = 'zz'")
+        ) == (0, 0, None, None, 0.0, None)
+        assert s.facet_pivot(
+            q, ("lang", "n_words"), where="lang = 'zz'"
+        ).count() == 0
+    finally:
+        s.close()
