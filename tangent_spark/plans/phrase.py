@@ -24,6 +24,7 @@ is proportional to the phrase terms' postings, never the corpus.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -299,4 +300,83 @@ def snippet_topk(
     wins = highlight_windows(pos, qts, candidates=top)
     return top.join(wins, "doc_id", "left").orderBy(
         F.desc("score"), F.asc("doc_id")
+    )
+
+
+def snippet_render(
+    snips: DataFrame,
+    docs_text: DataFrame,
+    query: str,
+    tokenizer: str,
+    pre: str = "<em>",
+    post: str = "</em>",
+    context: int = 0,
+) -> DataFrame:
+    """Render highlight windows into marked-up snippet strings — the
+    Solr highlighter's output half (hl.simple.pre/post; the reference
+    rendered hits from Solr term vectors, text/TextResult.py:29-52).
+
+    `snips` is snippet_topk/Searcher.snippets output (doc_id, score,
+    win_start, win_end, ...); `docs_text` supplies (doc_id, text) —
+    field storage lives outside the index, as in any external-store
+    search stack. Each hit's window tokens [win_start, win_end]
+    (optionally widened by `context` tokens each side) are sliced out
+    of the ORIGINAL text by character offset, and every token whose
+    analyzed form is a query term is wrapped in pre/post. Returns
+    (doc_id, score, snippet); hits with no window (NULL win_start)
+    render NULL.
+
+    Scale shape: one broadcast-size join (snips is <= k rows by
+    construction) + a vectorized pandas UDF whose per-row work is one
+    regex pass over one document's text — Python is fine here because
+    the candidate set is bounded by k, never the corpus."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from tangent_spark.functions.porter import stem as porter_stem
+    from tangent_spark.plans.search import query_terms
+
+    qts = set(query_terms(query, tokenizer))
+    use_porter = tokenizer == "porter"
+    ctx = int(context)
+    tok_rx = _re.compile(r"[a-z0-9]+")
+
+    # pandas is imported at module level so the stringified type
+    # hints (`from __future__ import annotations`) resolve during the
+    # pandas_udf eval-type inference
+    @pandas_udf("string")
+    def render(text: pd.Series, ws: pd.Series, we: pd.Series) -> pd.Series:
+        out = []
+        for t, a, b in zip(text, ws, we):
+            if t is None or pd.isna(a) or pd.isna(b):
+                out.append(None)
+                continue
+            toks = list(tok_rx.finditer(t.lower()))
+            lo = max(0, int(a) - ctx)
+            hi = min(len(toks) - 1, int(b) + ctx)
+            if lo >= len(toks):
+                out.append(None)
+                continue
+            parts, cur = [], toks[lo].start()
+            for m in toks[lo:hi + 1]:
+                parts.append(t[cur:m.start()])
+                word = m.group(0)
+                term = porter_stem(word) if use_porter else word
+                raw = t[m.start():m.end()]
+                parts.append(pre + raw + post if term in qts else raw)
+                cur = m.end()
+            out.append("".join(parts))
+        return pd.Series(out)
+
+    return (
+        snips.join(docs_text.select("doc_id", "text"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            render(F.col("text"), F.col("win_start"), F.col("win_end")).alias(
+                "snippet"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
     )

@@ -1723,6 +1723,27 @@ class Searcher:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def highlights(
+        self,
+        query: str,
+        k: int,
+        docs_text: DataFrame,
+        pre: str = "<em>",
+        post: str = "</em>",
+        context: int = 0,
+    ) -> DataFrame:
+        """Warm BM25 top-k rendered as marked-up snippets (Solr
+        highlighter, hl.simple.pre/post): snippets() for the windows,
+        plans.phrase.snippet_render for the text slicing/wrapping.
+        `docs_text` supplies (doc_id, text) — field storage lives
+        outside the index. Returns (doc_id, score, snippet)."""
+        from tangent_spark.plans.phrase import snippet_render
+
+        return snippet_render(
+            self.snippets(query, k), docs_text, query, self.cfg.tokenizer,
+            pre=pre, post=post, context=context,
+        )
+
     def close(self) -> None:
         self.serving.unpersist()
         self.term_stats.unpersist()

@@ -272,6 +272,51 @@ def test_snippet_topk_shape(spark, store):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_snippet_render_properties(spark, store, corpus):
+    """Rendered snippets: tag-stripped text is an exact substring of
+    the source doc; exactly the window's query-term tokens are wrapped
+    (checked against an independent re-tokenization); context widening
+    yields a superstring."""
+    import re
+
+    from tangent_spark.functions.porter import stem as porter_stem
+    from tangent_spark.plans.phrase import snippet_render, snippet_topk
+
+    pages, local = corpus
+    q = "matrix convergence theorem"
+    qts = set(tokenize_porter(q))
+    snips = snippet_topk(spark, store, q, 5)
+    wins = {int(r["doc_id"]): (int(r["win_start"]), int(r["win_end"]))
+            for r in snips.collect()}
+    got = {
+        int(r["doc_id"]): r["snippet"]
+        for r in snippet_render(snips, pages, q, "porter").collect()
+    }
+    assert set(got) == set(wins) and len(got) == 5
+    texts = dict(local)
+    rx = re.compile(r"[a-z0-9]+")
+    for d, snip in got.items():
+        text = texts[d]
+        stripped = snip.replace("<em>", "").replace("</em>", "")
+        assert stripped in text, d
+        # wrapped tokens are exactly the window's query-term tokens
+        wrapped = re.findall(r"<em>(.*?)</em>", snip)
+        assert wrapped and all(
+            porter_stem(w.lower()) in qts for w in wrapped
+        ), d
+        a, b = wins[d]
+        window_toks = [m.group(0) for m in rx.finditer(text.lower())][a:b + 1]
+        exp_n = sum(1 for t in window_toks if porter_stem(t) in qts)
+        assert len(wrapped) == exp_n, d
+        assert len(list(rx.finditer(stripped.lower()))) == len(window_toks), d
+    wide = {
+        int(r["doc_id"]): r["snippet"]
+        for r in snippet_render(snips, pages, q, "porter", context=3).collect()
+    }
+    for d in got:
+        assert got[d] in wide[d], d
+
+
 # --- index merge -------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -909,3 +954,25 @@ def test_boolean_boosts_warm_matches_cold(spark, store):
         assert warm == cold
     finally:
         s.close()
+
+
+def test_warm_highlights_match_cold_render(spark, store, corpus):
+    from tangent_spark.plans.phrase import snippet_render, snippet_topk
+
+    pages, _ = corpus
+    q = "matrix convergence theorem"
+    cold = [
+        (int(r["doc_id"]), r["snippet"])
+        for r in snippet_render(
+            snippet_topk(spark, store, q, 5), pages, q, "porter"
+        ).collect()
+    ]
+    s = Searcher(spark, store)
+    try:
+        warm = [
+            (int(r["doc_id"]), r["snippet"])
+            for r in s.highlights(q, 5, pages).collect()
+        ]
+    finally:
+        s.close()
+    assert warm == cold and len(warm) == 5
