@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": eq.dedup_ngram_jaccard,
         "dedup_minhash_band_pairs": eq.dedup_minhash_band_pairs,
         "dedup_cc_components": eq.dedup_cc_components,
+        "dedup_embedding_pairs": eq.dedup_embedding_pairs,
         "embedding_cosine_topk": eq.embedding_cosine_topk,
         "text_quality": eq.text_quality,
         "token_count_by_source": eq.token_count_by_source,
@@ -451,6 +452,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, round(i / (sa.n + sb.n - i), 4)::DOUBLE AS jaccard "
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE round(i / (sa.n + sb.n - i), 4) >= 0.2"
+        ),
+        # embedding near-dup pairs (exact baseline): all doc_a < doc_b
+        # with cosine >= 0.3, both sides in double arithmetic
+        "dedup_embedding_pairs": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            "s AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
+            "round(list_dot_product(a.v, b.v) / "
+            "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS c6 "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+            "SELECT doc_a, doc_b, round(c6, 4)::DOUBLE AS cos FROM s "
+            "WHERE c6 >= 0.3 ORDER BY doc_a, doc_b"
         ),
         "embedding_cosine_topk": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "

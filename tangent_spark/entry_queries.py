@@ -1830,3 +1830,26 @@ def elevated_bm25_topk(spark, sf_dir):
     return spark.createDataFrame(
         out, "rank int, doc_id long, score double, elevated boolean"
     )
+
+
+NEAR_DUP_COS = 0.3  # sf0.01 embeddings are near-orthogonal; 0.3 yields ~1k pairs
+
+
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the EXACT baseline
+    (operators/similarity.embedding_near_dup_pairs_exact): all (doc_a <
+    doc_b) pairs with cosine >= 0.3 over the embeddings table. The
+    LSH-bucketed scale path (embedding_near_dup_pairs) is pytest-
+    covered for precision (exact-by-construction) and recall on
+    planted clusters; this entry pins the verification semantics both
+    share."""
+    from tangent_spark.operators.similarity import (
+        embedding_near_dup_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        embedding_near_dup_pairs_exact(emb, NEAR_DUP_COS)
+        .select("doc_a", "doc_b", F.round("cos", 4).alias("cos"))
+        .orderBy("doc_a", "doc_b")
+    )

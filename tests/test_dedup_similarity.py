@@ -409,3 +409,100 @@ def test_pq_encode_deterministic_and_compact(spark, clustered_emb):
     c2 = {r["vec_id"]: tuple(r["codes"]) for r in pq_encode(df, books).collect()}
     assert c1 == c2 and len(c1) == len(vecs)
     assert all(len(v) == 4 and all(0 <= c < 32 for c in v) for v in c1.values())
+
+
+# --- embedding-cosine near-dup pairs ------------------------------------------
+
+@pytest.fixture(scope="module")
+def neardup_emb(spark):
+    """Planted near-dup clusters: 30 bases x 4 noisy copies (cos >= ~0.97
+    within a cluster) + 80 singletons — the web-scale embedding-dedup
+    regime (tight duplicate groups in an otherwise spread space)."""
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    truth = []  # (a, b) same-cluster pairs
+    for c in range(30):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        members = []
+        for _ in range(4):
+            v = base + 0.08 * rng.standard_normal(16)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            members.append(vid)
+            vid += 1
+        truth += [(a, b) for i, a in enumerate(members) for b in members[i + 1:]]
+    for _ in range(80):
+        v = rng.standard_normal(16)
+        rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.persist(), truth
+
+
+def test_embedding_near_dup_exact_matches_numpy(spark, neardup_emb):
+    from tangent_spark.operators.similarity import embedding_near_dup_pairs_exact
+
+    df, _ = neardup_emb
+    local = {int(r["vec_id"]): np.asarray(r["embedding"]) for r in df.collect()}
+    ids = sorted(local)
+    M = np.stack([local[i] / np.linalg.norm(local[i]) for i in ids])
+    C = M @ M.T
+    exp = sorted(
+        (ids[i], ids[j], round(float(C[i, j]), 4))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if round(float(C[i, j]), 6) >= 0.9
+    )
+    got = sorted(
+        (int(r["doc_a"]), int(r["doc_b"]), round(float(r["cos"]), 4))
+        for r in embedding_near_dup_pairs_exact(df, 0.9).collect()
+    )
+    assert got == exp and len(got) >= 100  # most of 30 clusters x C(4,2)=6
+
+
+def test_embedding_near_dup_lsh_precision_and_recall(spark, neardup_emb):
+    """The LSH scale path: zero false positives by construction
+    (exact verify), high recall on the planted clusters, and the
+    emitted set is a subset of the exact operator's output with
+    identical cosines."""
+    from tangent_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    df, _ = neardup_emb
+    exact = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["cos"])
+        for r in embedding_near_dup_pairs_exact(df, 0.9).collect()
+    }
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): float(r["cos"])
+        for r in embedding_near_dup_pairs(
+            df, 0.9, dim=16, n_tables=12, n_planes=8
+        ).collect()
+    }
+    assert set(got) <= set(exact)  # no false positives
+    for p, c in got.items():
+        assert c == exact[p], p  # verification scores identical
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"near-dup LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_bucket_cap_drops_recall_only(spark, neardup_emb):
+    from tangent_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    df, _ = neardup_emb
+    exact = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in embedding_near_dup_pairs_exact(df, 0.9).collect()
+    }
+    capped = {
+        (int(r["doc_a"]), int(r["doc_b"]))
+        for r in embedding_near_dup_pairs(
+            df, 0.9, dim=16, n_tables=12, n_planes=8, max_bucket=2
+        ).collect()
+    }
+    assert capped <= exact  # a tiny cap loses pairs, never invents them
