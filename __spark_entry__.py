@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevated_bm25_topk": eq.elevated_bm25_topk,
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
+        "spellcheck_collation": eq.spellcheck_collation,
         "tpch_q1": eq.tpch_q1,
         "tpch_q3_topk": eq.tpch_q3_topk,
         "lineitem_percentiles": eq.lineitem_percentiles,
@@ -911,6 +912,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY levenshtein(term, 'sparc') ASC, df DESC, term ASC LIMIT 5) "
             "SELECT phase, term, df, dist FROM sugg "
             "UNION ALL SELECT phase, term, df, dist FROM dym"
+        ),
+        # spellcheck collation: per token, in-vocab passes through,
+        # else the closest vocabulary term within 1 edit (dist asc, df
+        # desc, term asc) or the token itself; hits = docs matching
+        # >= 1 collated term
+        "spellcheck_collation": (
+            f"WITH {_TOK}, {_TF}, "
+            "stats AS (SELECT term, count(*)::INT AS df FROM tf GROUP BY 1), "
+            "q(idx, orig) AS (VALUES (1, 'quary'), (2, 'sparc'), (3, 'data')), "
+            "fix AS (SELECT idx, orig, "
+            "CASE WHEN orig IN (SELECT term FROM stats) THEN orig "
+            "ELSE coalesce((SELECT term FROM stats "
+            "  WHERE levenshtein(term, orig) <= 1 "
+            "  ORDER BY levenshtein(term, orig) ASC, df DESC, term ASC LIMIT 1), orig) "
+            "END AS fixed FROM q) "
+            "SELECT string_agg(fixed, ' ' ORDER BY idx) AS collation, "
+            "(SELECT count(DISTINCT doc_id) FROM tok "
+            "  WHERE term IN (SELECT fixed FROM fix))::BIGINT AS hits, "
+            "sum(CASE WHEN fixed <> orig THEN 1 ELSE 0 END)::INT AS n_corrected "
+            "FROM fix"
         ),
         # more-like-this for doc 7: select its top-8 tf*idf terms
         # (idf over the FULL corpus, ties term asc), then BM25 over

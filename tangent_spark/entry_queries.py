@@ -1853,3 +1853,31 @@ def dedup_embedding_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", F.round("cos", 4).alias("cos"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+COLLATE_QUERY = "quary sparc data"
+
+
+def spellcheck_collation(spark, sf_dir):
+    """Spellcheck collation (Solr spellcheck.collate) through the REAL
+    surface (plans/suggest.spellcheck_collate): 'quary' and 'sparc'
+    correct to their closest vocabulary terms (dist asc, df desc, term
+    asc), in-vocabulary 'data' passes through, and the one-row result
+    carries the collated query with its disjunctive hit count."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.suggest import spellcheck_collate
+
+    base = tempfile.mkdtemp(prefix="tangent_collate_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base)
+        out = [
+            (r["collation"], int(r["hits"]), int(r["n_corrected"]))
+            for r in spellcheck_collate(spark, store, COLLATE_QUERY).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "collation string, hits long, n_corrected int"
+    )

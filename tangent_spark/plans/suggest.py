@@ -180,3 +180,82 @@ def more_like_this(
         False,
         deleted=deleted,
     )
+
+
+def spellcheck_collate(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Spellcheck collation (Solr spellcheck.collate +
+    collateExtendedResults): analyze the query, replace every token
+    ABSENT from the vocabulary with its best correction (dist asc, df
+    desc, term asc — the did_you_mean order), and report the collated
+    query with its hit count. Returns ONE row (collation string,
+    hits long, n_corrected int):
+
+      * tokens already in the vocabulary pass through unchanged;
+      * an OOV token with no correction within `max_edits` stays as
+        itself (it simply contributes no hits, like Solr returning the
+        original token uncorrected);
+      * hits = number of live docs matching >= 1 collated term (the
+        disjunctive match-set count the collation would serve).
+
+    Scale shape: one <=|query|-row vocabulary-membership scan, one
+    bounded dym scan per OOV token (length band pushed down), and ONE
+    match-set count through the boolean kernel — the same bounded jobs
+    Solr's collator issues against its own index."""
+    from tangent_spark.plans.boolean import _boolean_plan
+    from tangent_spark.plans.phrase import _phrase_terms
+
+    cfg = store.get_config()
+    toks = _phrase_terms(query, cfg.tokenizer)
+    if not toks:
+        return spark.createDataFrame(
+            [("", 0, 0)], "collation string, hits long, n_corrected int"
+        )
+    ts = store.read(spark, "term_stats")
+    vocab = {
+        r["term"]
+        for r in ts.filter(F.col("term").isin(sorted(set(toks))))
+        .select("term").collect()
+    }
+    out, n_corr = [], 0
+    for t in toks:
+        if t in vocab:
+            out.append(t)
+            continue
+        best = dym_plan(ts, t, 1, max_edits).collect()
+        if best and best[0]["dist"] > 0:
+            out.append(best[0]["term"])
+            n_corr += 1
+        else:
+            out.append(t)
+    collation = " ".join(out)
+    hits = 0
+    # corrections come FROM the vocabulary, so the collation is
+    # servable iff any token is in-vocab or was corrected
+    if n_corr > 0 or any(t in vocab for t in out):
+        cs = store.read(spark, "corpus_stats").collect()[0]
+        from tangent_spark.plans.search import load_deleted_ids
+
+        hits = (
+            _boolean_plan(
+                spark,
+                store,
+                collation,
+                0,
+                postings=store.read(spark, "postings"),
+                term_stats=ts,
+                n_docs=int(cs["n_docs"]),
+                avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+                deleted=load_deleted_ids(spark, store),
+                return_matches=True,
+            )
+            .count()
+        )
+    return spark.createDataFrame(
+        [(collation, int(hits), int(n_corr))],
+        "collation string, hits long, n_corrected int",
+    )

@@ -211,3 +211,41 @@ def test_did_you_mean_warm_and_exact_term(spark, store):
     finally:
         s.close()
     assert did_you_mean(spark, store, "", 5).count() == 0
+
+
+# --- spellcheck collation -----------------------------------------------------
+
+def test_spellcheck_collate_corrects_oov_tokens(spark, store, corpus):
+    from tangent_spark.plans.suggest import dym_plan, spellcheck_collate
+
+    _, local = corpus
+    # a real corpus term (stemmed) + a misspelling of another
+    vocab = Counter()
+    for _, text in local:
+        vocab.update(set(tokenize_porter(text)))
+    good = vocab.most_common(1)[0][0]
+    # pick a term and misspell it by swapping a middle char to 'q'
+    target = next(t for t, _ in vocab.most_common(30) if len(t) >= 5 and t != good)
+    typo = target[:2] + "q" + target[3:]
+    assert typo not in vocab
+    r = spellcheck_collate(spark, store, f"{good} {typo}").collect()[0]
+    ts = spark.read.parquet(store.path("term_stats"))
+    best = dym_plan(ts, tokenize_porter(typo)[0], 1, 1).collect()
+    expected_fix = best[0]["term"] if best and best[0]["dist"] > 0 else typo
+    assert r["collation"] == f"{good} {expected_fix}"
+    assert r["n_corrected"] == (1 if expected_fix != typo else 0)
+    # hits oracle: docs containing >= 1 collated term
+    cts = set(tokenize_porter(r["collation"]))
+    exp_hits = sum(1 for _, text in local if cts & set(tokenize_porter(text)))
+    assert r["hits"] == exp_hits > 0
+
+
+def test_spellcheck_collate_edges(spark, store):
+    from tangent_spark.plans.suggest import spellcheck_collate
+
+    # unfixable garbage: unchanged, zero hits, zero corrections
+    r = spellcheck_collate(spark, store, "zzqqxxyy wwvvkkjj").collect()[0]
+    assert r["n_corrected"] == 0 and r["hits"] == 0
+    # empty input
+    r = spellcheck_collate(spark, store, "???").collect()[0]
+    assert r["collation"] == "" and r["hits"] == 0 and r["n_corrected"] == 0
