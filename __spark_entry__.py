@@ -67,23 +67,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": eq.ann_pq_topk,
         "grouped_collapse_topk": eq.grouped_collapse_topk,
         "r10_doc_agg": eq.r10_doc_agg,
-        "merge_bm25_topk": eq.merge_bm25_topk,
-        "incremental_bm25_all": eq.incremental_bm25_all,
+        "store_lifecycle_bm25": eq.store_lifecycle_bm25,  # phases: merged + incremental
         "delete_bm25_topk": eq.delete_bm25_topk,
         "filtered_bm25_topk": eq.filtered_bm25_topk,
         "search_after_explain": eq.search_after_explain,  # phases: p1-p3 (paging) + explain
         "fielded_bm25_topk": eq.fielded_bm25_topk,  # phases: flat + boosted
-        "multiterm_expand_topk": eq.multiterm_expand_topk,  # phases: glob + regexp + fuzzy
-        "synonym_bm25_topk": eq.synonym_bm25_topk,
-        "boosted_mm_topk": eq.boosted_mm_topk,  # phases: boost + mm
-        "facet_counts_lang": eq.facet_counts_lang,
-        "facet_range_nchars": eq.facet_range_nchars,  # phases: all + en
-        "facet_stats_nchars": eq.facet_stats_nchars,
-        "facet_pivot_counts": eq.facet_pivot_counts,
-        "elevated_bm25_topk": eq.elevated_bm25_topk,
+        "multiterm_shaping_topk": eq.multiterm_shaping_topk,  # phases: glob/regexp/fuzzy/syn/boost/mm
+        "facet_panels": eq.facet_panels,  # phases: any/bool/range_all/range_en/stats/pivot
         "suggest_and_dym": eq.suggest_and_dym,
         "mlt_topk": eq.mlt_topk,
-        "spellcheck_collation": eq.spellcheck_collation,
         "tpch_q1": eq.tpch_q1,
         "tpch_q3_topk": eq.tpch_q3_topk,
         "lineitem_percentiles": eq.lineitem_percentiles,
@@ -94,10 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": eq.events_pivot,
         "dedup_exact": eq.dedup_exact,
         "doc_signatures": eq.doc_signatures,
-        "dedup_ngram_jaccard": eq.dedup_ngram_jaccard,
+        "dedup_pair_scores": eq.dedup_pair_scores,  # phases: ngram + cos
         "dedup_minhash_band_pairs": eq.dedup_minhash_band_pairs,
         "dedup_cc_components": eq.dedup_cc_components,
-        "dedup_embedding_pairs": eq.dedup_embedding_pairs,
         "embedding_cosine_topk": eq.embedding_cosine_topk,
         "text_quality": eq.text_quality,
         "token_count_by_source": eq.token_count_by_source,
@@ -128,7 +119,7 @@ _ID = "('yang','dan','di','itu','dengan','untuk')"
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "s1_doc_scan": (
             "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'"
         ),
@@ -953,3 +944,52 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY m.doc_id ORDER BY score DESC, m.doc_id ASC LIMIT 15"
         ),
     }
+    # --- consolidation to the driver harness's 50-entry run cap ---
+    # merged entries union the verified single-surface SQLs (each kept
+    # above as a building block) under a phase column; no oracle lost
+    d["multiterm_shaping_topk"] = (
+        "SELECT phase, doc_id, score FROM (" + d.pop("multiterm_expand_topk") + ") "
+        "UNION ALL SELECT 'syn' AS phase, doc_id, score FROM ("
+        + d.pop("synonym_bm25_topk") + ") "
+        "UNION ALL SELECT phase, doc_id, score FROM ("
+        + d.pop("boosted_mm_topk") + ")"
+    )
+    d["facet_panels"] = (
+        "SELECT phase, lang AS k1, '' AS k2, n_docs::DOUBLE AS val FROM ("
+        + d.pop("facet_counts_lang") + ") "
+        "UNION ALL SELECT 'range_' || phase, bucket::BIGINT::VARCHAR, '', "
+        "n_docs::DOUBLE FROM (" + d.pop("facet_range_nchars") + ") "
+        "UNION ALL SELECT 'stats', m.k1, '', m.val FROM ("
+        + d.pop("facet_stats_nchars") + ") fs, LATERAL (VALUES "
+        "('n_count', fs.n_count::DOUBLE), ('n_missing', fs.n_missing::DOUBLE), "
+        "('v_min', fs.v_min), ('v_max', fs.v_max), ('v_sum', fs.v_sum), "
+        "('v_mean', fs.v_mean)) m(k1, val) "
+        "UNION ALL SELECT 'pivot', lang, source, n_docs::DOUBLE FROM ("
+        + d.pop("facet_pivot_counts") + ")"
+    )
+    d["dedup_pair_scores"] = (
+        "SELECT 'ngram' AS phase, doc_a, doc_b, jaccard AS sim FROM ("
+        + d.pop("dedup_ngram_jaccard") + ") "
+        "UNION ALL SELECT 'cos', doc_a, doc_b, cos FROM ("
+        + d.pop("dedup_embedding_pairs") + ")"
+    )
+    d["store_lifecycle_bm25"] = (
+        "SELECT 'merged' AS phase, doc_id, score FROM ("
+        + d.pop("merge_bm25_topk") + ") "
+        "UNION ALL SELECT 'incremental', doc_id, score FROM ("
+        + d.pop("incremental_bm25_all") + ")"
+    )
+    d["suggest_and_dym"] = (
+        d.pop("suggest_and_dym")
+        + " UNION ALL SELECT 'collate' AS phase, \"collation\" AS term, "
+        "hits::INT AS df, n_corrected::INT AS dist FROM ("
+        + d.pop("spellcheck_collation") + ")"
+    )
+    d["grouped_collapse_topk"] = (
+        d.pop("grouped_collapse_topk")
+        + " UNION ALL SELECT '__elevated__' AS grp, "
+        "(CASE WHEN elevated THEN 1 ELSE 0 END)::BIGINT AS group_hits, "
+        "rank AS rank_in_group, doc_id, score FROM ("
+        + d.pop("elevated_bm25_topk") + ")"
+    )
+    return d

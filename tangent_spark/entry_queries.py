@@ -387,6 +387,7 @@ def grouped_collapse_topk(spark, sf_dir):
     import tempfile
 
     from tangent_spark.plans.group import grouped_topk
+    from tangent_spark.plans.search import elevated_topk
 
     base = tempfile.mkdtemp(prefix="tangent_group_entry_")
     try:
@@ -401,6 +402,23 @@ def grouped_collapse_topk(spark, sf_dir):
             )
             for r in grouped_topk(
                 spark, store, SEARCH_AFTER_QUERY, "source", k=5, group_limit=2
+            ).collect()
+        ]
+        # query elevation rides the same 5-column contract off the same
+        # store (grp = '__elevated__' sentinel — no source value
+        # collides; group_hits carries the elevated flag, rank_in_group
+        # the rank): docs 7 and 3 pinned in that order, organic WAND
+        # tail fills ranks 3-10 (plans/search.elevated_topk)
+        out += [
+            (
+                "__elevated__",
+                1 if r["elevated"] else 0,
+                int(r["rank"]),
+                int(r["doc_id"]),
+                None if r["score"] is None else round(float(r["score"]), 4),
+            )
+            for r in elevated_topk(
+                spark, store, ELEV_QUERY, 10, ELEV_PINS
             ).collect()
         ]
     finally:
@@ -1308,7 +1326,11 @@ def suggest_and_dym(spark, sf_dir):
     import shutil
     import tempfile
 
-    from tangent_spark.plans.suggest import did_you_mean, suggest_terms
+    from tangent_spark.plans.suggest import (
+        did_you_mean,
+        spellcheck_collate,
+        suggest_terms,
+    )
 
     base = tempfile.mkdtemp(prefix="tangent_suggest_entry_")
     try:
@@ -1319,6 +1341,11 @@ def suggest_and_dym(spark, sf_dir):
         ] + [
             ("dym", r["term"], int(r["df"]), int(r["dist"]))
             for r in did_you_mean(spark, store, DYM_TYPO, 5).collect()
+        ] + [
+            # collation rides the same contract row: term = the
+            # collated query, df = its hit count, dist = n_corrected
+            ("collate", r["collation"], int(r["hits"]), int(r["n_corrected"]))
+            for r in spellcheck_collate(spark, store, COLLATE_QUERY).collect()
         ]
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1881,3 +1908,74 @@ def spellcheck_collation(spark, sf_dir):
     return spark.createDataFrame(
         out, "collation string, hits long, n_corrected int"
     )
+
+
+# --- merged contract entries (the driver harness runs at most 50) ------------
+# Each wrapper unions the already-verified building blocks above under a
+# phase column so every oracle survives consolidation.
+
+def multiterm_shaping_topk(spark, sf_dir):
+    """Six serving phases in one entry — the multi-term rewrites
+    (glob / regexp / fuzzy, see multiterm_expand_topk), SynonymQuery
+    scoring ('syn', see synonym_bm25_topk) and the score shapers
+    ('boost' / 'mm', see boosted_mm_topk)."""
+    mt = multiterm_expand_topk(spark, sf_dir)
+    syn = synonym_bm25_topk(spark, sf_dir).select(
+        F.lit("syn").alias("phase"), "doc_id", "score"
+    )
+    bm = boosted_mm_topk(spark, sf_dir)
+    return mt.unionByName(syn).unionByName(bm)
+
+
+def facet_panels(spark, sf_dir):
+    """The whole facet surface in one entry (generic (phase, k1, k2,
+    val) rows): 'any'/'bool' per-lang counts (facet_counts_lang),
+    'range_all'/'range_en' n_chars buckets (facet_range_nchars —
+    integral buckets rendered as integer strings), 'stats' moment rows
+    (facet_stats_nchars, one row per metric) and 'pivot' (lang, source)
+    pairs (facet_pivot_counts)."""
+    rows = []
+    for r in facet_counts_lang(spark, sf_dir).collect():
+        rows.append((r["phase"], r["lang"], "", float(r["n_docs"])))
+    for r in facet_range_nchars(spark, sf_dir).collect():
+        rows.append(
+            ("range_" + r["phase"], str(int(r["bucket"])), "", float(r["n_docs"]))
+        )
+    st = facet_stats_nchars(spark, sf_dir).collect()[0]
+    for m in ("n_count", "n_missing", "v_min", "v_max", "v_sum", "v_mean"):
+        rows.append(("stats", m, "", float(st[m])))
+    for r in facet_pivot_counts(spark, sf_dir).collect():
+        rows.append(("pivot", r["lang"], r["source"], float(r["n_docs"])))
+    return spark.createDataFrame(
+        rows, "phase string, k1 string, k2 string, val double"
+    )
+
+
+def dedup_pair_scores(spark, sf_dir):
+    """Near-duplicate pair surfaces in one entry: 'ngram' = exact
+    3-gram Jaccard pairs (dedup_ngram_jaccard), 'cos' = exact
+    embedding-cosine pairs (dedup_embedding_pairs)."""
+    ng = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("phase"), "doc_a", "doc_b",
+        F.col("jaccard").alias("sim"),
+    )
+    co = dedup_embedding_pairs(spark, sf_dir).select(
+        F.lit("cos").alias("phase"), "doc_a", "doc_b",
+        F.col("cos").alias("sim"),
+    )
+    return ng.unionByName(co)
+
+
+def store_lifecycle_bm25(spark, sf_dir):
+    """Store-lifecycle serving in one entry: 'merged' = BM25 top-20
+    from two independently-built halves merged into one store
+    (merge_bm25_topk — oracle knows nothing of the split);
+    'incremental' = every matched doc served after two tagged appends
+    plus compaction (incremental_bm25_all — append == batch exactly)."""
+    m = merge_bm25_topk(spark, sf_dir).select(
+        F.lit("merged").alias("phase"), "doc_id", "score"
+    )
+    i = incremental_bm25_all(spark, sf_dir).select(
+        F.lit("incremental").alias("phase"), "doc_id", "score"
+    )
+    return m.unionByName(i)
