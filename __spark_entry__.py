@@ -357,9 +357,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
             "AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2 "
             "WHERE a.term = 'row' AND b.term = 'sort' "
+            "GROUP BY 1), "
+            # Lucene sloppy (unordered): adjusted spread
+            # |(pos_b - 1) - pos_a| <= slop; distinct positions are free
+            # for different terms (one term per token offset)
+            "un AS (SELECT b.doc_id, count(DISTINCT b.pos)::INT AS phrase_tf "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
+            "AND abs(b.pos - 1 - a.pos) <= 2 "
+            "WHERE a.term = 'row' AND b.term = 'sort' "
             "GROUP BY 1) "
             "SELECT 'exact' AS phase, doc_id, phrase_tf FROM ex "
-            "UNION ALL SELECT 'near' AS phase, doc_id, phrase_tf FROM nr"
+            "UNION ALL SELECT 'near' AS phase, doc_id, phrase_tf FROM nr "
+            "UNION ALL SELECT 'unord' AS phase, doc_id, phrase_tf FROM un"
         ),
         # result grouping / field collapse: top-5 source groups by best
         # hit, 2 docs per group, per-group total hit counts — the whole

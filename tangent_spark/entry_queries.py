@@ -360,7 +360,10 @@ def phrase_match(spark, sf_dir):
         'row column sort' (array_intersect fold, slop=0);
     phase 'near'  — proximity `"row sort"~2` ('sort' after 'row' with
         at most 2 tokens between; phrase_tf = distinct completion
-        positions of the last term — the (pos, slack) fold).
+        positions of the last term — the (pos, slack) fold);
+    phase 'unord' — the same `"row sort"~2` under Lucene sloppy
+        semantics (in_order=False: adjusted-position spread <= slop,
+        so 'sort ... row' also matches — the transposition criterion).
 
     Same folds the index-side plans/phrase.py runs over the positions
     table, expressed over raw documents so DuckDB can twin them."""
@@ -372,7 +375,13 @@ def phrase_match(spark, sf_dir):
     near = phrase_match_positions(
         _positions_of(spark, sf_dir, NEAR_PHRASE), NEAR_PHRASE, slop=NEAR_SLOP
     ).select(F.lit("near").alias("phase"), "doc_id", "phrase_tf")
-    return exact.unionByName(near)
+    unord = phrase_match_positions(
+        _positions_of(spark, sf_dir, NEAR_PHRASE),
+        NEAR_PHRASE,
+        slop=NEAR_SLOP,
+        in_order=False,
+    ).select(F.lit("unord").alias("phase"), "doc_id", "phrase_tf")
+    return exact.unionByName(near).unionByName(unord)
 
 
 def grouped_collapse_topk(spark, sf_dir):

@@ -31,17 +31,110 @@ from pyspark.sql import functions as F
 from tangent_spark.sources.store import IndexStore
 
 
-def phrase_tf_np(plists: list[np.ndarray], slop: int) -> int:
+def _distinct_picks(options: list) -> bool:
+    """True if a system of distinct representatives exists — one value
+    per option list, all distinct (Hall check by backtracking; option
+    lists here are repeated-term slot windows, never more than a few
+    entries)."""
+    order = sorted(range(len(options)), key=lambda i: len(options[i]))
+    used: set = set()
+
+    def bt(i: int) -> bool:
+        if i == len(order):
+            return True
+        for v in options[order[i]]:
+            if v not in used:
+                used.add(v)
+                if bt(i + 1):
+                    return True
+                used.discard(v)
+        return False
+
+    return bt(0)
+
+
+def _unordered_tf(plists: list, slop: int, term_keys) -> int:
+    """Lucene sloppy-phrase matching (SloppyPhraseMatcher criterion):
+    with adjusted positions a_i = p_i - slot_i, a configuration matches
+    iff max(a_i) - min(a_i) <= slop — so `b a` matches `"a b"~2` (the
+    adjusted spread of the transposition is 2), exactly Lucene's
+    documented example. Slots sharing a term must pick DISTINCT
+    underlying positions (the Lucene repeats discipline). phrase_tf
+    keeps this module's convention: distinct completion positions of
+    the LAST query slot that participate in any valid configuration.
+
+    Per completion position the window anchor L ranges over slop+1
+    values and each slot costs one searchsorted — slops are single
+    digits in practice, so the per-doc work stays proportional to the
+    last term's tf."""
+    k = len(plists)
+    adj = [np.asarray(p, dtype=np.int64) - i for i, p in enumerate(plists)]
+    groups: dict = {}
+    if term_keys is not None:
+        by_term: dict = {}
+        for i, t in enumerate(term_keys):
+            by_term.setdefault(t, []).append(i)
+        groups = {t: s for t, s in by_term.items() if len(s) > 1}
+    count = 0
+    for p in adj[-1]:
+        p = int(p)
+        matched = False
+        for L in range(p - slop, p + 1):
+            hi = L + slop
+            feasible = True
+            for i in range(k - 1):
+                a = adj[i]
+                j = int(np.searchsorted(a, L, side="left"))
+                if j >= a.size or a[j] > hi:
+                    feasible = False
+                    break
+            if not feasible:
+                continue
+            if groups:
+                ok = True
+                for slots in groups.values():
+                    options = []
+                    for i in slots:
+                        if i == k - 1:
+                            options.append([p + (k - 1)])
+                            continue
+                        a = adj[i]
+                        lo = int(np.searchsorted(a, L, side="left"))
+                        hj = int(np.searchsorted(a, hi, side="right"))
+                        options.append([int(v) + i for v in a[lo:hj]])
+                    if not _distinct_picks(options):
+                        ok = False
+                        break
+                if not ok:
+                    continue
+            matched = True
+            break
+        if matched:
+            count += 1
+    return count
+
+
+def phrase_tf_np(
+    plists: list[np.ndarray], slop: int, in_order: bool = True, term_keys=None
+) -> int:
     """Per-doc phrase tf over one document's per-term position arrays
     (sorted ascending, distinct — token offsets), numpy twin of the
     declarative fold in phrase_match_positions: number of DISTINCT
     completion positions of the last term reachable by an in-order
     chain with total slack <= slop.
 
-    slop>0 keeps (completion pos, min slack) partials exactly like the
-    JVM fold's min-slack dedup: extending a fixed completion x from the
-    partial maximizing (pos - slack) yields x's minimal slack, so a
-    running max of (P - S) replaces the all-pairs expansion."""
+    in_order=False switches to Lucene sloppy-phrase semantics (see
+    _unordered_tf — reordered terms match within the adjusted-position
+    window; `term_keys` identifies repeated-term slots that must pick
+    distinct positions). At slop=0 both modes are the exact consecutive
+    phrase, matching Lucene.
+
+    slop>0 (in-order) keeps (completion pos, min slack) partials exactly
+    like the JVM fold's min-slack dedup: extending a fixed completion x
+    from the partial maximizing (pos - slack) yields x's minimal slack,
+    so a running max of (P - S) replaces the all-pairs expansion."""
+    if not in_order and slop > 0:
+        return _unordered_tf(plists, int(slop), term_keys)
     acc = plists[0]
     if slop == 0:
         for p in plists[1:]:
@@ -61,7 +154,7 @@ def phrase_tf_np(plists: list[np.ndarray], slop: int) -> int:
     return int(P.size)
 
 
-def phrase_docs_np(pos_pdf, phrase_terms: list[str], slop: int):
+def phrase_docs_np(pos_pdf, phrase_terms: list[str], slop: int, in_order: bool = True):
     """(sorted doc_ids, phrase_tfs) of the docs matching the phrase,
     from ONE shard's positions rows (pandas frame with doc_id/term/
     positions columns) — the in-kernel twin of phrase_match_positions
@@ -92,7 +185,7 @@ def phrase_docs_np(pos_pdf, phrase_terms: list[str], slop: int):
             ids, poss = maps[t]
             i = int(np.searchsorted(ids, d))
             plists.append(np.asarray(poss[i], dtype=np.int64))
-        tf = phrase_tf_np(plists, slop)
+        tf = phrase_tf_np(plists, slop, in_order=in_order, term_keys=phrase_terms)
         if tf > 0:
             out_ids.append(int(d))
             out_tfs.append(tf)
@@ -102,7 +195,8 @@ def phrase_docs_np(pos_pdf, phrase_terms: list[str], slop: int):
 
 
 def phrase_match_positions(
-    positions: DataFrame, phrase_terms: list[str], slop: int = 0
+    positions: DataFrame, phrase_terms: list[str], slop: int = 0,
+    in_order: bool = True,
 ) -> DataFrame:
     """(doc_id, phrase_tf) for docs containing the phrase. slop=0:
     exact consecutive run (the array_intersect fold above). slop>0:
@@ -110,6 +204,15 @@ def phrase_match_positions(
     `slop` total extra tokens interleaved (sum over all gaps), i.e.
     positions p_1<..<p_k with p_k - p_1 - (k-1) <= slop; phrase_tf
     counts distinct completion positions of the last term.
+
+    in_order=False gives Lucene sloppy-phrase semantics instead
+    (SloppyPhraseMatcher: adjusted-position spread <= slop, so
+    reordered terms match — `b a` matches `"a b"~2`; repeated-term
+    slots must pick distinct positions; see _unordered_tf). The join
+    shape is the same per-term equi-join chain; the window check runs
+    in an Arrow-batched pandas UDF over the joined per-doc position
+    arrays — bounded by docs containing EVERY phrase term, exactly the
+    in-order fold's survivor set, never the corpus.
 
     The proximity fold carries (pos, slack) structs instead of bare
     positions: a step extends each partial match with every next-term
@@ -123,6 +226,10 @@ def phrase_match_positions(
         raise ValueError("empty phrase")
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    if not in_order and slop > 0:
+        return _unordered_match_positions(positions, phrase_terms, int(slop))
+    # unordered at slop=0 IS the exact consecutive phrase (all adjusted
+    # positions equal), so both modes share the fold below
     first = positions.filter(F.col("term") == phrase_terms[0])
     if slop == 0:
         acc = first.select("doc_id", F.col("positions").alias("acc"))
@@ -174,13 +281,55 @@ def phrase_match_positions(
     return acc.select("doc_id", F.size("acc").cast("int").alias("phrase_tf"))
 
 
+def _unordered_match_positions(
+    positions: DataFrame, phrase_terms: list[str], slop: int
+) -> DataFrame:
+    """Lucene-sloppy (unordered) phrase match: equi-join the UNIQUE
+    terms' position arrays per doc (same monotone-shrinking join chain
+    as the in-order fold), then one vectorized pandas UDF runs the
+    adjusted-window check per doc (_unordered_tf). Python is bounded by
+    the docs containing every phrase term."""
+    from pyspark.sql.functions import pandas_udf
+
+    uniq = list(dict.fromkeys(phrase_terms))
+    acc = None
+    for ui, t in enumerate(uniq):
+        nxt = positions.filter(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(f"_p{ui}")
+        )
+        acc = nxt if acc is None else acc.join(nxt, "doc_id")
+    slot_of = [uniq.index(t) for t in phrase_terms]
+    p_terms = list(phrase_terms)
+    s = int(slop)
+
+    @pandas_udf("int")
+    def tf_udf(*cols: pd.Series) -> pd.Series:
+        out = []
+        for row in zip(*cols):
+            plists = [
+                np.asarray(row[slot_of[i]], dtype=np.int64)
+                for i in range(len(p_terms))
+            ]
+            out.append(
+                phrase_tf_np(plists, s, in_order=False, term_keys=p_terms)
+            )
+        return pd.Series(out, dtype="int32")
+
+    return acc.select(
+        "doc_id", tf_udf(*[F.col(f"_p{ui}") for ui in range(len(uniq))]).alias(
+            "phrase_tf"
+        )
+    ).filter(F.col("phrase_tf") > 0)
+
+
 def phrase_topk(
-    spark: SparkSession, store: IndexStore, phrase: str, k: int, slop: int = 0
+    spark: SparkSession, store: IndexStore, phrase: str, k: int, slop: int = 0,
+    in_order: bool = True,
 ) -> DataFrame:
     """Top-k docs for a phrase (phrase_tf desc, doc_id asc) off the
     index's positions table; slop>0 gives proximity semantics
-    (`"a b"~slop` — see phrase_match_positions). Requires
-    store_positions=True at build time."""
+    (`"a b"~slop` — see phrase_match_positions; in_order=False = Lucene
+    sloppy/unordered). Requires store_positions=True at build time."""
     cfg = store.get_config()
     if not cfg.store_positions:
         raise ValueError(
@@ -194,7 +343,8 @@ def phrase_topk(
     pos = spark.read.parquet(store.path("positions"))
     return (
         filter_deleted(
-            phrase_match_positions(pos, terms, slop), load_deleted_ids(spark, store)
+            phrase_match_positions(pos, terms, slop, in_order=in_order),
+            load_deleted_ids(spark, store),
         )
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
         .limit(k)

@@ -1653,7 +1653,9 @@ class Searcher:
             )
         return self.spark.read.parquet(self.store.path("positions"))
 
-    def phrase(self, phrase: str, k: int, slop: int = 0) -> DataFrame:
+    def phrase(
+        self, phrase: str, k: int, slop: int = 0, in_order: bool = True
+    ) -> DataFrame:
         """Warm phrase top-k (phrase_tf desc, doc_id asc) — with cached
         positions this is ONE single-stage job: the positions rows are
         shard-partitioned in the serving cache, so the whole positional
@@ -1662,7 +1664,9 @@ class Searcher:
         equi-join chain and no shuffle, exactly the warm WAND shape
         (round-5, VERDICT r4 #4). Without cached positions it falls
         back to the declarative fold off the parquet table. slop>0
-        gives proximity semantics (`"a b"~slop`)."""
+        gives proximity semantics (`"a b"~slop`); in_order=False
+        switches to Lucene sloppy/unordered matching (reordered terms
+        count — plans.phrase._unordered_tf)."""
         from tangent_spark.plans.phrase import (
             _phrase_terms,
             phrase_docs_np,
@@ -1675,7 +1679,9 @@ class Searcher:
         if self.positions is None:
             return (
                 filter_deleted(
-                    phrase_match_positions(self._warm_positions(), terms, slop),
+                    phrase_match_positions(
+                        self._warm_positions(), terms, slop, in_order=in_order
+                    ),
                     self.deleted,
                 )
                 .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
@@ -1683,6 +1689,7 @@ class Searcher:
             )
         deleted = self.deleted
         p_slop = int(slop)
+        p_order = bool(in_order)
         p_terms = list(terms)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1691,7 +1698,7 @@ class Searcher:
                 return
             allp = pd.concat(rows, ignore_index=True)
             for _, grp in allp.groupby("shard", sort=False):
-                ids, tfs = phrase_docs_np(grp, p_terms, p_slop)
+                ids, tfs = phrase_docs_np(grp, p_terms, p_slop, in_order=p_order)
                 dm = _deleted_mask(ids, deleted)
                 if dm is not None:
                     ids, tfs = ids[dm], tfs[dm]
