@@ -100,6 +100,7 @@ def search(
     recency_boost: dict | None = None,
     min_should_match=0,
     pinned: list[int] | None = None,
+    unordered_phrases: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -143,6 +144,11 @@ def search(
         many DISTINCT should terms; serves the bm25/boolean routes
         (including `where` filters) and rejects the other routes and
         shaping options rather than silently ignoring the constraint.
+      * unordered_phrases — serve every `"..."~N` phrase clause with
+        Lucene sloppy (reorder-tolerant) matching instead of the
+        default in-order slack (plans.phrase._unordered_tf); boolean
+        route only (the only route that carries phrases), rejected
+        elsewhere.
 
     In-query Lucene boost syntax (`matrix^2.5`, `+must^3`, `"a b"^2`)
     is honored on the plain-BM25 and boolean routes (warm and cold,
@@ -154,6 +160,13 @@ def search(
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
     kind = route(query)
+    if unordered_phrases and kind != "boolean":
+        # phrases only exist on the boolean route; raise instead of
+        # silently ignoring the semantics request
+        raise ValueError(
+            f"unordered_phrases only applies to phrase-carrying boolean "
+            f"queries (query routed to {kind!r})"
+        )
     if min_should_match and kind not in ("bm25", "boolean"):
         # checked before the multi-term/formula routes dispatch so the
         # constraint is never silently dropped
@@ -324,20 +337,26 @@ def search(
         if where is not None:
             if searcher is not None:
                 return searcher.filtered(
-                    query, k, where, min_should_match=min_should_match
+                    query, k, where, min_should_match=min_should_match,
+                    unordered_phrases=unordered_phrases,
                 )
             from tangent_spark.plans.boolean import filtered_topk
 
             return filtered_topk(
                 spark, stores.words, query, k, where,
                 min_should_match=min_should_match,
+                unordered_phrases=unordered_phrases,
             )
         if searcher is not None:
-            return searcher.boolean(query, k, min_should_match=min_should_match)
+            return searcher.boolean(
+                query, k, min_should_match=min_should_match,
+                unordered_phrases=unordered_phrases,
+            )
         from tangent_spark.plans.boolean import boolean_topk
 
         return boolean_topk(
-            spark, stores.words, query, k, min_should_match=min_should_match
+            spark, stores.words, query, k, min_should_match=min_should_match,
+            unordered_phrases=unordered_phrases,
         )
     if pinned is not None:
         if shaping != ["pinned"]:
@@ -413,16 +432,23 @@ def search(
             if not query_terms(query, stores.words.get_config().tokenizer):
                 return spark.createDataFrame([], "doc_id long, score double")
         if searcher is not None:
-            return searcher.filtered(query, k, where)
+            return searcher.filtered(
+                query, k, where, unordered_phrases=unordered_phrases
+            )
         from tangent_spark.plans.boolean import filtered_topk
 
-        return filtered_topk(spark, stores.words, query, k, where)
+        return filtered_topk(
+            spark, stores.words, query, k, where,
+            unordered_phrases=unordered_phrases,
+        )
     if kind == "boolean":
         if searcher is not None:
-            return searcher.boolean(query, k)
+            return searcher.boolean(query, k, unordered_phrases=unordered_phrases)
         from tangent_spark.plans.boolean import boolean_topk
 
-        return boolean_topk(spark, stores.words, query, k)
+        return boolean_topk(
+            spark, stores.words, query, k, unordered_phrases=unordered_phrases
+        )
     if searcher is not None:
         return searcher.topk(query, k)
     from tangent_spark.plans.search import bm25_topk_wand

@@ -518,7 +518,7 @@ def _should_only_sweep(
 def _boolean_shard_kernel(
     roles: _TermRoles, seed: str | None, n_must_check: int, k_local: int | None,
     counter=None, deleted=None, ext_cand=None, n_shards: int = 0,
-    phrases=None, not_phrases=None,
+    phrases=None, not_phrases=None, phrases_in_order: bool = True,
 ):
     """The per-shard conjunction kernel (see module docstring): decode
     seed -> candidates -> block-skip restricted decode of the rest ->
@@ -571,7 +571,9 @@ def _boolean_shard_kernel(
         if phrases:
             allow = None
             for p_terms, slop in phrases:
-                ids, _ = phrase_docs_np(pos_pdf, p_terms, slop)
+                ids, _ = phrase_docs_np(
+                    pos_pdf, p_terms, slop, in_order=phrases_in_order
+                )
                 allow = ids if allow is None else np.intersect1d(allow, ids)
                 if not allow.size:
                     return _empty_out()
@@ -583,7 +585,7 @@ def _boolean_shard_kernel(
             cand_ids = filt_cand
         if not_phrases:
             deny_parts = [
-                phrase_docs_np(pos_pdf, p_terms, slop)[0]
+                phrase_docs_np(pos_pdf, p_terms, slop, in_order=phrases_in_order)[0]
                 for p_terms, slop in not_phrases
             ]
             pdeny = np.unique(np.concatenate(deny_parts)) if deny_parts else None
@@ -850,6 +852,7 @@ def boolean_topk(
     k: int,
     decode_counter=None,
     min_should_match=0,
+    unordered_phrases: bool = False,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a boolean query string off the index
     (cold path: postings/stats read from parquet per query).
@@ -857,6 +860,9 @@ def boolean_topk(
     must then match at least that many DISTINCT should terms on top of
     the usual must/phrase/not constraints; scores are unchanged for
     surviving docs (BM25 over all their matching positive terms).
+    `unordered_phrases` serves every phrase clause with Lucene sloppy
+    (reorder-tolerant) matching instead of in-order slack — see
+    plans.phrase._unordered_tf.
 
     Raises ValueError if the query has no positive clause, or if it
     carries a phrase but the index was built without positions."""
@@ -875,6 +881,7 @@ def boolean_topk(
         decode_counter=decode_counter,
         deleted=load_deleted_ids(spark, store),
         min_should_match=min_should_match,
+        unordered_phrases=unordered_phrases,
     )
 
 
@@ -898,6 +905,7 @@ def _boolean_plan(
     serving: DataFrame | None = None,
     facet=None,
     min_should_match=0,
+    unordered_phrases: bool = False,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -1014,6 +1022,7 @@ def _boolean_plan(
         deleted=deleted, ext_cand=ext_cand, n_shards=cfg.n_shards,
         phrases=q.phrases if in_kernel_phrases else None,
         not_phrases=q.not_phrases if in_kernel_phrases else None,
+        phrases_in_order=not unordered_phrases,
     )
     if in_kernel_phrases:
         p_terms = sorted(
@@ -1056,13 +1065,17 @@ def _boolean_plan(
         )
         for p, slop in q.phrases:
             scored = scored.join(
-                phrase_match_positions(pos, p, slop).select("doc_id"),
+                phrase_match_positions(
+                    pos, p, slop, in_order=not unordered_phrases
+                ).select("doc_id"),
                 "doc_id",
                 "left_semi",
             )
         for p, slop in q.not_phrases:
             scored = scored.join(
-                phrase_match_positions(pos, p, slop).select("doc_id"),
+                phrase_match_positions(
+                    pos, p, slop, in_order=not unordered_phrases
+                ).select("doc_id"),
                 "doc_id",
                 "left_anti",
             )
@@ -1441,6 +1454,7 @@ def filtered_topk(
     decode_counter=None,
     max_driver_candidates: int = 1_000_000,
     min_should_match=0,
+    unordered_phrases: bool = False,
 ) -> DataFrame:
     """Top-k for a boolean/BM25 query RESTRICTED to documents matching
     a SQL predicate over the docs dictionary's metadata columns
@@ -1482,4 +1496,5 @@ def filtered_topk(
         ext_cand=ids,
         cand_df=cand_df,
         min_should_match=min_should_match,
+        unordered_phrases=unordered_phrases,
     )

@@ -1194,6 +1194,7 @@ class Searcher:
 
     def boolean(
         self, query: str, k: int, decode_counter=None, min_should_match=0,
+        unordered_phrases: bool = False,
     ) -> DataFrame:
         """Warm boolean serving (`bare +must -not "phrase"`): the same
         plan as plans.boolean.boolean_topk, but postings, term_stats,
@@ -1201,7 +1202,9 @@ class Searcher:
         partitions — zero file I/O per query — and the rarest-must-term
         seed lookup answers from the resident head lexicon.
         `min_should_match` takes any Solr mm spec (boolean.resolve_mm)
-        and is enforced inside the same one-job kernel."""
+        and is enforced inside the same one-job kernel;
+        `unordered_phrases` switches phrase clauses to Lucene sloppy
+        (reorder-tolerant) matching."""
         from tangent_spark.plans.boolean import _boolean_plan
 
         return _boolean_plan(
@@ -1220,6 +1223,7 @@ class Searcher:
             deleted=self.deleted,
             serving=self.serving if self._has_positions else None,
             min_should_match=min_should_match,
+            unordered_phrases=unordered_phrases,
         )
 
     def wildcard(
@@ -1404,6 +1408,7 @@ class Searcher:
         decode_counter=None,
         max_driver_candidates: int = 1_000_000,
         min_should_match=0,
+        unordered_phrases: bool = False,
     ) -> DataFrame:
         """Warm metadata-filtered serving: boolean/BM25 top-k restricted
         to docs matching a SQL predicate over the docs dictionary
@@ -1441,6 +1446,7 @@ class Searcher:
             cand_df=cand_df,
             serving=self.serving if self._has_positions else None,
             min_should_match=min_should_match,
+            unordered_phrases=unordered_phrases,
         )
 
     def facets(

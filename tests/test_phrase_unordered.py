@@ -123,6 +123,47 @@ def test_unordered_matches_are_superset_of_inorder_docs():
             assert phrase_tf_np(pl, slop, in_order=False, term_keys=phrase) > 0
 
 
+def test_boolean_route_unordered_phrases(spark, built_store):
+    """api.search(unordered_phrases=True): warm == cold, the unordered
+    match set contains the in-order one, and the flag is rejected off
+    the boolean route."""
+    from tangent_spark.api import search
+    from tangent_spark.plans.boolean import boolean_topk
+    from tangent_spark.plans.search import Searcher
+
+    store, _ = built_store
+    q = '"theorem matrix"~3 convergence'
+    cold_in = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in boolean_topk(spark, store, q, 50).collect()
+    ]
+    cold_un = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in boolean_topk(
+            spark, store, q, 50, unordered_phrases=True
+        ).collect()
+    ]
+    api_un = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, store, q, 50, unordered_phrases=True
+        ).collect()
+    ]
+    assert api_un == cold_un
+    s = Searcher(spark, store, cache_positions=True)
+    try:
+        warm_un = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in s.boolean(q, 50, unordered_phrases=True).collect()
+        ]
+    finally:
+        s.close()
+    assert warm_un == cold_un
+    assert set(d for d, _ in cold_in) <= set(d for d, _ in cold_un)
+    with pytest.raises(ValueError, match="unordered_phrases"):
+        search(spark, store, "plain terms", 5, unordered_phrases=True)
+
+
 def test_declarative_and_warm_paths_match_kernel(spark, built_store):
     """Cold phrase_topk(in_order=False) == warm Searcher.phrase
     (in_order=False), and both equal the per-doc numpy kernel run over
