@@ -956,12 +956,33 @@ def oracle_sql() -> dict[str, str]:
     # --- consolidation to the driver harness's 50-entry run cap ---
     # merged entries union the verified single-surface SQLs (each kept
     # above as a building block) under a phase column; no oracle lost
+    # function query: full BM25 for 'data query table' x the boost
+    # expression (1 + 0.1 ln(1 + n_chars)) recomputed from scratch
+    _fnboost_sql = (
+        f"WITH {_TOK}, {_TF}, {_DL}, "
+        "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+        "m AS (SELECT * FROM tf WHERE term IN ('data','query','table')), "
+        "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+        "sc AS (SELECT m.doc_id, sum("
+        "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+        "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+        ") AS score "
+        "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+        "GROUP BY 1), "
+        "fb AS (SELECT sc.doc_id, sc.score * (1.0 + 0.1 * ln(1 + d.n_chars)) AS score "
+        "FROM sc JOIN documents d USING (doc_id)), "
+        "r AS (SELECT doc_id, score, row_number() OVER ("
+        "ORDER BY score DESC, doc_id ASC) AS rk FROM fb) "
+        "SELECT 'fnboost' AS phase, doc_id, round(score, 4)::DOUBLE AS score "
+        "FROM r WHERE rk <= 20"
+    )
     d["multiterm_shaping_topk"] = (
         "SELECT phase, doc_id, score FROM (" + d.pop("multiterm_expand_topk") + ") "
         "UNION ALL SELECT 'syn' AS phase, doc_id, score FROM ("
         + d.pop("synonym_bm25_topk") + ") "
         "UNION ALL SELECT phase, doc_id, score FROM ("
-        + d.pop("boosted_mm_topk") + ")"
+        + d.pop("boosted_mm_topk") + ") "
+        "UNION ALL SELECT phase, doc_id, score FROM (" + _fnboost_sql + ")"
     )
     d["facet_panels"] = (
         "SELECT phase, lang AS k1, '' AS k2, n_docs::DOUBLE AS val FROM ("

@@ -101,6 +101,7 @@ def search(
     min_should_match=0,
     pinned: list[int] | None = None,
     unordered_phrases: bool = False,
+    boost_fn: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -133,6 +134,12 @@ def search(
       * recency_boost={'by': ts_col, 'now': datetime, ...} — kwargs
         for plans.search.boosted_topk (Solr boost=recip: BM25 x
         1/(1 + age/half_life)); combinable with `after`.
+      * boost_fn='<sql expr>' — function query (Solr boost=<func> /
+        Lucene FunctionScoreQuery): BM25 x f(doc) for any positive
+        SQL expression over the index's meta_cols, e.g.
+        `1.0 + 0.1 * ln(n_chars)`; combinable with `after`
+        (plans.search.function_boosted_topk — pruning stays exact via
+        power-of-two weight normalization).
       * pinned=[doc_id, ...] — query elevation (Solr
         QueryElevationComponent): the given ids occupy the first ranks
         in order, organic results fill the rest; returns the elevation
@@ -209,6 +216,7 @@ def search(
             ("sort_by", sort_by is not None),
             ("recency_boost", recency_boost is not None),
             ("pinned", pinned is not None),
+            ("boost_fn", boost_fn is not None),
         )
         if on
     ]
@@ -369,7 +377,7 @@ def search(
     if sort_by is not None:
         if group_by is not None or boosts is not None or synonyms is not None \
                 or after is not None or recency_boost is not None \
-                or pinned is not None:
+                or pinned is not None or boost_fn is not None:
             raise ValueError("sort_by is not combinable with other shaping options")
         from tangent_spark.plans.sortby import sorted_topk
 
@@ -377,7 +385,8 @@ def search(
             spark, stores.words, query, sort_by, k=k, ascending=sort_ascending
         )
     if recency_boost is not None:
-        if group_by is not None or boosts is not None or synonyms is not None:
+        if group_by is not None or boosts is not None or synonyms is not None \
+                or boost_fn is not None:
             raise ValueError(
                 "recency_boost combines only with `after` (cursor paging)"
             )
@@ -385,6 +394,16 @@ def search(
 
         return boosted_topk(
             spark, stores.words, query, k, after=after, **recency_boost
+        )
+    if boost_fn is not None:
+        if group_by is not None or boosts is not None or synonyms is not None:
+            raise ValueError(
+                "boost_fn combines only with `after` (cursor paging)"
+            )
+        from tangent_spark.plans.search import function_boosted_topk
+
+        return function_boosted_topk(
+            spark, stores.words, query, k, boost_fn, after=after
         )
     if boosts is not None:
         if group_by is not None or synonyms is not None:

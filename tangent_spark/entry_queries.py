@@ -1923,17 +1923,48 @@ def spellcheck_collation(spark, sf_dir):
 # Each wrapper unions the already-verified building blocks above under a
 # phase column so every oracle survives consolidation.
 
+FNB_QUERY = "data query table"
+FNB_EXPR = "1.0 + 0.1 * ln(1 + n_chars)"
+
+
+def fnboost_topk(spark, sf_dir):
+    """Function query (Solr boost=<func> / Lucene FunctionScoreQuery)
+    through the REAL kernel: BM25 top-20 for 'data query table' scored
+    x (1 + 0.1 ln(1 + n_chars)) — the weight exceeds 1, exercising the
+    power-of-two normalization that keeps block-max pruning exact
+    (plans/search.function_boosted_topk)."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.search import function_boosted_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_fnb_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, meta=("n_chars",))
+        out = [
+            ("fnboost", int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in function_boosted_topk(
+                spark, store, FNB_QUERY, 20, FNB_EXPR
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
+
+
 def multiterm_shaping_topk(spark, sf_dir):
-    """Six serving phases in one entry — the multi-term rewrites
+    """Seven serving phases in one entry — the multi-term rewrites
     (glob / regexp / fuzzy, see multiterm_expand_topk), SynonymQuery
-    scoring ('syn', see synonym_bm25_topk) and the score shapers
-    ('boost' / 'mm', see boosted_mm_topk)."""
+    scoring ('syn', see synonym_bm25_topk), the score shapers
+    ('boost' / 'mm', see boosted_mm_topk) and the function query
+    ('fnboost', see fnboost_topk)."""
     mt = multiterm_expand_topk(spark, sf_dir)
     syn = synonym_bm25_topk(spark, sf_dir).select(
         F.lit("syn").alias("phase"), "doc_id", "score"
     )
     bm = boosted_mm_topk(spark, sf_dir)
-    return mt.unionByName(syn).unionByName(bm)
+    fb = fnboost_topk(spark, sf_dir)
+    return mt.unionByName(syn).unionByName(bm).unionByName(fb)
 
 
 def facet_panels(spark, sf_dir):

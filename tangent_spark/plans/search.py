@@ -669,6 +669,96 @@ def boosted_topk(
     )
 
 
+def function_boosted_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    boost_fn: str,
+    missing: float = 1.0,
+    after: tuple[float, int] | None = None,
+    max_driver_docs: int = 1_000_000,
+) -> DataFrame:
+    """Function-query boosted BM25 (Solr `boost=<func>` / Lucene
+    FunctionScoreQuery with an arbitrary ValueSource): final score =
+    BM25 x f(doc), where `boost_fn` is any SQL expression over the
+    docs dictionary's metadata columns (IndexConfig.meta_cols), e.g.
+    `1.0 + 0.1 * ln(n_chars)` or `sqrt(popularity)`. The expression
+    must evaluate positive and finite for every doc (a multiplicative
+    boost of <= 0 is meaningless and raises); NULL results take the
+    `missing` weight (> 0).
+
+    Pruning stays exact under arbitrary positive weights: the kernel's
+    block-max invariant needs weights in (0, 1], so the evaluated
+    weights are divided by their max before entering the kernel
+    (one global constant — rank-order unchanged) and the returned
+    scores are multiplied back, so callers see true BM25 x f(doc).
+    One single-stage job like bm25_topk_wand; the doc->weight map
+    rides the same broadcast as the recency/filter/facet machinery.
+
+    The reference had no function queries (Solr owned its text
+    serving, SURVEY S12); this is the standard Solr boost surface
+    re-expressed over our own kernel."""
+    cfg = store.get_config()
+    if not (0.0 < float(missing)) or not np.isfinite(float(missing)):
+        raise ValueError("missing weight must be positive and finite")
+    qts = query_terms(query, cfg.tokenizer)
+    if not qts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    docs = store.read(spark, "docs")
+    head = (
+        docs.select("doc_id", F.expr(boost_fn).cast("double").alias("__w"))
+        .limit(max_driver_docs + 1)
+        .toPandas()
+    )
+    if len(head) > max_driver_docs:
+        raise ValueError(
+            "docs dictionary too large to broadcast the boost map "
+            f"(> {max_driver_docs} rows)"
+        )
+    ids = head["doc_id"].to_numpy(np.int64)
+    weights = head["__w"].to_numpy(np.float64)
+    present = ~np.isnan(weights)
+    if not np.all(np.isfinite(weights[present])) or np.any(
+        weights[present] <= 0.0
+    ):
+        raise ValueError(
+            f"boost_fn {boost_fn!r} must evaluate positive and finite "
+            "for every document (NULL -> `missing`)"
+        )
+    ids, weights = ids[present], weights[present]
+    order = np.argsort(ids)
+    ids, weights = ids[order], weights[order]
+    # normalize by the next power of two >= max weight: division and
+    # multiplication by 2^n are EXACT in binary floating point, so the
+    # returned true scores and the `after` cursor round-trip
+    # bit-identically through the normalized kernel space
+    w_max = float(max(weights.max() if weights.size else 0.0, float(missing)))
+    scale = float(2.0 ** np.ceil(np.log2(w_max))) if w_max > 1.0 else 1.0
+    dw = (ids, weights / scale, float(missing) / scale)
+    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    scored = _wand_plan(
+        spark.read.parquet(store.path("postings")),
+        spark.read.parquet(store.path("term_stats")),
+        qts,
+        int(cs["n_docs"]),
+        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        cfg,
+        k,
+        False,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]) / scale, int(after[1]))
+        if after is not None
+        else None,
+        doc_weights=dw,
+    )
+    # undo the normalization so callers see true BM25 x f(doc); the
+    # ordering (score desc, doc_id asc) is unchanged by the constant
+    return scored.select(
+        "doc_id", (F.col("score") * F.lit(scale)).alias("score")
+    )
+
+
 def bm25_topk_synonyms(
     spark: SparkSession,
     store: IndexStore,
