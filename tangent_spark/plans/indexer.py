@@ -206,10 +206,16 @@ def build_index(
             (F.sum("tf") / F.lit(n_docs)).alias("avgdl"),
         )
         corpus.write.mode("overwrite").parquet(store.path("corpus_stats"))
+        # reversed term dictionary (Solr ReversedWildcardFilter as table
+        # layout): regenerated with every term_stats rewrite so leading-
+        # wildcard expansion prunes instead of scanning the vocabulary
+        from tangent_spark.plans.wildcard import REV_TABLE, write_rev_terms
+
+        write_rev_terms(spark, store.path("term_stats"), store.path(REV_TABLE))
         vocab = spark.read.parquet(store.path("term_stats")).count()
         store.commit_stage(
             "stats",
-            ["term_stats", "corpus_stats"],
+            ["term_stats", "corpus_stats", REV_TABLE],
             {"vocab": vocab, "n_docs": n_docs, "secs": time.time() - t0},
         )
 

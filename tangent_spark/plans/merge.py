@@ -112,10 +112,13 @@ def merge_indexes(
             raise AssertionError(
                 f"corpus_stats n_docs {n_docs} != doc dictionary {n_total}"
             )
+        from tangent_spark.plans.wildcard import REV_TABLE, write_rev_terms
+
+        write_rev_terms(spark, out.path("term_stats"), out.path(REV_TABLE))
         vocab = spark.read.parquet(out.path("term_stats")).count()
         out.commit_stage(
             "stats",
-            ["term_stats", "corpus_stats"],
+            ["term_stats", "corpus_stats", REV_TABLE],
             {"vocab": vocab, "n_docs": n_docs, "secs": time.time() - t1},
         )
 

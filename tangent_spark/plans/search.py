@@ -1329,8 +1329,12 @@ class Searcher:
         `te*t`/`?uery` token expands against the persisted term_stats
         cache (one bounded in-memory job per NEW pattern; repeats hit
         the expansion cache), then the expanded disjunction serves
-        through the standard ONE-job warm kernel."""
-        from tangent_spark.plans.wildcard import wildcard_terms
+        through the standard ONE-job warm kernel. Leading-wildcard
+        patterns route their expansion to the store's reversed term
+        dictionary (prefix pushdown on reverse(term) — Solr
+        ReversedWildcardFilter) instead of scanning the cached
+        vocabulary; repeats hit the expansion cache either way."""
+        from tangent_spark.plans.wildcard import load_rev_terms, wildcard_terms
 
         qts = wildcard_terms(
             self.term_stats,
@@ -1338,6 +1342,7 @@ class Searcher:
             self.cfg.tokenizer,
             max_expansions,
             expansion_cache=self._wildcard_cache,
+            term_stats_rev=load_rev_terms(self.spark, self.store),
         )
         if not qts:
             return self.spark.createDataFrame([], "doc_id long, score double")

@@ -46,6 +46,7 @@ Java/POSIX common subset (no lookahead in twinned queries).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -90,6 +91,55 @@ def literal_prefix(pattern: str) -> str:
     """The literal chars before the first wildcard — the pushdown key."""
     m = _WILDCARD_RX.search(pattern)
     return pattern[: m.start()] if m else pattern
+
+
+def literal_suffix(pattern: str) -> str:
+    """The literal chars after the LAST wildcard — the pushdown key for
+    the reversed term dictionary (`*ing` -> 'ing')."""
+    matches = list(_WILDCARD_RX.finditer(pattern))
+    return pattern[matches[-1].end() :] if matches else pattern
+
+
+REV_TABLE = "term_stats_rev"
+
+
+def load_rev_terms(spark: SparkSession, store: IndexStore) -> DataFrame | None:
+    """The store's reversed term dictionary, or None for stores built
+    before it existed (expansion then falls back to the forward scan —
+    same answer, more IO)."""
+    p = store.path(REV_TABLE)
+    if not os.path.exists(os.path.join(p, "_SUCCESS")):
+        return None
+    return spark.read.parquet(p)
+
+
+def write_rev_terms(spark: SparkSession, stats_path: str, rev_path: str) -> None:
+    """Derive the reversed term dictionary from a term_stats parquet dir:
+    rows (r_term = reverse(term), term, df) written GLOBALLY SORTED by
+    r_term (repartitionByRange + sortWithinPartitions), so a leading-
+    wildcard expansion's StartsWith(r_term, reversed-suffix) predicate
+    prunes at file AND row-group granularity via parquet min/max stats.
+
+    This is Lucene/Solr's ReversedWildcardFilterFactory re-expressed as
+    physical table layout: Solr indexes each token reversed (marker
+    char + reversed form) in the same field so `*ing` rewrites to a
+    prefix query; here the reversed form lives in a derived side table
+    of the vocabulary, regenerated whenever term_stats flips (build /
+    append / compaction / merge — the same discipline as the stats
+    tables themselves, so a reader can never see the two disagree).
+    Cost: one vocabulary-sized range shuffle per stats rewrite —
+    vocabulary rows are zipf-bounded far below corpus rows, so this
+    rides in the stats stage's noise."""
+    stats = spark.read.parquet(stats_path).select(
+        F.reverse(F.col("term")).alias("r_term"), "term", "df"
+    )
+    parts = max(2, min(spark.sparkContext.defaultParallelism, 64))
+    (
+        stats.repartitionByRange(parts, "r_term")
+        .sortWithinPartitions("r_term")
+        .write.mode("overwrite")
+        .parquet(rev_path)
+    )
 
 
 def regexp_prefix(body: str) -> str:
@@ -246,24 +296,57 @@ def parse_wildcard_query(
 
 
 def expand_pattern(
-    term_stats: DataFrame, pattern: str, max_expansions: int = 1024
+    term_stats: DataFrame,
+    pattern: str,
+    max_expansions: int = 1024,
+    term_stats_rev: DataFrame | None = None,
 ) -> list[str]:
     """Vocabulary terms matching a `*`/`?` pattern, capped at the
     `max_expansions` highest-df terms (df desc, term asc — the
     top-terms rewrite order). ONE bounded job: prefix pushed down,
-    anchored regex on top, TakeOrdered of at most max_expansions rows."""
+    anchored regex on top, TakeOrdered of at most max_expansions rows.
+
+    Leading-wildcard patterns (`*ing`, `?at*`) have NO literal prefix,
+    so the forward dictionary can only answer them with a full
+    vocabulary scan. When the store's reversed term dictionary is
+    supplied (`term_stats_rev` — see write_rev_terms) and the pattern
+    ends in a literal run, the scan flips to it: StartsWith(r_term,
+    reverse(suffix)) is pushed to the parquet reader against the
+    r_term-sorted layout (Solr ReversedWildcardFilter semantics), and
+    the anchored regex still applies on the forward term, so the
+    expansion is EXACTLY the forward scan's — only the IO shrinks."""
     if max_expansions <= 0:
         raise ValueError("max_expansions must be positive")
-    m = term_stats.select("term", "df")
-    pre = literal_prefix(pattern)
-    if pre:
-        m = m.filter(F.col("term").startswith(pre))
-    if pre != pattern:  # pure-literal "patterns" need no regex pass
-        m = m.filter(F.col("term").rlike(wildcard_regex(pattern)))
     rows = (
-        m.orderBy(F.desc("df"), F.asc("term")).limit(max_expansions).collect()
+        pattern_scan(term_stats, pattern, term_stats_rev)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
     )
     return [r["term"] for r in rows]
+
+
+def pattern_scan(
+    term_stats: DataFrame,
+    pattern: str,
+    term_stats_rev: DataFrame | None = None,
+) -> DataFrame:
+    """The (term, df) scan a pattern expansion runs — factored out so
+    tests can assert the reversed route's StartsWith predicate actually
+    reaches the parquet reader (PushedFilters)."""
+    pre = literal_prefix(pattern)
+    suf = literal_suffix(pattern)
+    if not pre and suf and term_stats_rev is not None:
+        m = term_stats_rev.select("r_term", "term", "df").filter(
+            F.col("r_term").startswith(suf[::-1])
+        )
+    else:
+        m = term_stats.select("term", "df")
+        if pre:
+            m = m.filter(F.col("term").startswith(pre))
+    if pre != pattern:  # pure-literal "patterns" need no regex pass
+        m = m.filter(F.col("term").rlike(wildcard_regex(pattern)))
+    return m.select("term", "df")
 
 
 def wildcard_terms(
@@ -272,10 +355,13 @@ def wildcard_terms(
     tokenizer: str,
     max_expansions: int = 1024,
     expansion_cache: dict | None = None,
+    term_stats_rev: DataFrame | None = None,
 ) -> list[str]:
     """The full expanded term set for a mixed literal/wildcard query.
     `expansion_cache` (optional, {(pattern, cap): [terms]}) lets a warm
-    Searcher skip the expansion job for repeated patterns."""
+    Searcher skip the expansion job for repeated patterns;
+    `term_stats_rev` routes leading-wildcard patterns to the reversed
+    dictionary (see expand_pattern)."""
     patterns, terms = parse_wildcard_query(query, tokenizer)
     out = set(terms)
     for p in patterns:
@@ -283,7 +369,9 @@ def wildcard_terms(
         if expansion_cache is not None and key in expansion_cache:
             out.update(expansion_cache[key])
             continue
-        exp = expand_pattern(term_stats, p, max_expansions)
+        exp = expand_pattern(
+            term_stats, p, max_expansions, term_stats_rev=term_stats_rev
+        )
         if expansion_cache is not None:
             expansion_cache[key] = exp
         out.update(exp)
@@ -307,7 +395,13 @@ def wildcard_topk(
 
     cfg = store.get_config()
     ts = spark.read.parquet(store.path("term_stats"))
-    qts = wildcard_terms(ts, query, cfg.tokenizer, max_expansions)
+    qts = wildcard_terms(
+        ts,
+        query,
+        cfg.tokenizer,
+        max_expansions,
+        term_stats_rev=load_rev_terms(spark, store),
+    )
     if not qts:
         return spark.createDataFrame([], "doc_id long, score double")
     cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]

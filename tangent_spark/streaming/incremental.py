@@ -208,6 +208,16 @@ def append_batch(
         .write.mode("overwrite")
         .parquet(store.versioned_path("term_stats", ts_v + 1))
     )
+    # the reversed dictionary flips in lockstep with term_stats (same
+    # version number), derived from the just-written merged stats
+    from tangent_spark.plans.wildcard import REV_TABLE, write_rev_terms
+
+    rv_v = store.table_version(REV_TABLE)
+    write_rev_terms(
+        spark,
+        store.versioned_path("term_stats", ts_v + 1),
+        store.versioned_path(REV_TABLE, rv_v + 1),
+    )
 
     old_cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
     # dl(doc) == sum(tf) — deterministic across partitionings (see
@@ -238,7 +248,11 @@ def append_batch(
         stage,
         ["postings", "docs"] + (["positions"] if cfg.store_positions else []),
         counters,
-        table_flips={"term_stats": ts_v + 1, "corpus_stats": cs_v + 1},
+        table_flips={
+            "term_stats": ts_v + 1,
+            "corpus_stats": cs_v + 1,
+            REV_TABLE: rv_v + 1,
+        },
     )
     shutil.rmtree(staging, ignore_errors=True)
     return counters
@@ -513,6 +527,14 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
             .write.mode("overwrite")
             .parquet(store.versioned_path("term_stats", sv))
         )
+        from tangent_spark.plans.wildcard import REV_TABLE, write_rev_terms
+
+        rvv = store.table_version(REV_TABLE) + 1
+        write_rev_terms(
+            spark,
+            store.versioned_path("term_stats", sv),
+            store.versioned_path(REV_TABLE, rvv),
+        )
         cv = store.table_version("corpus_stats") + 1
         (
             terms_clean.agg(
@@ -534,9 +556,13 @@ def compact_postings(spark: SparkSession, store: IndexStore) -> dict:
                 "term_stats": sv,
                 "corpus_stats": cv,
                 "tombstones": tsv,
+                REV_TABLE: rvv,
             }
         )
-        stage_tables += ["docs", "terms", "term_stats", "corpus_stats", "tombstones"]
+        stage_tables += [
+            "docs", "terms", "term_stats", "corpus_stats", "tombstones",
+            REV_TABLE,
+        ]
         counters["n_docs_after"] = int(n_docs_after)
 
     # positions ride the same compaction: appends add one tagged part-file

@@ -336,3 +336,150 @@ def test_front_door_rejects_unsupported_wildcard_combos(spark, store):
     # '?' INSIDE a quoted phrase is punctuation, not a glob: routes to
     # boolean and serves (the tokenizer strips it)
     assert search(spark, store, '+data "how?"', 5).count() >= 0
+
+
+# ---- reversed term dictionary (leading wildcards at scale) ----------------
+# Solr/Lucene answer `*ing` with ReversedWildcardFilter (the token is
+# indexed reversed so the query rewrites to the prefix query 'gni*');
+# here the reversed form is a derived side table of the vocabulary,
+# sorted by r_term so the reversed prefix predicate prunes the scan.
+
+
+def test_rev_table_written_reversed_and_range_sorted(spark, store):
+    from pyspark.sql import functions as F
+
+    from tangent_spark.plans.wildcard import REV_TABLE, load_rev_terms
+
+    rev = load_rev_terms(spark, store)
+    assert rev is not None
+    ts = spark.read.parquet(store.path("term_stats"))
+    assert rev.count() == ts.count()
+    assert rev.filter(F.reverse(F.col("term")) != F.col("r_term")).count() == 0
+    # layout claim: files hold disjoint, internally sorted r_term ranges
+    # (range partition + sort), so min/max stats prune at file level
+    per_file = (
+        rev.select("r_term", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("r_term").alias("lo"), F.max("r_term").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (_, hi_prev), (lo, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo
+    assert store.table_version(REV_TABLE) == store.table_version("term_stats")
+
+
+def test_leading_wildcard_rev_route_equals_forward_scan(spark, store, corpus):
+    _, local = corpus
+    vocab = _vocab_dfs(local)
+    from tangent_spark.plans.wildcard import load_rev_terms
+
+    ts = spark.read.parquet(store.path("term_stats"))
+    rev = load_rev_terms(spark, store)
+    for pattern in ("*tion", "?ath", "*alu?", "*"):
+        via_rev = sorted(expand_pattern(ts, pattern, 1024, term_stats_rev=rev))
+        forward = sorted(expand_pattern(ts, pattern, 1024))
+        assert via_rev == forward, pattern
+        assert via_rev == _glob(vocab, pattern), pattern
+
+
+def test_rev_route_pushes_reversed_prefix_to_scan(spark, store):
+    from tangent_spark.plans.wildcard import load_rev_terms, pattern_scan
+
+    ts = spark.read.parquet(store.path("term_stats"))
+    rev = load_rev_terms(spark, store)
+    plan = (
+        pattern_scan(ts, "*tion", term_stats_rev=rev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the reversed literal suffix is the pushed prefix key
+    assert "StartsWith(r_term,noit)" in plan.replace(" ", "")
+    assert "PushedFilters" in plan
+    # trailing-wildcard patterns must keep the forward prefix route even
+    # when the rev table is offered
+    fwd = (
+        pattern_scan(ts, "con*", term_stats_rev=rev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StartsWith(term,con)" in fwd.replace(" ", "")
+
+
+def test_wildcard_topk_without_rev_table_falls_back(
+    spark, corpus, tmp_path_factory
+):
+    """Stores built before the rev table existed keep answering
+    leading-wildcard queries (forward vocabulary scan)."""
+    import shutil
+
+    pages, local = corpus
+    base = str(tmp_path_factory.mktemp("wcold") / "idx")
+    st = build_index(spark, pages, base, CFG, url_col="url")
+    from tangent_spark.plans.wildcard import REV_TABLE, load_rev_terms
+
+    shutil.rmtree(st.path(REV_TABLE), ignore_errors=True)
+    assert load_rev_terms(spark, st) is None
+    vocab = _vocab_dfs(local)
+    got = [
+        int(r["doc_id"]) for r in wildcard_topk(spark, st, "*tion", 10).collect()
+    ]
+    qts = _glob(vocab, "*tion")
+    want = [d for d, _ in bm25_rank(local, qts, 10, CFG.k1, CFG.b, "porter")]
+    assert got == want
+
+
+def test_rev_table_rides_append_and_compaction(spark, tmp_path_factory):
+    """The reversed dictionary flips in lockstep with term_stats through
+    the whole store lifecycle: append (merged stats) and delete +
+    compaction (rebuilt stats) both regenerate it; at every point it is
+    exactly reverse(term_stats)."""
+    from pyspark.sql import functions as F
+
+    from tangent_spark.plans.wildcard import REV_TABLE, load_rev_terms
+    from tangent_spark.streaming.incremental import (
+        append_batch,
+        compact_postings,
+        delete_docs,
+    )
+
+    pages = pages_with_doc_ids(generate_pages(spark, 60, partitions=4)).persist()
+    first = pages.filter(F.col("doc_id") < 40)
+    second = pages.filter(F.col("doc_id") >= 40).drop("doc_id")
+    base = str(tmp_path_factory.mktemp("wrev") / "idx")
+    st = build_index(spark, first, base, CFG, url_col="url")
+
+    def assert_consistent():
+        rev = load_rev_terms(spark, st)
+        assert rev is not None
+        ts = spark.read.parquet(st.path("term_stats"))
+        diff = (
+            rev.select(F.col("term"), F.col("r_term"))
+            .withColumn("want", F.reverse(F.col("term")))
+            .filter(F.col("r_term") != F.col("want"))
+            .count()
+        )
+        assert diff == 0
+        assert rev.count() == ts.count()
+        missing = ts.join(rev.select("term"), "term", "left_anti").count()
+        assert missing == 0
+        assert st.table_version(REV_TABLE) == st.table_version("term_stats")
+
+    assert_consistent()
+    append_batch(spark, st, second, batch_id=1)
+    assert_consistent()
+    ids = [
+        int(r["doc_id"])
+        for r in spark.read.parquet(st.path("docs")).limit(5).collect()
+    ]
+    delete_docs(spark, st, ids, batch_id=2)
+    compact_postings(spark, st)
+    assert_consistent()
+    # and the rev route still answers over the post-compaction vocab
+    ts = spark.read.parquet(st.path("term_stats"))
+    rev = load_rev_terms(spark, st)
+    assert sorted(expand_pattern(ts, "*tion", 1024, term_stats_rev=rev)) == sorted(
+        expand_pattern(ts, "*tion", 1024)
+    )
