@@ -976,13 +976,47 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 'fnboost' AS phase, doc_id, round(score, 4)::DOUBLE AS score "
         "FROM r WHERE rk <= 20"
     )
+    # phrase rescoring (Lucene QueryRescorer / ES rescore / edismax pf):
+    # BM25 top-50 window for 'data query' + 2.0 x phrase_bm25 of the
+    # same bigram (idf = sum of member idfs, tf = adjacent-pair
+    # completion count, the standard tf-norm at the doc's own dl),
+    # re-sorted top-20 — the full combination recomputed from raw text
+    _rescore_sql = (
+        f"WITH {_TOK}, {_TF}, {_DL}, {_POS}, "
+        "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+        "m AS (SELECT * FROM tf WHERE term IN ('data','query')), "
+        "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+        "sc AS (SELECT m.doc_id, sum("
+        "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+        "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+        ") AS score "
+        "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+        "GROUP BY 1), "
+        "win AS (SELECT doc_id, score, row_number() OVER ("
+        "ORDER BY score DESC, doc_id ASC) AS rk FROM sc), "
+        "ptf AS (SELECT a.doc_id, count(*)::INT AS tf FROM pos a "
+        "JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term = 'data' AND b.term = 'query' GROUP BY 1), "
+        "idfp AS (SELECT sum(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))) AS v "
+        "FROM dfs CROSS JOIN stats s), "
+        "fin AS (SELECT w.doc_id, w.score + coalesce("
+        "  2.0 * i.v * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)), 0.0"
+        ") AS score "
+        "FROM win w LEFT JOIN ptf p USING (doc_id) JOIN dl USING (doc_id) "
+        "CROSS JOIN stats s CROSS JOIN idfp i WHERE w.rk <= 50), "
+        "r AS (SELECT doc_id, score, row_number() OVER ("
+        "ORDER BY score DESC, doc_id ASC) AS rk2 FROM fin) "
+        "SELECT 'rescore' AS phase, doc_id, round(score, 4)::DOUBLE AS score "
+        "FROM r WHERE rk2 <= 20"
+    )
     d["multiterm_shaping_topk"] = (
         "SELECT phase, doc_id, score FROM (" + d.pop("multiterm_expand_topk") + ") "
         "UNION ALL SELECT 'syn' AS phase, doc_id, score FROM ("
         + d.pop("synonym_bm25_topk") + ") "
         "UNION ALL SELECT phase, doc_id, score FROM ("
         + d.pop("boosted_mm_topk") + ") "
-        "UNION ALL SELECT phase, doc_id, score FROM (" + _fnboost_sql + ")"
+        "UNION ALL SELECT phase, doc_id, score FROM (" + _fnboost_sql + ") "
+        "UNION ALL SELECT phase, doc_id, score FROM (" + _rescore_sql + ")"
     )
     d["facet_panels"] = (
         "SELECT phase, lang AS k1, '' AS k2, n_docs::DOUBLE AS val FROM ("

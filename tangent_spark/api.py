@@ -102,6 +102,7 @@ def search(
     pinned: list[int] | None = None,
     unordered_phrases: bool = False,
     boost_fn: str | None = None,
+    rescore: dict | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -140,6 +141,13 @@ def search(
         `1.0 + 0.1 * ln(n_chars)`; combinable with `after`
         (plans.search.function_boosted_topk — pruning stays exact via
         power-of-two weight normalization).
+      * rescore={'weight': w, 'window': n, 'slop': s, 'in_order': b,
+        'phrase': p} — phrase rescoring (Lucene QueryRescorer / ES
+        rescore; the Solr edismax `pf` effect): the base top-`window`
+        is re-scored as BM25 + w x phrase_bm25 of the query (or an
+        explicit `phrase`) and re-sorted
+        (plans.rescore.phrase_rescore_topk; requires a positional
+        index). Combines with no other shaping option.
       * pinned=[doc_id, ...] — query elevation (Solr
         QueryElevationComponent): the given ids occupy the first ranks
         in order, organic results fill the rest; returns the elevation
@@ -217,6 +225,7 @@ def search(
             ("recency_boost", recency_boost is not None),
             ("pinned", pinned is not None),
             ("boost_fn", boost_fn is not None),
+            ("rescore", rescore is not None),
         )
         if on
     ]
@@ -384,6 +393,25 @@ def search(
         return sorted_topk(
             spark, stores.words, query, sort_by, k=k, ascending=sort_ascending
         )
+    if rescore is not None:
+        if shaping != ["rescore"]:
+            raise ValueError("rescore combines with no other shaping option")
+        if kind != "bm25":
+            raise ValueError(
+                f"rescore only supported on the plain BM25 route "
+                f"(query routed to {kind!r})"
+            )
+        allowed = {"weight", "window", "slop", "in_order", "phrase"}
+        bad_keys = sorted(set(rescore) - allowed)
+        if bad_keys:
+            raise ValueError(
+                f"unknown rescore option(s) {bad_keys}; allowed: {sorted(allowed)}"
+            )
+        if searcher is not None:
+            return searcher.rescore(query, k, **rescore)
+        from tangent_spark.plans.rescore import phrase_rescore_topk
+
+        return phrase_rescore_topk(spark, stores.words, query, k, **rescore)
     if recency_boost is not None:
         if group_by is not None or boosts is not None or synonyms is not None \
                 or boost_fn is not None:

@@ -1304,15 +1304,18 @@ MLT_DOC = 7
 MLT_MAX_TERMS = 8
 
 
-def _simple_store(spark, sf_dir, base, meta=()):
+def _simple_store(spark, sf_dir, base, meta=(), positions=False):
     """documents -> a simple-tokenizer index (the oracle-comparable
-    configuration shared by the engine-backed contract entries)."""
+    configuration shared by the engine-backed contract entries).
+    positions=True additionally stores the positional table (phrase /
+    rescore entries)."""
     from tangent_spark.config import IndexConfig
     from tangent_spark.plans.indexer import build_index
 
     cols = ["doc_id", "text", *meta]
     cfg = IndexConfig(
-        n_shards=4, block_size=32, tokenizer="simple", meta_cols=tuple(meta)
+        n_shards=4, block_size=32, tokenizer="simple", meta_cols=tuple(meta),
+        store_positions=positions,
     )
     return build_index(
         spark, _docs(spark, sf_dir).select(*cols), f"{base}/s", cfg
@@ -1952,19 +1955,53 @@ def fnboost_topk(spark, sf_dir):
     return spark.createDataFrame(out, "phase string, doc_id long, score double")
 
 
+RESCORE_QUERY = "data query"
+RESCORE_WEIGHT = 2.0
+RESCORE_WINDOW = 50
+
+
+def rescore_phase_topk(spark, sf_dir):
+    """Phrase rescoring through the REAL pipeline (Lucene QueryRescorer
+    / ES rescore / Solr edismax pf — plans/rescore.py): BM25 top-50 for
+    'data query', re-scored as base + 2.0 x phrase_bm25("data query")
+    and re-sorted to top-20. The oracle recomputes the window, the
+    positional phrase tf, the summed member idf and the combination
+    from raw documents."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.rescore import phrase_rescore_topk
+
+    base = tempfile.mkdtemp(prefix="tangent_rescore_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, positions=True)
+        out = [
+            ("rescore", int(r["doc_id"]), round(float(r["score"]), 4))
+            for r in phrase_rescore_topk(
+                spark, store, RESCORE_QUERY, 20,
+                window=RESCORE_WINDOW, weight=RESCORE_WEIGHT,
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "phase string, doc_id long, score double")
+
+
 def multiterm_shaping_topk(spark, sf_dir):
-    """Seven serving phases in one entry — the multi-term rewrites
+    """Eight serving phases in one entry — the multi-term rewrites
     (glob / regexp / fuzzy, see multiterm_expand_topk), SynonymQuery
     scoring ('syn', see synonym_bm25_topk), the score shapers
-    ('boost' / 'mm', see boosted_mm_topk) and the function query
-    ('fnboost', see fnboost_topk)."""
+    ('boost' / 'mm', see boosted_mm_topk), the function query
+    ('fnboost', see fnboost_topk) and phrase rescoring ('rescore',
+    see rescore_phase_topk)."""
     mt = multiterm_expand_topk(spark, sf_dir)
     syn = synonym_bm25_topk(spark, sf_dir).select(
         F.lit("syn").alias("phase"), "doc_id", "score"
     )
     bm = boosted_mm_topk(spark, sf_dir)
     fb = fnboost_topk(spark, sf_dir)
-    return mt.unionByName(syn).unionByName(bm).unionByName(fb)
+    rs = rescore_phase_topk(spark, sf_dir)
+    return mt.unionByName(syn).unionByName(bm).unionByName(fb).unionByName(rs)
 
 
 def facet_panels(spark, sf_dir):

@@ -1754,6 +1754,47 @@ class Searcher:
             )
         return self.spark.read.parquet(self.store.path("positions"))
 
+    def rescore(
+        self,
+        query: str,
+        k: int,
+        window: int = 100,
+        weight: float = 1.0,
+        slop: int = 0,
+        in_order: bool = True,
+        phrase: str | None = None,
+        decode_counter=None,
+    ) -> DataFrame:
+        """Warm phrase rescoring (Lucene QueryRescorer / ES rescore —
+        the edismax `pf` effect, plans/rescore.py): the base
+        top-`window` comes from the warm ONE-job kernel, then the
+        bounded phrase pass adds weight x phrase_bm25 over just those
+        docs and re-sorts. The rescore pass reads the positions parquet
+        with the window's doc ids pushed down (it is bounded by the
+        window either way); the base window is where the corpus-scale
+        work happens, and that stays the warm kernel."""
+        from tangent_spark.plans.phrase import _phrase_terms
+        from tangent_spark.plans.rescore import apply_phrase_rescore
+
+        if weight < 0:
+            raise ValueError("rescore weight must be >= 0")
+        if window <= 0:
+            raise ValueError("rescore window must be positive")
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "index was built without positions (IndexConfig.store_positions)"
+            )
+        window = max(int(window), int(k))
+        base_rows = self.topk(
+            query, window, decode_counter=decode_counter
+        ).collect()
+        p_terms = _phrase_terms(
+            phrase if phrase is not None else query, self.cfg.tokenizer
+        )
+        return apply_phrase_rescore(
+            self.spark, self.store, base_rows, k, weight, slop, in_order, p_terms
+        )
+
     def phrase(
         self, phrase: str, k: int, slop: int = 0, in_order: bool = True
     ) -> DataFrame:
