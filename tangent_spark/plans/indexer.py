@@ -306,3 +306,29 @@ def verify_index(spark: SparkSession, store: IndexStore) -> None:
         raise AssertionError(
             f"index inconsistent: {n_postings} postings != {n_term_rows} term rows"
         )
+    # the reversed term dictionary must mirror term_stats exactly
+    # (same discipline: regenerated with every stats flip); absent on
+    # stores predating it — that is the documented fallback, not an
+    # inconsistency
+    from tangent_spark.plans.wildcard import load_rev_terms
+
+    rev = load_rev_terms(spark, store)
+    if rev is not None:
+        ts = spark.read.parquet(store.path("term_stats"))
+        n_ts, n_rev = ts.count(), rev.count()
+        if n_ts != n_rev:
+            raise AssertionError(
+                f"index inconsistent: {n_rev} reversed terms != {n_ts} term_stats rows"
+            )
+        bad = rev.filter(F.reverse(F.col("term")) != F.col("r_term")).count()
+        if bad:
+            raise AssertionError(
+                f"index inconsistent: {bad} reversed-dictionary rows with r_term != reverse(term)"
+            )
+        orphans = rev.select("term").join(
+            ts.select("term"), "term", "left_anti"
+        ).count()
+        if orphans:
+            raise AssertionError(
+                f"index inconsistent: {orphans} reversed terms missing from term_stats"
+            )
