@@ -465,16 +465,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, round(c6, 4)::DOUBLE AS cos FROM s "
             "WHERE c6 >= 0.3 ORDER BY doc_a, doc_b"
         ),
+        # phases: cos (brute-force ANN baseline) + rrf (hybrid BM25+vector
+        # Reciprocal Rank Fusion, rrf_k=60 — the ES `rrf` retriever)
         "embedding_cosine_topk": (
-            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            f"WITH {_TOK}, {_TF}, {_DL}, "
+            "stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            f"m AS (SELECT * FROM tf WHERE term IN {_BM25_IN}), "
+            "dfs AS (SELECT term, count(*)::DOUBLE AS df FROM m GROUP BY 1), "
+            "lex AS (SELECT m.doc_id, round(sum("
+            "  ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            "), 4)::DOUBLE AS score "
+            "FROM m JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s "
+            "GROUP BY m.doc_id ORDER BY score DESC, doc_id ASC LIMIT 20), "
+            "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
             "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 3), "
             "s AS (SELECT p.query_id, e.vec_id, "
             "round(list_dot_product(p.q, e.v) / "
             "(sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 4)::DOUBLE AS cos "
             "FROM p CROSS JOIN e WHERE p.query_id <> e.vec_id), "
             "r AS (SELECT query_id, vec_id, cos, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
-            "SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s), "
+            "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr FROM lex), "
+            "vecl AS (SELECT vec_id AS doc_id, cos FROM s WHERE query_id = 0 "
+            "ORDER BY cos DESC, vec_id ASC LIMIT 20), "
+            "vecr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS vr FROM vecl), "
+            "u AS (SELECT doc_id, lr AS leg_rank FROM lexr "
+            "UNION ALL SELECT doc_id, vr FROM vecr), "
+            "f AS (SELECT doc_id, round(sum(1.0 / (60 + leg_rank)), 6)::DOUBLE AS rrf "
+            "FROM u GROUP BY doc_id), "
+            "ft AS (SELECT doc_id, rrf, "
+            "row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::INT AS rank FROM f) "
+            "SELECT 'cos' AS phase, query_id, rank, vec_id, cos FROM r WHERE rank <= 10 "
+            "UNION ALL "
+            "SELECT 'rrf' AS phase, -1::BIGINT AS query_id, rank, doc_id AS vec_id, rrf AS cos "
+            "FROM ft WHERE rank <= 10"
         ),
         # quality metrics + language id in one per-doc pass
         "text_quality": (

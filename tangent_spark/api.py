@@ -54,6 +54,7 @@ _WILD = re.compile(r"[*?]")
 class SearchStores:
     words: IndexStore
     formulas: IndexStore | None = None
+    vectors: IndexStore | None = None  # plans/ann.build_ann_index store
 
 
 def route(query: str) -> str:
@@ -103,6 +104,10 @@ def search(
     unordered_phrases: bool = False,
     boost_fn: str | None = None,
     rescore: dict | None = None,
+    vector: list[float] | None = None,
+    rrf_k: int = 60,
+    n_per_leg: int = 50,
+    n_probe: int = 8,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -148,6 +153,12 @@ def search(
         explicit `phrase`) and re-sorted
         (plans.rescore.phrase_rescore_topk; requires a positional
         index). Combines with no other shaping option.
+      * vector=[...] — hybrid retrieval (ES 8.8 `rrf` retriever /
+        OpenSearch hybrid query): the BM25 top-n_per_leg and the IVF
+        ANN top-n_per_leg for the probe vector (SearchStores.vectors),
+        fused by Reciprocal Rank Fusion with constant rrf_k; returns
+        (doc_id, score, lex_rank, vec_rank). Combines with no other
+        shaping option (each would need its own fusion contract).
       * pinned=[doc_id, ...] — query elevation (Solr
         QueryElevationComponent): the given ids occupy the first ranks
         in order, organic results fill the rest; returns the elevation
@@ -188,6 +199,46 @@ def search(
         raise ValueError(
             f"min_should_match only supported on the bm25/boolean "
             f"routes (query routed to {kind!r})"
+        )
+    if vector is not None:
+        # hybrid lexical+vector retrieval (ES 8.8 `rrf` retriever):
+        # block-max-WAND BM25 leg + IVF ANN leg for `vector`, fused by
+        # Reciprocal Rank Fusion — plans/hybrid.hybrid_topk. Only the
+        # plain BM25 route carries a vector leg; shaping options do not
+        # compose (each would need its own fusion contract) and are
+        # rejected rather than silently dropped.
+        if stores.vectors is None:
+            raise ValueError("vector search needs SearchStores.vectors (an ANN store)")
+        if kind != "bm25":
+            raise ValueError(
+                f"vector= only composes with plain BM25 queries "
+                f"(query routed to {kind!r})"
+            )
+        bad = [
+            n
+            for n, on in (
+                ("where", where is not None),
+                ("after", after is not None),
+                ("group_by", group_by is not None),
+                ("boosts", boosts is not None),
+                ("synonyms", synonyms is not None),
+                ("sort_by", sort_by is not None),
+                ("recency_boost", recency_boost is not None),
+                ("pinned", pinned is not None),
+                ("boost_fn", boost_fn is not None),
+                ("rescore", rescore is not None),
+                ("min_should_match", bool(min_should_match)),
+            )
+            if on
+        ]
+        if bad:
+            raise ValueError(f"{'/'.join(bad)} not supported with vector search")
+        from tangent_spark.plans.hybrid import hybrid_topk
+
+        return hybrid_topk(
+            spark, stores.words, stores.vectors, query, vector, k=k,
+            n_per_leg=n_per_leg, rrf_k=rrf_k, n_probe=n_probe,
+            searcher=searcher,
         )
     if kind == "match_all":
         # Solr q=*:* (Lucene MatchAllDocsQuery): every live doc,

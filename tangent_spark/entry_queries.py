@@ -576,8 +576,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def embedding_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 neighbors for 3 probe vectors (the ANN
-    baseline; LSH-bucketed variant is the scale path)."""
+    """Vector + hybrid retrieval in one entry. Phase 'cos': brute-force
+    cosine top-10 neighbors for 3 probe vectors (the ANN baseline; the
+    LSH/IVF variants are the scale paths). Phase 'rrf': hybrid
+    lexical+vector search — the BM25 top-20 (q9's exact leg) fused with
+    probe-0's cosine top-20 by Reciprocal Rank Fusion
+    (plans/hybrid.rrf_fuse; ES 8.8 `rrf` retriever semantics,
+    rrf_k=60) — reported as (rank, doc_id-as-vec_id, rrf-as-cos)."""
+    from tangent_spark.plans.hybrid import rrf_fuse
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -595,11 +602,30 @@ def embedding_cosine_topk(spark, sf_dir):
         .withColumn("cos", F.round(dot / (nq * nv), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
+    cos_phase = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "rank", "vec_id", "cos")
+        .select(F.lit("cos").alias("phase"), "query_id", "rank", "vec_id", "cos")
     )
+    # hybrid phase: both legs rank on 4-decimal scores with id tie-breaks
+    # (engine-stable), fusion = sum of <=2 exact reciprocals, rounded 6
+    lex = q9_bm25_topk(spark, sf_dir)  # top-20 (doc_id, score-rounded-4)
+    vec = (
+        scored.filter(F.col("query_id") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+    fused = rrf_fuse([("lex", lex), ("vec", vec)], k=10)
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    rrf_phase = fused.select(
+        F.lit("rrf").alias("phase"),
+        F.lit(-1).cast("long").alias("query_id"),
+        F.row_number().over(wr).alias("rank"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("score").alias("cos"),
+    )
+    return cos_phase.unionByName(rrf_phase)
 
 
 def text_quality(spark, sf_dir):
