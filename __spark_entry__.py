@@ -836,6 +836,26 @@ def oracle_sql() -> dict[str, str]:
         # top-k) — 'any' = docs containing >=1 query term; 'bool' =
         # `data +spark -join` = >=1 of (data, spark) AND spark AND NOT
         # join, recomputed here with plain set algebra
+        # ES significant_terms (JLH) over the `data +spark -join` match
+        # set: fg doc-freqs inside the match set vs the corpus-wide
+        # background, score = (fgp - bgp) * (fgp / bgp), min fg_df 3
+        "significant_terms_jlh": (
+            f"WITH {_TOK}, "
+            "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('data','spark') "
+            "  AND doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark') "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')), "
+            "fgt AS (SELECT count(*)::DOUBLE AS n FROM m), "
+            "nd AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM tok "
+            "WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term), "
+            "bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM tok GROUP BY term), "
+            "s AS (SELECT fg.term, fg.fg_df, bg.bg_df, "
+            "round(((fg.fg_df / fgt.n) - (bg.bg_df / nd.n)) "
+            "* ((fg.fg_df / fgt.n) / (bg.bg_df / nd.n)), 6)::DOUBLE AS score "
+            "FROM fg JOIN bg USING (term) CROSS JOIN fgt CROSS JOIN nd) "
+            "SELECT term, fg_df, score FROM s WHERE fg_df >= 3 AND score > 0 "
+            "ORDER BY score DESC, term ASC LIMIT 10"
+        ),
         "facet_counts_lang": (
             f"WITH {_TOK}, "
             f"m_any AS (SELECT DISTINCT doc_id FROM tok WHERE term IN {_UNION_IN}), "
@@ -1054,7 +1074,9 @@ def oracle_sql() -> dict[str, str]:
         "('v_min', fs.v_min), ('v_max', fs.v_max), ('v_sum', fs.v_sum), "
         "('v_mean', fs.v_mean)) m(k1, val) "
         "UNION ALL SELECT 'pivot', lang, source, n_docs::DOUBLE FROM ("
-        + d.pop("facet_pivot_counts") + ")"
+        + d.pop("facet_pivot_counts") + ") "
+        "UNION ALL SELECT 'sig', term, fg_df::VARCHAR, score FROM ("
+        + d.pop("significant_terms_jlh") + ")"
     )
     d["dedup_pair_scores"] = (
         "SELECT 'ngram' AS phase, doc_a, doc_b, jaccard AS sim FROM ("

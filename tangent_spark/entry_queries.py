@@ -2030,13 +2030,39 @@ def multiterm_shaping_topk(spark, sf_dir):
     return mt.unionByName(syn).unionByName(bm).unionByName(fb).unionByName(rs)
 
 
+def significant_terms_jlh(spark, sf_dir):
+    """ES significant_terms with JLH scoring (plans/sigterms.py) over
+    the `data +spark -join` match set, served off a real index
+    (boolean match-set kernel -> fg re-tokenize of ONLY matched docs ->
+    stored term_stats as background): top-10 (term, fg_df, score),
+    min_doc_count=3."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.indexer import build_index
+    from tangent_spark.plans.sigterms import significant_terms
+
+    base = tempfile.mkdtemp(prefix="tangent_sig_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        cfg = IndexConfig(n_shards=4, block_size=32, tokenizer="simple")
+        store = build_index(spark, docs, f"{base}/s", cfg)
+        return significant_terms(
+            spark, store, docs, FACET_BOOL_QUERY, k=10, min_doc_count=3
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def facet_panels(spark, sf_dir):
     """The whole facet surface in one entry (generic (phase, k1, k2,
     val) rows): 'any'/'bool' per-lang counts (facet_counts_lang),
     'range_all'/'range_en' n_chars buckets (facet_range_nchars —
     integral buckets rendered as integer strings), 'stats' moment rows
-    (facet_stats_nchars, one row per metric) and 'pivot' (lang, source)
-    pairs (facet_pivot_counts)."""
+    (facet_stats_nchars, one row per metric), 'pivot' (lang, source)
+    pairs (facet_pivot_counts) and 'sig' significant terms
+    (significant_terms_jlh: k1=term, k2=fg_df, val=JLH score)."""
     rows = []
     for r in facet_counts_lang(spark, sf_dir).collect():
         rows.append((r["phase"], r["lang"], "", float(r["n_docs"])))
@@ -2049,6 +2075,8 @@ def facet_panels(spark, sf_dir):
         rows.append(("stats", m, "", float(st[m])))
     for r in facet_pivot_counts(spark, sf_dir).collect():
         rows.append(("pivot", r["lang"], r["source"], float(r["n_docs"])))
+    for r in significant_terms_jlh(spark, sf_dir):
+        rows.append(("sig", r["term"], str(int(r["fg_df"])), float(r["score"])))
     return spark.createDataFrame(
         rows, "phase string, k1 string, k2 string, val double"
     )

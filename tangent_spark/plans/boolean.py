@@ -1144,6 +1144,54 @@ def facet_counts(
     return facet_empty(docs, by) if out is None else out
 
 
+def boolean_matches(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    where: str | None = None,
+    min_should_match=0,
+    max_driver_candidates: int = 1_000_000,
+    decode_counter=None,
+) -> DataFrame:
+    """The full match set of a boolean/BM25 query as a (doc_id)
+    DataFrame — the same set the scorer ranks and the facet spine
+    aggregates (local top-k off, tombstones masked, `where` composes
+    with filtered_topk semantics). The building block for aggregations
+    over matches that are not facet-shaped (e.g.
+    plans.sigterms.significant_terms)."""
+    from tangent_spark.plans.search import load_deleted_ids
+
+    empty = spark.createDataFrame([], "doc_id long")
+    docs = store.read(spark, "docs")
+    ids, cand_df = None, None
+    if where is not None:
+        route, ids, cand_df = _route_filter(spark, docs, where, max_driver_candidates)
+        if route == "empty":
+            return empty
+    cfg = store.get_config()
+    q = parse_boolean_query(query, cfg)
+    if resolve_mm(min_should_match, len(set(q.should))) > len(set(q.should)):
+        return empty
+    cs = store.read(spark, "corpus_stats").collect()[0]
+    matches = _boolean_plan(
+        spark,
+        store,
+        query,
+        0,
+        postings=store.read(spark, "postings"),
+        term_stats=store.read(spark, "term_stats"),
+        n_docs=int(cs["n_docs"]),
+        avgdl=float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        decode_counter=decode_counter,
+        deleted=load_deleted_ids(spark, store),
+        ext_cand=ids,
+        cand_df=cand_df,
+        return_matches=True,
+        min_should_match=min_should_match,
+    )
+    return matches.select("doc_id")
+
+
 def _facet_values(
     spark: SparkSession,
     store: IndexStore,
