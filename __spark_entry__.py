@@ -329,19 +329,25 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": (
             # full probe (n_probe == n_centroids) is exact by construction,
             # so the brute-force cosine SQL is a genuine independent oracle
-            # of the IVF assignment/probe-join/re-score machinery. The
-            # engine side rounds to 6 inside _global_topk then to 4 in the
-            # entry; the oracle mirrors the same two-step rounding so a
-            # value sitting in the ~1e-7 boundary band cannot diverge.
-            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+            # of the IVF assignment/probe-join/re-score machinery; the
+            # 'filtered' phase (label = 2, full probe) oracles the ES
+            # knn-with-filter path the same way, and 'tiny' (vec_id % 37
+            # = 0) the selective brute-force route. The engine side
+            # rounds to 6 inside _global_topk then to 4 in the entry; the
+            # oracle mirrors the same two-step rounding so a value
+            # sitting in the ~1e-7 boundary band cannot diverge.
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings), "
             "p AS (SELECT vec_id AS query_id, v AS q FROM e WHERE vec_id < 3), "
-            "s AS (SELECT p.query_id, e.vec_id, "
+            "b AS (SELECT p.query_id, e.vec_id, e.label, "
             "round(round(list_dot_product(p.q, e.v) / "
             "(sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(e.v, e.v))), 6), 4)::DOUBLE AS cos "
             "FROM p CROSS JOIN e WHERE p.query_id <> e.vec_id), "
-            "r AS (SELECT query_id, vec_id, cos, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
-            "SELECT query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
+            "s AS (SELECT 'full' AS phase, query_id, vec_id, cos FROM b "
+            "UNION ALL SELECT 'filtered', query_id, vec_id, cos FROM b WHERE label = 2 "
+            "UNION ALL SELECT 'tiny', query_id, vec_id, cos FROM b WHERE vec_id % 37 = 0), "
+            "r AS (SELECT phase, query_id, vec_id, cos, "
+            "row_number() OVER (PARTITION BY phase, query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM s) "
+            "SELECT phase, query_id, rank, vec_id, cos FROM r WHERE rank <= 10"
         ),
         # both positional folds: 'exact' = consecutive 'row column
         # sort'; 'near' = proximity "row sort"~2 ('sort' after 'row'

@@ -157,8 +157,11 @@ def search(
         OpenSearch hybrid query): the BM25 top-n_per_leg and the IVF
         ANN top-n_per_leg for the probe vector (SearchStores.vectors),
         fused by Reciprocal Rank Fusion with constant rrf_k; returns
-        (doc_id, score, lex_rank, vec_rank). Combines with no other
-        shaping option (each would need its own fusion contract).
+        (doc_id, score, lex_rank, vec_rank). Composes with `where`
+        (the ES 8 shape: the same filter clause on both retriever
+        legs — lexical via filtered_topk, vector via
+        ann_topk_ivf_filtered) but with no other shaping option (each
+        would need its own fusion contract).
       * pinned=[doc_id, ...] — query elevation (Solr
         QueryElevationComponent): the given ids occupy the first ranks
         in order, organic results fill the rest; returns the elevation
@@ -217,7 +220,6 @@ def search(
         bad = [
             n
             for n, on in (
-                ("where", where is not None),
                 ("after", after is not None),
                 ("group_by", group_by is not None),
                 ("boosts", boosts is not None),
@@ -238,7 +240,7 @@ def search(
         return hybrid_topk(
             spark, stores.words, stores.vectors, query, vector, k=k,
             n_per_leg=n_per_leg, rrf_k=rrf_k, n_probe=n_probe,
-            searcher=searcher,
+            searcher=searcher, where=where,
         )
     if kind == "match_all":
         # Solr q=*:* (Lucene MatchAllDocsQuery): every live doc,

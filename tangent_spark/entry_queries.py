@@ -1158,31 +1158,83 @@ def api_search_routes(spark, sf_dir):
 
 
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN off the embeddings table (spherical k-means coarse
-    quantizer -> probe equi-join -> exact re-score) with FULL probing:
-    n_probe == n_centroids is exact by construction (the recall knob's
-    upper end), so the brute-force cosine SQL twin independently
-    oracles the whole IVF machinery — assignment, probe join, rescore,
-    window. Partial-probe recall is pytest-covered
-    (tests/test_dedup_similarity.py, tests/test_ann_store.py). Rank is
-    recomputed over the 4-decimal rounded cosines (both engines), so
-    knife-edge ulps cannot reorder the output."""
+    """IVF ANN off the embeddings table, three phases:
+
+    'full' — unfiltered FULL probing (n_probe == n_centroids is exact
+    by construction, the recall knob's upper end), so the brute-force
+    cosine SQL twin independently oracles the whole IVF machinery —
+    assignment, probe join, rescore, window.
+
+    'filtered' — ES 8 knn-with-filter (plans/ann.ann_topk_ivf_filtered)
+    over a PERSISTED store: `label = 2` restricts the candidate set
+    before scoring; full probing makes the filtered path exact, so the
+    brute-force-with-WHERE SQL is a genuine oracle of the filter
+    semi-join + probe machinery.
+
+    'tiny' — a highly selective filter (vec_id % 37 = 0) takes the
+    brute-force route (ES "exact search when the filter is selective"),
+    oracled by the same WHERE'd brute force.
+
+    Partial-probe recall and the over-probe/escalation guarantee are
+    pytest-covered (tests/test_ann_filtered.py, tests/test_ann_store.py).
+    Rank is recomputed over the 4-decimal rounded cosines (both
+    engines), so knife-edge ulps cannot reorder the output."""
+    import shutil
+    import tempfile
+
     from tangent_spark.operators.similarity import cosine_topk_ivf
+    from tangent_spark.plans.ann import ann_topk_ivf_filtered, build_ann_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
     )
     probes = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
     )
-    wide = cosine_topk_ivf(
-        emb, probes, k=50, n_centroids=8, n_probe=8, n_iter=4, seed=7
-    ).select("query_id", "vec_id", F.round("cos", 4).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        wide.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "rank", "vec_id", "cos")
+
+    def shape(df, phase):
+        wide = df.select("query_id", "vec_id", F.round("cos", 4).alias("cos"))
+        return (
+            wide.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select(
+                F.lit(phase).alias("phase"), "query_id", "rank", "vec_id", "cos"
+            )
+        )
+
+    full = shape(
+        cosine_topk_ivf(
+            emb.select("vec_id", "embedding"), probes,
+            k=50, n_centroids=8, n_probe=8, n_iter=4, seed=7,
+        ),
+        "full",
+    )
+    base = tempfile.mkdtemp(prefix="tangent_annf_entry_")
+    try:
+        store = build_ann_index(
+            spark, emb.select("vec_id", "embedding"), f"{base}/ann",
+            n_centroids=8, n_iter=4, seed=7,
+        )
+        rows = full.collect()
+        rows += shape(
+            ann_topk_ivf_filtered(
+                spark, store, probes, emb, "label = 2", k=50, n_probe=8
+            ),
+            "filtered",
+        ).collect()
+        rows += shape(
+            ann_topk_ivf_filtered(
+                spark, store, probes, emb, "vec_id % 37 = 0", k=50, n_probe=1
+            ),
+            "tiny",
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase string, query_id long, rank int, vec_id long, cos double"
     )
 
 

@@ -253,6 +253,158 @@ def ann_topk_ivf(
     )
 
 
+def ann_topk_ivf_filtered(
+    spark: SparkSession,
+    store: IndexStore,
+    queries: DataFrame,
+    meta: DataFrame,
+    where: str | None,
+    k: int = 10,
+    n_probe: int = 8,
+    meta_id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q",
+    max_driver_candidates: int = 1_000_000,
+    brute_force_threshold: int | None = None,
+) -> DataFrame:
+    """Filtered vector search: ES 8 `knn` with a `filter` clause — the
+    metadata predicate restricts the candidate set BEFORE scoring, and
+    every query is still guaranteed min(k, |allowed|-1) results.
+
+    `meta` is any DataFrame carrying (meta_id_col + the predicate's
+    columns) — e.g. the embeddings table itself, or the docs dictionary
+    keyed by the same ids. Route selection mirrors the text path's
+    filtered_topk (plans/boolean._route_filter):
+
+    - tiny allowed set (<= brute_force_threshold, default max(64k,
+      1024)): skip IVF entirely and score the survivors exactly — the
+      ES "exact search when the filter is highly selective" rule; the
+      probe machinery can only LOSE recall here and saves nothing.
+    - otherwise: IVF probe with SELECTIVITY-SCALED over-probing —
+      n_probe_eff = n_probe / (|allowed| / n_vectors), capped at
+      n_centroids — so a 10%-selective filter probes ~10x the clusters
+      and the expected number of allowed candidates scanned stays the
+      same as the unfiltered query's. Queries still short of k after
+      the probe (their neighbors hide in unprobed clusters) fall back
+      to an exact pass over the allowed set — at most ONE escalation,
+      and only for the under-filled queries.
+
+    Scale shape: the allowed-id set travels as a broadcast semi-join
+    when it fits the driver cap, else the predicate stays distributed
+    and semi-joins the cluster-pruned scan (predicate pushdown on the
+    meta scan either way); the probe scan itself keeps the static
+    cluster partition filter, so file-level pruning survives the
+    filter. All route decisions are driver-side functions of exact
+    counts — the result is deterministic for a given (store, queries,
+    where).
+
+    Determinism note: satisfied queries keep their probe-pass results
+    (exact within the probed clusters); escalated queries get exact
+    results over the whole allowed set. Ranks recompute per query on
+    (cos desc, vec_id asc) in both paths.
+    """
+    from tangent_spark.operators.similarity import _cos_cols
+
+    if where is None:
+        return ann_topk_ivf(
+            spark, store, queries, k=k, n_probe=n_probe,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+    empty = spark.createDataFrame(
+        [], "query_id long, rank int, vec_id long, cos double"
+    )
+    qrows = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("q"),
+    ).collect()
+    if not qrows:
+        return empty
+    cand = meta.filter(where).select(
+        F.col(meta_id_col).cast("long").alias("vec_id")
+    )
+    # ONE bounded job decides the route: cap+1 rows prove "too big to
+    # broadcast" without a count over the full match set
+    head = cand.limit(max_driver_candidates + 1).toPandas()
+    if len(head) == 0:
+        return empty
+    vectors = spark.read.parquet(store.path("ann_vectors"))
+    qs = spark.createDataFrame(
+        [(r["query_id"], r["q"]) for r in qrows], "query_id long, q array<double>"
+    )
+
+    def exact_over(allowed_vecs: DataFrame, queries_df: DataFrame) -> DataFrame:
+        scored = (
+            allowed_vecs.select("vec_id", "v")
+            .join(F.broadcast(queries_df))
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .withColumn("cos", _cos_cols("q", "v"))
+            .select("query_id", "vec_id", "cos")
+        )
+        return _global_topk(scored, k)
+
+    driver_route = len(head) <= max_driver_candidates
+    if driver_route:
+        ids = np.unique(head["vec_id"].to_numpy(np.int64))
+        n_allowed = int(len(ids))
+        allowed_df = F.broadcast(
+            spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+        )
+        brute = (
+            brute_force_threshold
+            if brute_force_threshold is not None
+            else max(64 * k, 1024)
+        )
+        if n_allowed <= brute:
+            return exact_over(vectors.join(allowed_df, "vec_id", "left_semi"), qs)
+    else:
+        n_allowed = int(cand.count())
+        allowed_df = cand  # distributed semi-join side
+    n_vectors = int(vectors.count())
+    C = load_centroids(spark, store)
+    n_centroids = int(C.shape[0])
+    selectivity = n_allowed / max(n_vectors, 1)
+    n_probe_eff = min(
+        n_centroids, int(np.ceil(min(n_probe, n_centroids) / max(selectivity, 1e-9)))
+    )
+    probes = []
+    for r in qrows:
+        qn = _norm_rows(np.asarray(r["q"], dtype=np.float64)[None, :])[0]
+        for c in np.argsort(-(C @ qn), kind="stable")[:n_probe_eff]:
+            probes.append((int(r["query_id"]), int(c)))
+    probe_df = spark.createDataFrame(probes, "query_id long, cluster int")
+    probed_clusters = sorted({c for _, c in probes})
+    scored = (
+        vectors.filter(F.col("cluster").isin(probed_clusters))
+        .join(allowed_df, "vec_id", "left_semi")
+        .join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(F.broadcast(qs), "query_id")
+        .withColumn("cos", _cos_cols("q", "v"))
+        .select("query_id", "vec_id", "cos")
+    )
+    topk = _global_topk(scored, k).persist()
+    try:
+        if n_probe_eff >= n_centroids:
+            return spark.createDataFrame(topk.collect(), topk.schema)
+        got = {
+            int(r["query_id"]): int(r["n"])
+            for r in topk.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        short = [int(r["query_id"]) for r in qrows if got.get(int(r["query_id"]), 0) < k]
+        if not short:
+            return spark.createDataFrame(topk.collect(), topk.schema)
+        # exact fallback over the allowed set for the under-filled
+        # queries only — the probe results for satisfied queries stand
+        sq = qs.filter(F.col("query_id").isin(short))
+        exact = exact_over(vectors.join(allowed_df, "vec_id", "left_semi"), sq)
+        keep = topk.filter(~F.col("query_id").isin(short))
+        return spark.createDataFrame(
+            keep.unionByName(exact).collect(), topk.schema
+        )
+    finally:
+        topk.unpersist()
+
+
 def ann_topk_pq(
     spark: SparkSession,
     store: IndexStore,

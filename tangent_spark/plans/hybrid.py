@@ -108,16 +108,32 @@ def hybrid_topk(
     rrf_k: int = DEFAULT_RRF_K,
     n_probe: int = 8,
     searcher=None,
+    where: str | None = None,
 ) -> DataFrame:
     """Top-k hybrid search off the real stores: the lexical leg is
     block-max-WAND BM25 over `store` (or `searcher`'s warm cache when
     given), the vector leg is IVF ANN over `ann_store` for `probe_vec`
     (ann_vectors ids must share the word index's doc-id space), fused
-    by RRF. Returns (doc_id, score, lex_rank, vec_rank)."""
-    from tangent_spark.plans.ann import ann_topk_ivf
+    by RRF. Returns (doc_id, score, lex_rank, vec_rank).
+
+    `where` (a SQL predicate over the word index's meta_cols) applies
+    to BOTH legs — the ES 8 rrf-retriever shape where the query leg
+    carries a `filter` clause and the knn leg carries the same
+    predicate in its own `filter`: the lexical leg routes through
+    filtered_topk, the vector leg through ann_topk_ivf_filtered with
+    the word index's docs dictionary as the metadata side, so the two
+    legs agree on the allowed doc set and fusion never surfaces a
+    filtered-out document."""
+    from tangent_spark.plans.ann import ann_topk_ivf, ann_topk_ivf_filtered
+    from tangent_spark.plans.boolean import filtered_topk
     from tangent_spark.plans.search import bm25_topk_wand
 
-    if searcher is not None:
+    if where is not None:
+        if searcher is not None:
+            lex = searcher.filtered(query, n_per_leg, where)
+        else:
+            lex = filtered_topk(spark, store, query, n_per_leg, where)
+    elif searcher is not None:
         lex = searcher.topk(query, n_per_leg)
     else:
         lex = bm25_topk_wand(spark, store, query, n_per_leg)
@@ -125,8 +141,15 @@ def hybrid_topk(
     lex = lex.select("doc_id", F.round("score", 4).alias("score"))
     probe = spark.createDataFrame([(0, [float(x) for x in probe_vec])],
                                   "query_id long, q array<double>")
-    vec = (
-        ann_topk_ivf(spark, ann_store, probe, k=n_per_leg, n_probe=n_probe)
-        .select(F.col("vec_id").alias("doc_id"), F.round("cos", 4).alias("score"))
+    if where is not None:
+        meta = store.read(spark, "docs")
+        ann = ann_topk_ivf_filtered(
+            spark, ann_store, probe, meta, where, k=n_per_leg,
+            n_probe=n_probe, meta_id_col="doc_id",
+        )
+    else:
+        ann = ann_topk_ivf(spark, ann_store, probe, k=n_per_leg, n_probe=n_probe)
+    vec = ann.select(
+        F.col("vec_id").alias("doc_id"), F.round("cos", 4).alias("score")
     )
     return rrf_fuse([("lex", lex), ("vec", vec)], k=k, rrf_k=rrf_k)

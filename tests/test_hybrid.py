@@ -66,7 +66,9 @@ def stores(spark, tmp_path_factory):
     pages = pages_with_doc_ids(generate_pages(spark, N_DOCS, partitions=4)).persist()
     root = tmp_path_factory.mktemp("hybrid")
     word = build_index(
-        spark, pages, str(root / "words"), IndexConfig(n_shards=4, block_size=16),
+        spark, pages,
+        str(root / "words"),
+        IndexConfig(n_shards=4, block_size=16, meta_cols=("lang",)),
         url_col="url",
     )
     rng = np.random.default_rng(11)
@@ -156,3 +158,66 @@ def test_hybrid_reopened_store(spark, stores):
         k=8, n_per_leg=12, n_probe=4,
     ).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_hybrid_filtered_where_restricts_both_legs(spark, stores):
+    """where= composes with vector search (the ES 8 rrf shape: the
+    same filter on both retriever legs): the fused result equals
+    python RRF over the two FILTERED legs, and never surfaces a
+    filtered-out doc."""
+    from tangent_spark.plans.ann import ann_topk_ivf_filtered
+    from tangent_spark.plans.boolean import filtered_topk
+
+    word, ann, vecs = stores
+    probe = vecs[0].tolist()
+    n = 12
+    got = hybrid_topk(
+        spark, word, ann, QUERY, probe, k=8, n_per_leg=n, n_probe=4,
+        where="lang = 'en'",
+    ).collect()
+
+    docs = word.read(spark, "docs")
+    allowed = {int(r["doc_id"]) for r in docs.filter("lang = 'en'").collect()}
+    assert allowed and len(allowed) < N_DOCS  # the filter actually bites
+    assert {int(r["doc_id"]) for r in got} <= allowed
+
+    lex_rows = filtered_topk(spark, word, QUERY, n, "lang = 'en'").collect()
+    probe_df = spark.createDataFrame([(0, probe)], "query_id long, q array<double>")
+    vec_rows = ann_topk_ivf_filtered(
+        spark, ann, probe_df, docs, "lang = 'en'", k=n, n_probe=4,
+        meta_id_col="doc_id",
+    ).collect()
+    fused: dict[int, float] = {}
+    lex_ranked = sorted(
+        [(round(float(r["score"]), 4), int(r["doc_id"])) for r in lex_rows],
+        key=lambda t: (-t[0], t[1]),
+    )
+    vec_ranked = sorted(
+        [(round(float(r["cos"]), 4), int(r["vec_id"])) for r in vec_rows],
+        key=lambda t: (-t[0], t[1]),
+    )
+    for rank, (_, d) in enumerate(lex_ranked, start=1):
+        fused[d] = fused.get(d, 0.0) + 1.0 / (DEFAULT_RRF_K + rank)
+    for rank, (_, d) in enumerate(vec_ranked, start=1):
+        fused[d] = fused.get(d, 0.0) + 1.0 / (DEFAULT_RRF_K + rank)
+    exp = sorted(fused.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:8]
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, round(s, 6)) for d, s in exp
+    ]
+
+
+def test_api_vector_route_with_where(spark, stores):
+    """api.search(vector=..., where=...) routes through the filtered
+    hybrid path and equals hybrid_topk(where=...) directly."""
+    from tangent_spark.api import SearchStores, search
+
+    word, ann, vecs = stores
+    probe = vecs[0].tolist()
+    ss = SearchStores(words=word, vectors=ann)
+    via_api = search(spark, ss, QUERY, k=6, vector=probe, where="lang = 'en'",
+                     n_per_leg=10, n_probe=4).collect()
+    direct = hybrid_topk(spark, word, ann, QUERY, probe, k=6, n_per_leg=10,
+                         n_probe=4, where="lang = 'en'").collect()
+    assert via_api and [(r["doc_id"], r["score"]) for r in via_api] == [
+        (r["doc_id"], r["score"]) for r in direct
+    ]
