@@ -909,6 +909,20 @@ def oracle_sql() -> dict[str, str]:
             "sum(n_chars)::DOUBLE AS v_sum, "
             "round(avg(n_chars), 4)::DOUBLE AS v_mean FROM j"
         ),
+        # ES percentiles (percentile_cont of n_chars, 4 fractions) +
+        # cardinality (distinct non-NULL lang) over the same match set
+        "facet_pcts_card": (
+            f"WITH {_TOK}, "
+            "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark' "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')), "
+            "j AS (SELECT d.n_chars, d.lang FROM m JOIN documents d USING (doc_id)) "
+            "SELECT 'pcts' AS phase, '0.25' AS k1, "
+            "round(quantile_cont(n_chars, 0.25), 4)::DOUBLE AS val FROM j WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT 'pcts', '0.5', round(quantile_cont(n_chars, 0.5), 4)::DOUBLE FROM j WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT 'pcts', '0.75', round(quantile_cont(n_chars, 0.75), 4)::DOUBLE FROM j WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT 'pcts', '0.95', round(quantile_cont(n_chars, 0.95), 4)::DOUBLE FROM j WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT 'card', 'lang', count(DISTINCT lang)::DOUBLE FROM j WHERE lang IS NOT NULL"
+        ),
         # two-level pivot over the same match set: (lang, source) hit
         # counts, n_docs desc then values asc; NULL pairs skipped
         "facet_pivot_counts": (
@@ -1082,7 +1096,9 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'pivot', lang, source, n_docs::DOUBLE FROM ("
         + d.pop("facet_pivot_counts") + ") "
         "UNION ALL SELECT 'sig', term, fg_df::VARCHAR, score FROM ("
-        + d.pop("significant_terms_jlh") + ")"
+        + d.pop("significant_terms_jlh") + ") "
+        "UNION ALL SELECT phase, k1, '', val FROM ("
+        + d.pop("facet_pcts_card") + ")"
     )
     d["dedup_pair_scores"] = (
         "SELECT 'ngram' AS phase, doc_a, doc_b, jaccard AS sim FROM ("

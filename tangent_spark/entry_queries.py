@@ -2107,14 +2107,46 @@ def significant_terms_jlh(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def facet_pcts_card(spark, sf_dir):
+    """ES percentiles + cardinality aggregations over the `data +spark
+    -join` match set (plans/boolean.facet_percentiles /
+    facet_cardinality, both exact): 'pcts' rows are percentile_cont of
+    n_chars at 4 fractions computed from the kernel's (value, count)
+    histogram; 'card' is the distinct non-NULL lang count."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.plans.boolean import facet_cardinality, facet_percentiles
+
+    base = tempfile.mkdtemp(prefix="tangent_fpcts_entry_")
+    try:
+        store = _simple_store(spark, sf_dir, base, meta=("n_chars", "lang"))
+        fr = (0.25, 0.5, 0.75, 0.95)
+        rows = [
+            ("pcts", f"{r['pct']:g}", round(float(r["val"]), 4))
+            for r in facet_percentiles(
+                spark, store, FACET_BOOL_QUERY, "n_chars", fr
+            ).collect()
+        ]
+        card = facet_cardinality(
+            spark, store, FACET_BOOL_QUERY, "lang"
+        ).collect()[0]
+        rows.append(("card", "lang", float(card["n_distinct"])))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, k1 string, val double")
+
+
 def facet_panels(spark, sf_dir):
     """The whole facet surface in one entry (generic (phase, k1, k2,
     val) rows): 'any'/'bool' per-lang counts (facet_counts_lang),
     'range_all'/'range_en' n_chars buckets (facet_range_nchars —
     integral buckets rendered as integer strings), 'stats' moment rows
     (facet_stats_nchars, one row per metric), 'pivot' (lang, source)
-    pairs (facet_pivot_counts) and 'sig' significant terms
-    (significant_terms_jlh: k1=term, k2=fg_df, val=JLH score)."""
+    pairs (facet_pivot_counts), 'sig' significant terms
+    (significant_terms_jlh: k1=term, k2=fg_df, val=JLH score), 'pcts'
+    exact percentiles of n_chars and 'card' distinct-lang cardinality
+    (facet_pcts_card)."""
     rows = []
     for r in facet_counts_lang(spark, sf_dir).collect():
         rows.append((r["phase"], r["lang"], "", float(r["n_docs"])))
@@ -2129,6 +2161,8 @@ def facet_panels(spark, sf_dir):
         rows.append(("pivot", r["lang"], r["source"], float(r["n_docs"])))
     for r in significant_terms_jlh(spark, sf_dir):
         rows.append(("sig", r["term"], str(int(r["fg_df"])), float(r["score"])))
+    for r in facet_pcts_card(spark, sf_dir).collect():
+        rows.append((r["phase"], r["k1"], "", float(r["val"])))
     return spark.createDataFrame(
         rows, "phase string, k1 string, k2 string, val double"
     )

@@ -1466,6 +1466,177 @@ def facet_stats(
     return out
 
 
+def percentiles_from_hist(
+    hist: DataFrame,
+    percentiles,
+    val_col: str = "val",
+    cnt_col: str = "n_docs",
+) -> DataFrame:
+    """percentile_cont over a weighted (value, count) histogram —
+    fully declarative, shared by the cold and warm percentile facets.
+
+    Semantics match SQL PERCENTILE_CONT / Spark `percentile` / DuckDB
+    `quantile_cont` over the EXPANDED multiset: for fraction p and N
+    total values, rank r = p*(N-1); the answer interpolates linearly
+    between the values at floor(r) and ceil(r). NULL/NaN values are
+    excluded (the ES percentiles `missing` default). Returns
+    (pct double, val double), one row per requested fraction, pct asc;
+    empty when the histogram is empty.
+
+    Scale shape: the input histogram has one row per DISTINCT value
+    (the facet kernel's counts contract), so the cumulative-sum window
+    sorts |distinct| rows, not |match set| rows. For genuinely
+    unbounded-cardinality columns use the approx path
+    (facet_percentiles(exact=False) — mergeable Greenwald-Khanna
+    sketches, bounded memory) instead."""
+    from pyspark.sql import Window
+
+    for p in percentiles:
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError(f"percentile fraction out of [0,1]: {p}")
+    spark = hist.sparkSession
+    v = F.col(val_col).cast("double")
+    h = hist.filter(v.isNotNull() & ~F.isnan(v)).select(
+        v.alias("val"), F.col(cnt_col).cast("long").alias("cnt")
+    )
+    cum_w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    h = (
+        h.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(all_w))
+    )
+    pdf = F.broadcast(
+        spark.createDataFrame([(float(p),) for p in percentiles], "pct double")
+    )
+    r = F.col("pct") * (F.col("n") - 1)
+    lo = h.join(
+        pdf, (F.col("prev") <= F.floor(r)) & (F.floor(r) < F.col("cum"))
+    ).select("pct", F.col("val").alias("v_lo"), r.alias("r"))
+    hi = h.join(
+        pdf, (F.col("prev") <= F.ceil(r)) & (F.ceil(r) < F.col("cum"))
+    ).select("pct", F.col("val").alias("v_hi"))
+    frac = F.col("r") - F.floor(F.col("r"))
+    return (
+        lo.join(hi, "pct")
+        .select(
+            "pct",
+            (F.col("v_lo") + frac * (F.col("v_hi") - F.col("v_lo"))).alias("val"),
+        )
+        .orderBy("pct")
+    )
+
+
+def facet_percentiles(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: str,
+    percentiles=(0.25, 0.5, 0.75, 0.95),
+    where: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+    max_driver_docs: int = 1_000_000,
+    rows_counter=None,
+    min_should_match=0,
+) -> DataFrame:
+    """ES `percentiles` aggregation over the boolean match set: the
+    requested fractions of the numeric metadata column `by` across
+    matching docs, as (pct, val) rows. NULL/NaN values are ignored.
+
+    exact=True (default): the match set's values travel as the facet
+    kernel's (value, count) HISTOGRAM — rows moved ∝ distinct values
+    per shard, never match-set size — and percentile_cont interpolation
+    runs declaratively on the histogram (percentiles_from_hist).
+
+    exact=False: mergeable approx_percentile sketches (Greenwald-
+    Khanna, `accuracy` knob) — bounded memory for unbounded-cardinality
+    columns, the moral twin of ES's t-digest default."""
+    docs = store.read(spark, "docs")
+    vdocs = docs.select("doc_id", F.col(by).cast("double").alias("val"))
+    empty = spark.createDataFrame([], "pct double, val double")
+    if exact:
+        hist = _facet_values(
+            spark, store, query, vdocs, "val", where, decode_counter,
+            max_driver_candidates, max_driver_docs, rows_counter,
+            min_should_match, mode="counts",
+        )
+        if hist is None:
+            return empty
+        return percentiles_from_hist(hist, percentiles)
+    for p in percentiles:
+        if not (0.0 <= float(p) <= 1.0):
+            raise ValueError(f"percentile fraction out of [0,1]: {p}")
+    matches = boolean_matches(
+        spark, store, query, where=where, min_should_match=min_should_match,
+        max_driver_candidates=max_driver_candidates,
+        decode_counter=decode_counter,
+    )
+    vals = matches.join(vdocs, "doc_id").filter(
+        F.col("val").isNotNull() & ~F.isnan("val")
+    )
+    row = vals.agg(
+        F.percentile_approx(
+            "val", F.array(*[F.lit(float(p)) for p in percentiles]), accuracy
+        ).alias("vs")
+    ).collect()[0]["vs"]  # ONE row by construction
+    if row is None:
+        return empty
+    return spark.createDataFrame(
+        [(float(p), float(x)) for p, x in zip(percentiles, row)],
+        "pct double, val double",
+    )
+
+
+def facet_cardinality(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: str,
+    where: str | None = None,
+    exact: bool = True,
+    rsd: float = 0.05,
+    decode_counter=None,
+    max_driver_candidates: int = 1_000_000,
+    max_driver_docs: int = 1_000_000,
+    rows_counter=None,
+    min_should_match=0,
+) -> DataFrame:
+    """ES `cardinality` aggregation over the boolean match set: ONE
+    row (n_distinct) of distinct non-NULL values of metadata column
+    `by` across matching docs.
+
+    exact=True: the distinct count is the facet kernel's histogram row
+    count — rows moved ∝ distinct values, and the count itself is a
+    1-row aggregate. exact=False: approx_count_distinct (HyperLogLog++,
+    `rsd` relative error) over the matched values — the LITERAL
+    algorithm ES's cardinality agg runs, constant memory per sketch."""
+    docs = store.read(spark, "docs")
+    one_zero = spark.createDataFrame([(0,)], "n_distinct long")
+    if exact:
+        hist = _facet_values(
+            spark, store, query, docs.select("doc_id", by), by, where,
+            decode_counter, max_driver_candidates, max_driver_docs,
+            rows_counter, min_should_match, mode="counts",
+        )
+        if hist is None:
+            return one_zero
+        return hist.filter(F.col(by).isNotNull()).agg(
+            F.count("*").cast("long").alias("n_distinct")
+        )
+    matches = boolean_matches(
+        spark, store, query, where=where, min_should_match=min_should_match,
+        max_driver_candidates=max_driver_candidates,
+        decode_counter=decode_counter,
+    )
+    vals = matches.join(docs.select("doc_id", by), "doc_id")
+    return vals.agg(
+        F.approx_count_distinct(by, rsd).cast("long").alias("n_distinct")
+    )
+
+
 def _route_filter(
     spark: SparkSession,
     docs: DataFrame,

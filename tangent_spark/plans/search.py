@@ -1745,6 +1745,60 @@ class Searcher:
         )
         return pivot_shape(docs, counts, c1, c2)
 
+    def facet_percentiles(
+        self,
+        query: str,
+        by: str,
+        percentiles=(0.25, 0.5, 0.75, 0.95),
+        where: str | None = None,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+        max_driver_docs: int = 1_000_000,
+        rows_counter=None,
+        min_should_match=0,
+    ) -> DataFrame:
+        """Warm exact percentiles facet — same (pct, val) contract as
+        plans.boolean.facet_percentiles(exact=True): the kernel's
+        (value, count) histogram (rows ∝ distinct values) feeds the
+        shared percentile_cont finisher."""
+        from tangent_spark.plans.boolean import percentiles_from_hist
+
+        vdocs = self._warm_docs().select(
+            "doc_id", F.col(by).cast("double").alias("val")
+        )
+        hist = self._facet_spine(
+            query, vdocs, "val", ("pcts", by), where, decode_counter,
+            max_driver_candidates, max_driver_docs, rows_counter,
+            min_should_match,
+        )
+        if hist is None:
+            return self.spark.createDataFrame([], "pct double, val double")
+        return percentiles_from_hist(hist, percentiles)
+
+    def facet_cardinality(
+        self,
+        query: str,
+        by: str,
+        where: str | None = None,
+        decode_counter=None,
+        max_driver_candidates: int = 1_000_000,
+        max_driver_docs: int = 1_000_000,
+        rows_counter=None,
+        min_should_match=0,
+    ) -> DataFrame:
+        """Warm exact cardinality facet — same one-row (n_distinct)
+        contract as plans.boolean.facet_cardinality(exact=True)."""
+        hist = self._facet_spine(
+            query, None, by, ("card", by), where, decode_counter,
+            max_driver_candidates, max_driver_docs, rows_counter,
+            min_should_match,
+        )
+        if hist is None:
+            return self.spark.createDataFrame([(0,)], "n_distinct long")
+        return hist.filter(F.col(by).isNotNull()).agg(
+            F.count("*").cast("long").alias("n_distinct")
+        )
+
     def _warm_positions(self) -> DataFrame:
         if self.positions is not None:
             return self.positions

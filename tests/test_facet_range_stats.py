@@ -327,3 +327,183 @@ def test_warm_facet_variants_match_cold(spark, store, pages):
         ).count() == 0
     finally:
         s.close()
+
+
+# --- percentiles + cardinality (ES percentiles / cardinality aggs) ---------
+
+
+def _pct_oracle(spark, store, pages, query, fractions, where=None):
+    import numpy as np
+
+    vals = [
+        float(r["n_words"])
+        for r in _match_meta(spark, store, pages, query, where).collect()
+        if r["n_words"] is not None
+    ]
+    if not vals:
+        return []
+    return [
+        (float(p), float(np.percentile(np.asarray(vals), 100 * p)))
+        for p in fractions
+    ]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_facet_percentiles_exact_matches_numpy(spark, store, pages, query):
+    from tangent_spark.plans.boolean import facet_percentiles
+
+    fr = (0.0, 0.25, 0.5, 0.75, 0.95, 1.0)
+    got = [
+        (r["pct"], r["val"])
+        for r in facet_percentiles(spark, store, query, "n_words", fr).collect()
+    ]
+    exp = _pct_oracle(spark, store, pages, query, fr)
+    assert len(got) == len(exp)
+    for (gp, gv), (ep, ev) in zip(got, exp):
+        assert gp == ep and gv == pytest.approx(ev, abs=1e-9), (gp, gv, ev)
+
+
+def test_facet_percentiles_with_where(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_percentiles
+
+    fr = (0.5, 0.9)
+    got = [
+        (r["pct"], r["val"])
+        for r in facet_percentiles(
+            spark, store, QUERIES[0], "n_words", fr, where="lang = 'en'"
+        ).collect()
+    ]
+    exp = _pct_oracle(spark, store, pages, QUERIES[0], fr, where="lang = 'en'")
+    assert got == [(p, pytest.approx(v, abs=1e-9)) for p, v in exp]
+
+
+def test_percentiles_from_hist_matches_spark_builtin(spark):
+    """The declarative percentile_cont finisher == Spark's exact
+    `percentile` aggregate over the expanded multiset, including
+    duplicated values and skewed counts."""
+    import numpy as np
+
+    from tangent_spark.plans.boolean import percentiles_from_hist
+
+    rng = np.random.default_rng(5)
+    hist = [
+        (float(v), int(c))
+        for v, c in zip(rng.normal(50, 20, 40).round(1), rng.integers(1, 9, 40))
+    ]
+    # duplicate values must be pre-aggregated like the facet contract
+    agg = {}
+    for v, c in hist:
+        agg[v] = agg.get(v, 0) + c
+    hdf = spark.createDataFrame(
+        sorted(agg.items()), "val double, n_docs long"
+    )
+    fr = (0.0, 0.1, 0.5, 0.77, 0.99, 1.0)
+    got = {
+        r["pct"]: r["val"] for r in percentiles_from_hist(hdf, fr).collect()
+    }
+    expanded = spark.createDataFrame(
+        [(v,) for v, c in agg.items() for _ in range(c)], "x double"
+    )
+    exp = expanded.agg(
+        F.percentile("x", F.array(*[F.lit(p) for p in fr])).alias("ps")
+    ).collect()[0]["ps"]
+    for p, e in zip(fr, exp):
+        assert got[p] == pytest.approx(e, abs=1e-9), p
+
+
+def test_facet_percentiles_approx_close_to_exact(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_percentiles
+
+    fr = (0.25, 0.5, 0.75)
+    exact = {
+        r["pct"]: r["val"]
+        for r in facet_percentiles(
+            spark, store, QUERIES[0], "n_words", fr, exact=True
+        ).collect()
+    }
+    approx = {
+        r["pct"]: r["val"]
+        for r in facet_percentiles(
+            spark, store, QUERIES[0], "n_words", fr, exact=False,
+            accuracy=10_000,
+        ).collect()
+    }
+    # at accuracy >> n the GK sketch is exact up to neighbor values
+    vals = sorted(
+        float(r["n_words"])
+        for r in _match_meta(spark, store, pages, QUERIES[0]).collect()
+        if r["n_words"] is not None
+    )
+    span = vals[-1] - vals[0]
+    for p in fr:
+        assert abs(approx[p] - exact[p]) <= 0.05 * span + 1.0, p
+
+
+def test_facet_percentiles_empty_and_validation(spark, store):
+    from tangent_spark.plans.boolean import facet_percentiles
+
+    assert (
+        facet_percentiles(spark, store, "zzzunseen", "n_words").count() == 0
+    )
+    with pytest.raises(ValueError):
+        facet_percentiles(spark, store, QUERIES[0], "n_words", (1.5,)).count()
+
+
+def test_facet_cardinality_exact_and_approx(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_cardinality
+
+    for query in QUERIES[:2]:
+        exp = (
+            _match_meta(spark, store, pages, query)
+            .filter(F.col("n_words").isNotNull())
+            .select("n_words")
+            .distinct()
+            .count()
+        )
+        got = facet_cardinality(spark, store, query, "n_words").collect()
+        assert [int(r["n_distinct"]) for r in got] == [exp]
+        approx = int(
+            facet_cardinality(spark, store, query, "n_words", exact=False)
+            .collect()[0]["n_distinct"]
+        )
+        assert abs(approx - exp) <= max(3, 0.15 * exp)
+    # string column + where
+    exp_lang = (
+        _match_meta(spark, store, pages, QUERIES[0], where="n_words > 50")
+        .select("lang").distinct().count()
+    )
+    got_lang = facet_cardinality(
+        spark, store, QUERIES[0], "lang", where="n_words > 50"
+    ).collect()
+    assert [int(r["n_distinct"]) for r in got_lang] == [exp_lang]
+
+
+def test_warm_percentiles_and_cardinality_match_cold(spark, store):
+    from tangent_spark.plans.boolean import facet_cardinality, facet_percentiles
+    from tangent_spark.plans.search import Searcher
+
+    s = Searcher(spark, store)
+    try:
+        fr = (0.25, 0.5, 0.9)
+        cold = [
+            (r["pct"], r["val"])
+            for r in facet_percentiles(
+                spark, store, QUERIES[1], "n_words", fr
+            ).collect()
+        ]
+        warm = [
+            (r["pct"], r["val"])
+            for r in s.facet_percentiles(QUERIES[1], "n_words", fr).collect()
+        ]
+        assert warm == cold
+        # repeated warm call serves from the cached facet map
+        warm2 = [
+            (r["pct"], r["val"])
+            for r in s.facet_percentiles(QUERIES[1], "n_words", fr).collect()
+        ]
+        assert warm2 == cold
+        cc = facet_cardinality(spark, store, QUERIES[1], "lang").collect()
+        wc = s.facet_cardinality(QUERIES[1], "lang").collect()
+        assert [r["n_distinct"] for r in wc] == [r["n_distinct"] for r in cc]
+    finally:
+        s.close()
