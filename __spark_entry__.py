@@ -371,10 +371,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
             "AND abs(b.pos - 1 - a.pos) <= 2 "
             "WHERE a.term = 'row' AND b.term = 'sort' "
+            "GROUP BY 1), "
+            # SpanFirstQuery: 'row column' spans within the first 60
+            # tokens — pos is 1-based here, so 0-based span end
+            # (a.pos-1)+2 <= 60 is a.pos + 1 <= 60
+            "sf AS (SELECT a.doc_id, count(*)::INT AS phrase_tf "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'row' AND b.term = 'column' AND a.pos + 1 <= 60 "
             "GROUP BY 1) "
             "SELECT 'exact' AS phase, doc_id, phrase_tf FROM ex "
             "UNION ALL SELECT 'near' AS phase, doc_id, phrase_tf FROM nr "
-            "UNION ALL SELECT 'unord' AS phase, doc_id, phrase_tf FROM un"
+            "UNION ALL SELECT 'unord' AS phase, doc_id, phrase_tf FROM un "
+            "UNION ALL SELECT 'first' AS phase, doc_id, phrase_tf FROM sf"
         ),
         # result grouping / field collapse: top-5 source groups by best
         # hit, 2 docs per group, per-group total hit counts — the whole

@@ -339,6 +339,9 @@ PHRASE = ["row", "column", "sort"]
 NEAR_PHRASE = ["row", "sort"]
 NEAR_SLOP = 2
 
+SPAN_PHRASE = ["row", "column"]
+SPAN_FIRST_END = 60
+
 
 def _positions_of(spark, sf_dir, terms):
     return (
@@ -363,11 +366,14 @@ def phrase_match(spark, sf_dir):
         positions of the last term — the (pos, slack) fold);
     phase 'unord' — the same `"row sort"~2` under Lucene sloppy
         semantics (in_order=False: adjusted-position spread <= slop,
-        so 'sort ... row' also matches — the transposition criterion).
+        so 'sort ... row' also matches — the transposition criterion);
+    phase 'first' — Lucene SpanFirstQuery: 'row column' occurrences
+        whose span lies within the first 60 tokens
+        (plans/phrase.span_first_match — head-pruned exact fold).
 
     Same folds the index-side plans/phrase.py runs over the positions
     table, expressed over raw documents so DuckDB can twin them."""
-    from tangent_spark.plans.phrase import phrase_match_positions
+    from tangent_spark.plans.phrase import phrase_match_positions, span_first_match
 
     exact = phrase_match_positions(
         _positions_of(spark, sf_dir, PHRASE), PHRASE
@@ -381,7 +387,13 @@ def phrase_match(spark, sf_dir):
         slop=NEAR_SLOP,
         in_order=False,
     ).select(F.lit("unord").alias("phase"), "doc_id", "phrase_tf")
-    return exact.unionByName(near).unionByName(unord)
+    first = span_first_match(
+        _positions_of(spark, sf_dir, SPAN_PHRASE), SPAN_PHRASE, SPAN_FIRST_END
+    ).select(
+        F.lit("first").alias("phase"), "doc_id",
+        F.col("span_tf").alias("phrase_tf"),
+    )
+    return exact.unionByName(near).unionByName(unord).unionByName(first)
 
 
 def grouped_collapse_topk(spark, sf_dir):

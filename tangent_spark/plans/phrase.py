@@ -351,6 +351,69 @@ def phrase_topk(
     )
 
 
+def span_first_match(
+    positions: DataFrame, phrase_terms: list[str], end: int
+) -> DataFrame:
+    """Lucene SpanFirstQuery over a positions frame: (doc_id, span_tf)
+    for docs where the consecutive phrase `phrase_terms` has >= 1
+    occurrence whose span END (last token position + 1, 0-based) is
+    <= `end` — the match lies entirely within the document's first
+    `end` tokens (title-ish boosting, lead-paragraph matching).
+
+    Plan shape: a qualifying span's positions ALL sit below `end`, so
+    the per-(doc, term) position arrays are pruned to x < `end` BEFORE
+    the exact-phrase fold — the fold then only touches each document's
+    head, and every fold survivor qualifies automatically (no
+    post-filter). Scale: data moved shrinks with `end`, never grows
+    with document length."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    if end <= 0:
+        return positions.sparkSession.createDataFrame(
+            [], "doc_id long, span_tf int"
+        )
+    pref = (
+        positions.filter(F.col("term").isin(sorted(set(phrase_terms))))
+        .select(
+            "doc_id",
+            "term",
+            F.filter("positions", lambda x: x < F.lit(int(end))).alias(
+                "positions"
+            ),
+        )
+        .filter(F.size("positions") > 0)
+    )
+    return phrase_match_positions(pref, phrase_terms, 0).select(
+        "doc_id", F.col("phrase_tf").alias("span_tf")
+    )
+
+
+def span_first_topk(
+    spark: SparkSession, store: IndexStore, phrase: str, end: int, k: int
+) -> DataFrame:
+    """Top-k docs for a SpanFirstQuery (span_tf desc, doc_id asc) off
+    the index's positions table — phrase_topk's windowed sibling.
+    Requires store_positions=True at build time."""
+    cfg = store.get_config()
+    if not cfg.store_positions:
+        raise ValueError(
+            "index was built without positions (IndexConfig.store_positions)"
+        )
+    terms = _phrase_terms(phrase, cfg.tokenizer)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, span_tf int")
+    from tangent_spark.plans.search import filter_deleted, load_deleted_ids
+
+    pos = spark.read.parquet(store.path("positions"))
+    return (
+        filter_deleted(
+            span_first_match(pos, terms, end), load_deleted_ids(spark, store)
+        )
+        .orderBy(F.desc("span_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _phrase_terms(phrase: str, tokenizer: str) -> list[str]:
     """Phrase tokens IN ORDER (query_terms sorts+dedups — wrong here)."""
     from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
