@@ -378,11 +378,18 @@ def oracle_sql() -> dict[str, str]:
             "sf AS (SELECT a.doc_id, count(*)::INT AS phrase_tf "
             "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             "WHERE a.term = 'row' AND b.term = 'column' AND a.pos + 1 <= 60 "
+            "GROUP BY 1), "
+            # match_phrase_prefix "table s*": completion positions are
+            # distinct by construction (one token per offset)
+            "pf AS (SELECT a.doc_id, count(DISTINCT b.pos)::INT AS phrase_tf "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'table' AND b.term LIKE 's%' "
             "GROUP BY 1) "
             "SELECT 'exact' AS phase, doc_id, phrase_tf FROM ex "
             "UNION ALL SELECT 'near' AS phase, doc_id, phrase_tf FROM nr "
             "UNION ALL SELECT 'unord' AS phase, doc_id, phrase_tf FROM un "
-            "UNION ALL SELECT 'first' AS phase, doc_id, phrase_tf FROM sf"
+            "UNION ALL SELECT 'first' AS phase, doc_id, phrase_tf FROM sf "
+            "UNION ALL SELECT 'prefix' AS phase, doc_id, phrase_tf FROM pf"
         ),
         # result grouping / field collapse: top-5 source groups by best
         # hit, 2 docs per group, per-group total hit counts — the whole

@@ -369,11 +369,19 @@ def phrase_match(spark, sf_dir):
         so 'sort ... row' also matches — the transposition criterion);
     phase 'first' — Lucene SpanFirstQuery: 'row column' occurrences
         whose span lies within the first 60 tokens
-        (plans/phrase.span_first_match — head-pruned exact fold).
+        (plans/phrase.span_first_match — head-pruned exact fold);
+    phase 'prefix' — ES match_phrase_prefix `"table s*"`: 'table'
+        followed by ANY term starting with 's', phrase_tf = distinct
+        completion positions across the expansion union
+        (plans/phrase.phrase_prefix_match).
 
     Same folds the index-side plans/phrase.py runs over the positions
     table, expressed over raw documents so DuckDB can twin them."""
-    from tangent_spark.plans.phrase import phrase_match_positions, span_first_match
+    from tangent_spark.plans.phrase import (
+        phrase_match_positions,
+        phrase_prefix_match,
+        span_first_match,
+    )
 
     exact = phrase_match_positions(
         _positions_of(spark, sf_dir, PHRASE), PHRASE
@@ -393,7 +401,25 @@ def phrase_match(spark, sf_dir):
         F.lit("first").alias("phase"), "doc_id",
         F.col("span_tf").alias("phrase_tf"),
     )
-    return exact.unionByName(near).unionByName(unord).unionByName(first)
+    pos_pf = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term"),
+        )
+        .filter((F.col("term") == "table") | F.col("term").startswith("s"))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    prefix = phrase_prefix_match(
+        pos_pf, pos_pf.select("term"), ["table"], "s"
+    ).select(F.lit("prefix").alias("phase"), "doc_id", "phrase_tf")
+    return (
+        exact.unionByName(near)
+        .unionByName(unord)
+        .unionByName(first)
+        .unionByName(prefix)
+    )
 
 
 def grouped_collapse_topk(spark, sf_dir):

@@ -414,6 +414,110 @@ def span_first_topk(
     )
 
 
+_PREFIX_SENTINEL = "\x00prefix"  # cannot collide with tokenized terms
+
+
+def phrase_prefix_match(
+    positions: DataFrame,
+    vocab: DataFrame,
+    lead_terms: list[str],
+    prefix: str,
+    slop: int = 0,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES match_phrase_prefix (the search-as-you-type query): the
+    consecutive phrase `lead_terms` followed by ANY term starting with
+    `prefix`. Returns (doc_id, phrase_tf) where phrase_tf counts
+    distinct completion positions across all expansions — the ES
+    semantics of expanding the last position to a union of prefixed
+    terms.
+
+    `vocab` is any frame with a `term` column (term_stats, or the
+    positions frame itself); the prefix expands against it in term
+    order, capped at `max_expansions` (Lucene expands the term
+    dictionary alphabetically — the cap is deterministic). The
+    expansion is a pushed StartsWith scan; the expanded terms' position
+    arrays merge into ONE pseudo-term per doc, then the standard
+    exact/proximity fold runs unchanged — data moved is the expansions'
+    postings, never the corpus."""
+    spark = positions.sparkSession
+    if not prefix:
+        raise ValueError("empty prefix")
+    empty = spark.createDataFrame([], "doc_id long, phrase_tf int")
+    exps = [
+        r["term"]
+        for r in vocab.select("term")
+        .filter(F.col("term").startswith(prefix))
+        .distinct()
+        .orderBy("term")
+        .limit(int(max_expansions))
+        .collect()
+    ]
+    if not exps:
+        return empty
+    last = (
+        positions.filter(F.col("term").isin(exps))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
+        .select("doc_id", F.lit(_PREFIX_SENTINEL).alias("term"), "positions")
+    )
+    if lead_terms:
+        lead = positions.filter(
+            F.col("term").isin(sorted(set(lead_terms)))
+        ).select("doc_id", "term", "positions")
+        allpos = lead.unionByName(last)
+    else:
+        allpos = last
+    return phrase_match_positions(
+        allpos, [*lead_terms, _PREFIX_SENTINEL], slop
+    )
+
+
+def phrase_prefix_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    phrase: str,
+    k: int,
+    slop: int = 0,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Top-k docs for a phrase-prefix query off the index (phrase_tf
+    desc, doc_id asc): `phrase`'s LAST whitespace token (its trailing
+    '*' optional) is the prefix — lowercased but NOT stemmed (a stemmed
+    prefix would miss the surface forms it abbreviates); the lead
+    tokens analyze with the index's tokenizer. Expansion runs against
+    the stored vocabulary (term_stats, pushed StartsWith scan).
+    Requires store_positions=True at build time."""
+    cfg = store.get_config()
+    if not cfg.store_positions:
+        raise ValueError(
+            "index was built without positions (IndexConfig.store_positions)"
+        )
+    parts = phrase.split()
+    if not parts:
+        return spark.createDataFrame([], "doc_id long, phrase_tf int")
+    prefix = parts[-1].rstrip("*").lower()
+    if not prefix:
+        raise ValueError(f"no usable prefix in phrase {phrase!r}")
+    lead = _phrase_terms(" ".join(parts[:-1]), cfg.tokenizer)
+    from tangent_spark.plans.search import filter_deleted, load_deleted_ids
+
+    pos = spark.read.parquet(store.path("positions"))
+    out = phrase_prefix_match(
+        pos, store.read(spark, "term_stats"), lead, prefix, slop,
+        max_expansions,
+    )
+    return (
+        filter_deleted(out, load_deleted_ids(spark, store))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _phrase_terms(phrase: str, tokenizer: str) -> list[str]:
     """Phrase tokens IN ORDER (query_terms sorts+dedups — wrong here)."""
     from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple

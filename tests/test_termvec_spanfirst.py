@@ -156,3 +156,116 @@ def test_span_first_topk_ordering(spark, corpus, store):
         key=lambda kv: (-kv[1], kv[0]),
     )[:5]
     assert [(int(r["doc_id"]), int(r["span_tf"])) for r in got] == exp
+
+
+# --- match_phrase_prefix (ES search-as-you-type) ----------------------------
+
+
+def _py_phrase_prefix(local, lead, prefix, tokenizer, slop=0, max_expansions=50):
+    vocab = sorted({t for tx in local.values() for t in _tok(tx, tokenizer)})
+    exps = set([t for t in vocab if t.startswith(prefix)][:max_expansions])
+    out = {}
+    for d, text in local.items():
+        toks = _tok(text, tokenizer)
+        comp = set()
+        m = len(lead)
+        for q in range(len(toks)):
+            if toks[q] not in exps:
+                continue
+            if m == 0:
+                comp.add(q)
+                continue
+            # lead positions p1<..<pm < q, in order, total gap <= slop
+            def ok(idx, start, slack):
+                if idx == m:
+                    gap = q - start - 1
+                    return gap >= 0 and slack + gap <= slop
+                for p in range(start + 1, len(toks)):
+                    if toks[p] == lead[idx]:
+                        g = p - start - 1 if idx > 0 else 0
+                        if idx > 0 and slack + g > slop:
+                            break
+                        if ok(idx + 1, p, slack + (g if idx > 0 else 0)):
+                            return True
+                return False
+
+            if ok(0, -1, 0):
+                comp.add(q)
+        if comp:
+            out[d] = len(comp)
+    return out
+
+
+@pytest.mark.parametrize("slop", [0, 2])
+def test_phrase_prefix_matches_python_oracle(spark, corpus, store, slop):
+    from tangent_spark.plans.phrase import phrase_prefix_match
+
+    pages, local = corpus
+    cfg = store.get_config()
+    toks0 = _tok(local[0], cfg.tokenizer)
+    # a real bigram from the corpus guarantees >= 1 match
+    lead, prefix = [toks0[0]], toks0[1][:2]
+    pos = spark.read.parquet(store.path("positions"))
+    vocab = store.read(spark, "term_stats")
+    got = {
+        int(r["doc_id"]): int(r["phrase_tf"])
+        for r in phrase_prefix_match(pos, vocab, lead, prefix, slop=slop).collect()
+    }
+    exp = _py_phrase_prefix(local, lead, prefix, cfg.tokenizer, slop=slop)
+    assert got == exp
+    assert exp  # non-trivial
+
+
+def test_phrase_prefix_bare_prefix_counts_occurrences(spark, corpus, store):
+    """No lead terms: phrase_tf == total occurrences of all expansions
+    (distinct positions)."""
+    from tangent_spark.plans.phrase import phrase_prefix_match
+
+    _, local = corpus
+    cfg = store.get_config()
+    pos = spark.read.parquet(store.path("positions"))
+    got = {
+        int(r["doc_id"]): int(r["phrase_tf"])
+        for r in phrase_prefix_match(
+            pos, store.read(spark, "term_stats"), [], "ma"
+        ).collect()
+    }
+    exp = _py_phrase_prefix(local, [], "ma", cfg.tokenizer)
+    assert got == exp and exp
+
+
+def test_phrase_prefix_max_expansions_alphabetical(spark, corpus, store):
+    """max_expansions=1 keeps only the alphabetically-first expansion
+    (the Lucene term-dictionary order contract)."""
+    from tangent_spark.plans.phrase import phrase_prefix_match
+
+    _, local = corpus
+    cfg = store.get_config()
+    pos = spark.read.parquet(store.path("positions"))
+    vocab = store.read(spark, "term_stats")
+    capped = {
+        int(r["doc_id"]): int(r["phrase_tf"])
+        for r in phrase_prefix_match(pos, vocab, [], "ma", max_expansions=1).collect()
+    }
+    exp = _py_phrase_prefix(local, [], "ma", cfg.tokenizer, max_expansions=1)
+    assert capped == exp
+    full = _py_phrase_prefix(local, [], "ma", cfg.tokenizer)
+    assert sum(capped.values()) <= sum(full.values())
+
+
+def test_phrase_prefix_topk_and_validation(spark, corpus, store):
+    from tangent_spark.plans.phrase import phrase_prefix_topk
+
+    _, local = corpus
+    cfg = store.get_config()
+    lead_raw = local[0].split()[0]
+    got = phrase_prefix_topk(spark, store, f"{lead_raw} th*", 5).collect()
+    lead = _tok(lead_raw, cfg.tokenizer)
+    exp = sorted(
+        _py_phrase_prefix(local, lead, "th", cfg.tokenizer).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(int(r["doc_id"]), int(r["phrase_tf"])) for r in got] == exp
+    assert phrase_prefix_topk(spark, store, "zzz*", 5).count() == 0
+    with pytest.raises(ValueError, match="prefix"):
+        phrase_prefix_topk(spark, store, "row *", 5)
