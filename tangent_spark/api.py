@@ -108,6 +108,8 @@ def search(
     rrf_k: int = 60,
     n_per_leg: int = 50,
     n_probe: int = 8,
+    phrase_prefix: bool = False,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """Top-k (doc_id, score) for any supported query form. Pass a bare
     IndexStore for text-only serving, or SearchStores to enable the
@@ -178,6 +180,12 @@ def search(
         default in-order slack (plans.phrase._unordered_tf); boolean
         route only (the only route that carries phrases), rejected
         elsewhere.
+      * phrase_prefix — ES match_phrase_prefix (search-as-you-type):
+        the WHOLE query is one phrase whose LAST token is a prefix
+        (its trailing '*' optional), expanded against the vocabulary
+        in term order up to `max_expansions`
+        (plans.phrase.phrase_prefix_topk); returns (doc_id, phrase_tf)
+        and combines with no other shaping option.
 
     In-query Lucene boost syntax (`matrix^2.5`, `+must^3`, `"a b"^2`)
     is honored on the plain-BM25 and boolean routes (warm and cold,
@@ -188,6 +196,37 @@ def search(
     """
     if isinstance(stores, IndexStore):
         stores = SearchStores(words=stores)
+    if phrase_prefix:
+        # ES match_phrase_prefix (search-as-you-type): the WHOLE query
+        # is one phrase whose last token is a prefix; see
+        # plans.phrase.phrase_prefix_topk. No other shaping option has
+        # fusion semantics with a prefix phrase — reject, don't drop.
+        bad = [
+            n
+            for n, on in (
+                ("where", where is not None),
+                ("after", after is not None),
+                ("group_by", group_by is not None),
+                ("boosts", boosts is not None),
+                ("synonyms", synonyms is not None),
+                ("sort_by", sort_by is not None),
+                ("recency_boost", recency_boost is not None),
+                ("pinned", pinned is not None),
+                ("boost_fn", boost_fn is not None),
+                ("rescore", rescore is not None),
+                ("vector", vector is not None),
+                ("min_should_match", bool(min_should_match)),
+                ("unordered_phrases", unordered_phrases),
+            )
+            if on
+        ]
+        if bad:
+            raise ValueError(f"{'/'.join(bad)} not supported with phrase_prefix")
+        from tangent_spark.plans.phrase import phrase_prefix_topk
+
+        return phrase_prefix_topk(
+            spark, stores.words, query, k, max_expansions=max_expansions
+        )
     kind = route(query)
     if unordered_phrases and kind != "boolean":
         # phrases only exist on the boolean route; raise instead of

@@ -130,7 +130,14 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     ({stemmed term: multiplier}); a term boosted twice keeps the
     larger boost (duplicate terms score once — idf-scaling twins
     split_term_boosts' discipline on the plain route). Boosting a
-    must-not clause is meaningless and ignored."""
+    must-not clause is meaningless and ignored.
+
+    A `*` INSIDE a quoted phrase is stripped by the tokenizer, so
+    `"table s*"` degrades to the exact phrase `table s` — the same
+    behavior as Lucene's classic/edismax parsers (whose analyzers also
+    strip it; only ComplexPhraseQueryParser interprets it). For real
+    prefix-last-term phrase matching use the explicit ES-style surface:
+    plans.phrase.phrase_prefix_topk / api.search(phrase_prefix=True)."""
     from tangent_spark.functions.tokenize import tokenize_porter, tokenize_simple
 
     from tangent_spark.plans.search import _TERM_BOOST

@@ -269,3 +269,21 @@ def test_phrase_prefix_topk_and_validation(spark, corpus, store):
     assert phrase_prefix_topk(spark, store, "zzz*", 5).count() == 0
     with pytest.raises(ValueError, match="prefix"):
         phrase_prefix_topk(spark, store, "row *", 5)
+
+
+def test_api_phrase_prefix_route(spark, corpus, store):
+    """api.search(phrase_prefix=True) == phrase_prefix_topk directly;
+    shaping options are rejected, never silently dropped."""
+    from tangent_spark.api import search
+    from tangent_spark.plans.phrase import phrase_prefix_topk
+
+    _, local = corpus
+    lead_raw = local[0].split()[0]
+    q = f"{lead_raw} th*"
+    via_api = search(spark, store, q, k=5, phrase_prefix=True).collect()
+    direct = phrase_prefix_topk(spark, store, q, 5).collect()
+    assert [(r["doc_id"], r["phrase_tf"]) for r in via_api] == [
+        (r["doc_id"], r["phrase_tf"]) for r in direct
+    ]
+    with pytest.raises(ValueError, match="not supported"):
+        search(spark, store, q, k=5, phrase_prefix=True, sort_by="lang")
