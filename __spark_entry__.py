@@ -770,8 +770,25 @@ def oracle_sql() -> dict[str, str]:
             "JOIN fs ON m.field = fs.field "
             "JOIN b ON m.field = b.field "
             "GROUP BY 1, 2), "
+            # dismax phase (Lucene DisjunctionMaxQuery, boosts title^2
+            # body^1, tie=0.3): per (doc, base term) the per-field
+            # scores combine as max + tie * (sum - max), then sum over
+            # terms
+            "ps AS (SELECT m.doc_id, m.term, "
+            "  CASE m.field WHEN 'title' THEN 2.0 ELSE 1.0 END "
+            "  * ln(1.0 + (fs.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * fdl.dl / fs.avgdl)) AS s "
+            "FROM m "
+            "JOIN dfs ON m.field = dfs.field AND m.term = dfs.term "
+            "JOIN fdl ON m.doc_id = fdl.doc_id AND m.field = fdl.field "
+            "JOIN fs ON m.field = fs.field), "
+            "dsc AS (SELECT doc_id, term, "
+            "  max(s) + 0.3 * (sum(s) - max(s)) AS tscore FROM ps GROUP BY 1, 2), "
+            "dtot AS (SELECT 'dismax' AS phase, doc_id, sum(tscore) AS score "
+            "FROM dsc GROUP BY 2), "
+            "allp AS (SELECT * FROM sc UNION ALL SELECT * FROM dtot), "
             "r AS (SELECT phase, doc_id, score, row_number() OVER ("
-            "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM sc) "
+            "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM allp) "
             "SELECT phase, doc_id, round(score, 4)::DOUBLE AS score "
             "FROM r WHERE rk <= 20"
         ),

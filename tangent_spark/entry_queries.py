@@ -1653,16 +1653,24 @@ def fielded_bm25_topk(spark, sf_dir):
 
     phase 'flat'    — boosts {title: 1, body: 1};
     phase 'boosted' — boosts {title: 2, body: 1} (title hits must
-        outrank where the flat ordering had them tied or behind).
+        outrank where the flat ordering had them tied or behind);
+    phase 'dismax'  — boosts {title: 2, body: 1}, tie=0.3: Lucene
+        DisjunctionMaxQuery / edismax's default combiner — per base
+        term max over fields + tie x the rest (plans/fielded.
+        dismax_topk).
 
     Oracle recomputes the per-field tf/dl/df/avgdl/docCount and the
-    boosted two-field BM25 sum from the raw corpus with the identical
-    pos<=8 field split."""
+    boosted two-field BM25 sum (and the dismax max-plus-tie combine)
+    from the raw corpus with the identical pos<=8 field split."""
     import shutil
     import tempfile
 
     from tangent_spark.config import IndexConfig
-    from tangent_spark.plans.fielded import build_fielded_index, fielded_topk
+    from tangent_spark.plans.fielded import (
+        build_fielded_index,
+        dismax_topk,
+        fielded_topk,
+    )
 
     base = tempfile.mkdtemp(prefix="tangent_fielded_entry_")
     try:
@@ -1682,15 +1690,21 @@ def fielded_bm25_topk(spark, sf_dir):
             spark, fdocs, f"{base}/f", ("title", "body"), cfg
         )
         out = []
-        for phase, boosts in (
-            ("flat", {"title": 1.0, "body": 1.0}),
-            ("boosted", {"title": 2.0, "body": 1.0}),
+        for phase, boosts, tie in (
+            ("flat", {"title": 1.0, "body": 1.0}, None),
+            ("boosted", {"title": 2.0, "body": 1.0}, None),
+            ("dismax", {"title": 2.0, "body": 1.0}, 0.3),
         ):
+            topk = (
+                fielded_topk(spark, store, SEARCH_AFTER_QUERY, 20, boosts)
+                if tie is None
+                else dismax_topk(
+                    spark, store, SEARCH_AFTER_QUERY, 20, boosts, tie=tie
+                )
+            )
             out += [
                 (phase, int(r["doc_id"]), round(float(r["score"]), 4))
-                for r in fielded_topk(
-                    spark, store, SEARCH_AFTER_QUERY, 20, boosts
-                ).collect()
+                for r in topk.collect()
             ]
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -14,9 +14,9 @@ with per-field dl, so the build's shuffle inventory, the block codec,
 block-max WAND pruning, tombstone masks and searchAfter paging all
 apply unchanged.
 
-Scoring (Lucene BooleanQuery-sum semantics — a query expanded to one
-boosted TermQuery per (field, term); NOT dismax max-plus-tie, a
-documented divergence from edismax's default combiner):
+Scoring (fielded_topk: Lucene BooleanQuery-sum semantics — a query
+expanded to one boosted TermQuery per (field, term); dismax_topk:
+DisjunctionMaxQuery max-plus-tie, edismax's default combiner):
 
     score(d) = sum_f sum_t boost_f * idf_f(t)
                              * tfnorm(tf_{f,t,d}, dl_f(d), avgdl_f)
@@ -155,13 +155,17 @@ def fielded_topk(
     k: int,
     boosts: dict[str, float],
     after: tuple[float, int] | None = None,
+    tie: float | None = None,
 ) -> DataFrame:
     """Boosted multi-field BM25 top-k (Solr ``title:q^2 OR body:q``) —
     one single-stage job off the fielded postings; see the module
     docstring for semantics and the scale argument. ``after`` is the
     searchAfter cursor (plans/search.Searcher.topk): exact here for
     the same reason as the plain kernel — every doc's full cross-field
-    score is produced in one shard pass."""
+    score is produced in one shard pass.
+
+    ``tie`` switches the cross-field combiner from BooleanQuery-sum to
+    DisjunctionMaxQuery (use dismax_topk for the named surface)."""
     from tangent_spark.plans.search import (
         _WAND_SCHEMA,
         _score_shard,
@@ -179,6 +183,13 @@ def fielded_topk(
     if not qts or not boosts:
         return spark.createDataFrame([], "doc_id long, score double")
 
+    if tie is not None and not (0.0 <= tie <= 1.0):
+        raise ValueError(f"tie must be in [0, 1], got {tie}")
+    if tie is not None and any(b <= 0 for b in boosts.values()):
+        # the kernel's per-group max over zero-initialized buckets (and
+        # the block-max bound's sum >= dismax argument) both need
+        # non-negative contributions
+        raise ValueError("dismax requires strictly positive field boosts")
     prefixed = [f"{f}{FIELD_SEP}{t}" for f in sorted(boosts) for t in qts]
     bdf = spark.createDataFrame(
         sorted((f, float(b)) for f, b in boosts.items()),
@@ -187,24 +198,37 @@ def fielded_topk(
     # per-(field, term) boosted idf + per-field avgdl, all JVM-side on
     # vocabulary-scale tables filtered to <= |q| x |fields| rows, then
     # broadcast into the postings scan
+    cols = [
+        "term",
+        (
+            F.col("boost")
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+        ).alias("idf"),
+        "avgdl",
+    ]
+    if tie is not None:
+        # dismax group id = index of the base query term: the group's
+        # members are that term's per-field TermQueries
+        gids = {t: i for i, t in enumerate(dict.fromkeys(qts))}
+        gmap = F.create_map(
+            *[F.lit(x) for t, i in gids.items() for x in (t, i)]
+        )
+        cols.append(
+            gmap[
+                F.expr(f"substring(term, instr(term, '{FIELD_SEP}') + 1)")
+            ].cast("long").alias("dmax")
+        )
     qstats = (
         spark.read.parquet(store.path("term_stats"))
         .filter(F.col("term").isin(prefixed))
         .withColumn("field", F.substring_index("term", FIELD_SEP, 1))
         .join(F.broadcast(spark.read.parquet(store.path("field_stats"))), "field")
         .join(F.broadcast(bdf), "field")
-        .select(
-            "term",
-            (
-                F.col("boost")
-                * F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                )
-            ).alias("idf"),
-            "avgdl",
-        )
+        .select(*cols)
     )
     kern = _score_shard(
         1.0,  # unused: every row carries its field's avgdl
@@ -212,6 +236,7 @@ def fielded_topk(
         k,
         deleted=load_deleted_ids(spark, store),
         after=(float(after[0]), int(after[1])) if after is not None else None,
+        dismax_tie=float(tie) if tie is not None else None,
     )
 
     def apply_kern(pdf):
@@ -229,3 +254,38 @@ def fielded_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dismax_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    boosts: dict[str, float],
+    tie: float = 0.0,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Dismax multi-field BM25 top-k — Lucene DisjunctionMaxQuery /
+    the edismax handler's DEFAULT combiner (the piece fielded_topk's
+    BooleanQuery-sum diverges from; reference
+    text/text_engine_client.py:15-52 issued exactly these requests to
+    Solr). Each base query term t expands to one TermQuery per boosted
+    field, and the per-field scores combine per doc as
+
+        score_t(d) = max_f s_{f,t}(d) + tie * (sum_f s_{f,t}(d) - max_f)
+        score(d)   = sum_t score_t(d)
+
+    with s_{f,t} = boost_f * idf_f(t) * tfnorm(tf, dl_f, avgdl_f) —
+    per-field docCount IDF and per-field norms, same as fielded_topk.
+    tie=0 is pure dismax ("best matching field wins" — kills the
+    stopword-stuffed-body pathology of the plain sum); tie=1 is
+    exactly fielded_topk's sum (property-tested).
+
+    Plan shape is identical to fielded_topk: ONE single-stage job, the
+    postings scan pruned to |q| x |fields| terms, per-(field, term)
+    boosted idf + field avgdl + dismax group id broadcast into the
+    shared block-max kernel (_score_shard's dmax path). The threshold
+    skip stays EXACT for tie in [0, 1] because each range's summed
+    block bounds upper-bound the plain cross-field sum, which
+    upper-bounds the dismax combination."""
+    return fielded_topk(spark, store, query, k, boosts, after=after, tie=tie)

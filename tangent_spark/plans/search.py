@@ -252,7 +252,7 @@ def match_all_docs(
 
 def _score_shard(
     avgdl: float, cfg: IndexConfig, k: int, counter=None, deleted=None, after=None,
-    doc_weights=None,
+    doc_weights=None, dismax_tie=None,
 ):
     """Per-shard kernel: block-max pruning via an interval sweep.
 
@@ -303,6 +303,19 @@ def _score_shard(
     computed at the group idf) upper-bounds the merged contribution.
     The decoded-block cache stores raw (ids, tfs, dls) on this path —
     contributions are only defined per group after the merge.
+
+    Dismax groups (Lucene DisjunctionMaxQuery — plans/fielded.
+    dismax_topk): when `dismax_tie` is set and a `dmax` column is
+    present, rows sharing a group id (one group per base query term,
+    members = its per-field TermQueries) combine per doc as
+    max(contrib) + tie * (sum(contrib) - max(contrib)) BEFORE the
+    cross-group per-doc sum — edismax's default combiner. Block-max
+    stays exact for tie in [0, 1]: contributions are >= 0, so
+    max + tie*(sum-max) <= sum, and the range's summed block bounds
+    upper-bound the plain sum. Each doc lives in exactly one range,
+    so the per-range group max/sum see ALL of the doc's member
+    contributions — the combine is exact, not an approximation.
+    Mutually exclusive with `syn` (different query rewrites).
     """
 
     def kernel(pdf: pd.DataFrame, cache=None) -> pd.DataFrame:
@@ -320,6 +333,10 @@ def _score_shard(
         # per doc before tf-normalization
         has_syn = "syn" in pdf.columns
         syn_ids = pdf["syn"].to_numpy(np.int64) if has_syn else None
+        # dismax groups (see docstring): rows sharing dmax combine per
+        # doc as max + tie * rest before the cross-group sum
+        has_dmax = dismax_tie is not None and "dmax" in pdf.columns
+        dmax_ids = pdf["dmax"].to_numpy(np.int64) if has_dmax else None
         # --- collect block metadata for every query-term row ---------------
         blocks = []  # (lo, hi, bound, row_idx, blk_idx)
         for ri in range(len(pdf)):
@@ -386,7 +403,7 @@ def _score_shard(
                 break
             rlo, rhi = starts[r], ends[r]
             cover = np.flatnonzero((blk_lo <= rhi) & (blk_hi >= rlo))
-            all_ids, all_contrib = [], []
+            all_ids, all_contrib, all_gids = [], [], []
             syn_buf: dict = {}  # group id -> [(ids, tfs, dls, idf, row_avgdl)]
             for ci in cover:
                 _, _, _, ri, bi = blocks[ci]
@@ -439,6 +456,10 @@ def _score_shard(
                 if e > s:
                     all_ids.append(ids[s:e])
                     all_contrib.append(contrib[s:e])
+                    if has_dmax:
+                        all_gids.append(
+                            np.full(e - s, dmax_ids[ri], dtype=np.int64)
+                        )
             if has_syn:
                 # per group: sum member tfs per doc, THEN normalize once
                 for parts in syn_buf.values():
@@ -462,6 +483,19 @@ def _score_shard(
                 continue
             cat_ids = np.concatenate(all_ids)
             cat_c = np.concatenate(all_contrib)
+            if has_dmax:
+                # per (doc, group): max + tie * (sum - max), then the
+                # groups fall through to the plain cross-group sum
+                cat_g = np.concatenate(all_gids)
+                n_g = np.int64(int(dmax_ids.max()) + 1)
+                keys = cat_ids * n_g + cat_g
+                ukeys, kinv = np.unique(keys, return_inverse=True)
+                ksum = np.zeros(ukeys.size, dtype=np.float64)
+                np.add.at(ksum, kinv, cat_c)
+                kmax = np.zeros(ukeys.size, dtype=np.float64)
+                np.maximum.at(kmax, kinv, cat_c)
+                cat_ids = ukeys // n_g
+                cat_c = (1.0 - dismax_tie) * kmax + dismax_tie * ksum
             uids, inv = np.unique(cat_ids, return_inverse=True)
             sums = np.zeros(uids.size, dtype=np.float64)
             np.add.at(sums, inv, cat_c)

@@ -236,3 +236,118 @@ def test_fielded_resume_skips_stages(spark, fielded_corpus, fielded_store):
 def test_fielded_empty_query(spark, fielded_store):
     assert fielded_topk(spark, fielded_store, "", 5, BOOSTS).count() == 0
     assert fielded_topk(spark, fielded_store, "!!!", 5, BOOSTS).count() == 0
+
+
+def dismax_rank(local, query, boosts, tie, k, k1=1.2, b=0.75, tokenizer="porter"):
+    """Pure-Python dismax BM25 (Lucene DisjunctionMaxQuery / edismax
+    combiner): per base term t the per-field scores combine as
+    max_f + tie * (sum_f - max_f), then sum over terms."""
+    qts = _tok(query, tokenizer)
+    per_field: dict[str, dict[int, dict[str, int]]] = {}
+    dls: dict[str, dict[int, int]] = {}
+    for doc_id, fields in local:
+        for f, text in fields.items():
+            toks = _tok(text, tokenizer)
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            per_field.setdefault(f, {})[doc_id] = tf
+            dls.setdefault(f, {})[doc_id] = len(toks)
+    scores: dict[int, float] = {}
+    for t in set(qts):
+        per_doc: dict[int, list[float]] = {}
+        for f, boost in boosts.items():
+            docs_f = per_field.get(f, {})
+            n_f = len(docs_f)
+            if not n_f:
+                continue
+            avgdl_f = sum(dls[f].values()) / n_f
+            df = sum(1 for tf in docs_f.values() if t in tf)
+            if not df:
+                continue
+            idf = math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
+            for doc_id, tf in docs_f.items():
+                if t not in tf:
+                    continue
+                dl = dls[f][doc_id]
+                tfn = (
+                    tf[t] * (k1 + 1.0)
+                    / (tf[t] + k1 * (1.0 - b + b * dl / avgdl_f))
+                )
+                per_doc.setdefault(doc_id, []).append(boost * idf * tfn)
+        for doc_id, parts in per_doc.items():
+            mx = max(parts)
+            scores[doc_id] = scores.get(doc_id, 0.0) + mx + tie * (sum(parts) - mx)
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("tie", [0.0, 0.3])
+def test_dismax_rank_identity(spark, fielded_store, fielded_corpus, query, tie):
+    from tangent_spark.plans.fielded import dismax_topk
+
+    _, local = fielded_corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in dismax_topk(
+            spark, fielded_store, query, 15, BOOSTS, tie=tie
+        ).collect()
+    ]
+    assert_rank_identical(got, dismax_rank(local, query, BOOSTS, tie, 15))
+
+
+def test_dismax_tie_one_is_boolean_sum(spark, fielded_store):
+    """tie=1.0 degenerates to fielded_topk's BooleanQuery sum exactly —
+    max + 1.0 * (sum - max) = sum."""
+    from tangent_spark.plans.fielded import dismax_topk
+
+    q = "matrix theorem proof"
+    want = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in fielded_topk(spark, fielded_store, q, 15, BOOSTS).collect()
+    ]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in dismax_topk(spark, fielded_store, q, 15, BOOSTS, tie=1.0).collect()
+    ]
+    assert got == want
+
+
+def test_dismax_best_field_wins(spark, tmp_path):
+    """The dismax pathology fix: with tie=0 a doc matching one field
+    strongly outranks a doc matching both fields weakly, where the
+    plain sum would rank them the other way."""
+    from tangent_spark.plans.fielded import dismax_topk
+
+    rows = [
+        # doc 0: 'needle' twice in title (one strong field)
+        (0, "needle needle alpha", "gamma delta epsilon zeta eta"),
+        # doc 1: 'needle' once in each field (two weak fields)
+        (1, "needle alpha beta", "needle delta epsilon zeta eta"),
+        (2, "alpha beta gamma", "delta epsilon zeta eta theta"),
+        # doc 3 balances the per-field dfs (title df == body df == 2)
+        # so the cross-field comparison is about tf shape, not idf
+        (3, "alpha beta gamma", "needle needle delta epsilon zeta"),
+    ]
+    docs = _spark_docs(rows)
+    spark = docs.sparkSession
+    store = build_fielded_index(
+        docs.sparkSession, docs, str(tmp_path / "dmx"),
+        ("title", "body"), IndexConfig(n_shards=2, block_size=8),
+    )
+    boosts = {"title": 1.0, "body": 1.0}
+    sum_top = [r["doc_id"] for r in fielded_topk(spark, store, "needle", 2, boosts).collect()]
+    dmx_top = [r["doc_id"] for r in dismax_topk(spark, store, "needle", 2, boosts, tie=0.0).collect()]
+    assert sum_top[0] == 1  # plain sum rewards matching both fields
+    assert dmx_top[0] == 0  # dismax rewards the best single field
+
+
+def test_dismax_validates_inputs(spark, fielded_store):
+    from tangent_spark.plans.fielded import dismax_topk
+
+    with pytest.raises(ValueError, match="tie"):
+        dismax_topk(spark, fielded_store, "matrix", 5, BOOSTS, tie=1.5)
+    with pytest.raises(ValueError, match="positive"):
+        dismax_topk(spark, fielded_store, "matrix", 5, {"title": -1.0}, tie=0.0)
