@@ -955,6 +955,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'pcts', '0.95', round(quantile_cont(n_chars, 0.95), 4)::DOUBLE FROM j WHERE n_chars IS NOT NULL "
             "UNION ALL SELECT 'card', 'lang', count(DISTINCT lang)::DOUBLE FROM j WHERE lang IS NOT NULL"
         ),
+        # date histogram (ES date_histogram, 1-day fixed interval) over
+        # the same match set: warc_ts-style timestamp derived as
+        # epoch0 + (doc_id*137) mod one-week, so the twin is pure
+        # integer arithmetic (timezone-proof); bucket = day ordinal
+        "facet_dhist_counts": (
+            f"WITH {_TOK}, "
+            "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark' "
+            "  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'join')), "
+            "spine AS (SELECT x::BIGINT AS bucket FROM generate_series(0, 6) t(x)), "
+            "c AS (SELECT ((doc_id * 137) % 604800) // 86400 AS bucket, "
+            "  count(*)::BIGINT AS n FROM m GROUP BY 1) "
+            "SELECT s.bucket, coalesce(c.n, 0)::BIGINT AS n_docs "
+            "FROM spine s LEFT JOIN c USING (bucket) ORDER BY s.bucket"
+        ),
         # two-level pivot over the same match set: (lang, source) hit
         # counts, n_docs desc then values asc; NULL pairs skipped
         "facet_pivot_counts": (
@@ -1130,7 +1144,9 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'sig', term, fg_df::VARCHAR, score FROM ("
         + d.pop("significant_terms_jlh") + ") "
         "UNION ALL SELECT phase, k1, '', val FROM ("
-        + d.pop("facet_pcts_card") + ")"
+        + d.pop("facet_pcts_card") + ") "
+        "UNION ALL SELECT 'dhist', bucket::VARCHAR, '', n_docs::DOUBLE FROM ("
+        + d.pop("facet_dhist_counts") + ")"
     )
     d["dedup_pair_scores"] = (
         "SELECT 'ngram' AS phase, doc_a, doc_b, jaccard AS sim FROM ("

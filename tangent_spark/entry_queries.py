@@ -1875,6 +1875,47 @@ def boosted_mm_topk(spark, sf_dir):
 
 FACET_RANGE_QUERY = "data +spark -join"
 FR_START, FR_END, FR_GAP = 0.0, 600.0, 100.0
+# synthetic warc_ts derivation for the date histogram: one week of
+# crawl timestamps spread deterministically by doc_id, day buckets
+DH_EPOCH0, DH_SPAN, DH_INTERVAL = 1_600_000_000, 604_800, 86_400.0
+
+
+def facet_dhist_counts(spark, sf_dir):
+    """Date histogram (ES date_histogram fixed_interval / Solr date
+    facet.range) through the REAL kernel route (plans/boolean.
+    facet_date_histogram): day-bucket hit counts of a derived
+    warc_ts-style TIMESTAMP metadata column (epoch0 + (doc_id*137)
+    mod one-week) over the `data +spark -join` match set, zero-filled
+    in time order. Output k1 = bucket ordinal (timezone-proof for the
+    SQL twin); the timestamp bucket labels themselves are asserted in
+    tests/test_facet_range_stats.py."""
+    import shutil
+    import tempfile
+
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.boolean import facet_date_histogram
+    from tangent_spark.plans.indexer import build_index
+
+    base = tempfile.mkdtemp(prefix="tangent_dhist_entry_")
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(DH_EPOCH0) + (F.col("doc_id") * 137) % DH_SPAN
+            ),
+        )
+        cfg = IndexConfig(
+            n_shards=4, block_size=32, tokenizer="simple", meta_cols=("ts",)
+        )
+        store = build_index(spark, docs, f"{base}/s", cfg)
+        rows = facet_date_histogram(
+            spark, store, FACET_RANGE_QUERY, "ts",
+            float(DH_EPOCH0), float(DH_EPOCH0 + DH_SPAN), DH_INTERVAL,
+        ).collect()
+        out = [(i, int(r["n_docs"])) for i, r in enumerate(rows)]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(out, "bucket long, n_docs long")
 
 
 def facet_range_nchars(spark, sf_dir):
@@ -2197,8 +2238,9 @@ def facet_panels(spark, sf_dir):
     (facet_stats_nchars, one row per metric), 'pivot' (lang, source)
     pairs (facet_pivot_counts), 'sig' significant terms
     (significant_terms_jlh: k1=term, k2=fg_df, val=JLH score), 'pcts'
-    exact percentiles of n_chars and 'card' distinct-lang cardinality
-    (facet_pcts_card)."""
+    exact percentiles of n_chars, 'card' distinct-lang cardinality
+    (facet_pcts_card), and 'dhist' day-bucket date-histogram counts
+    over a derived warc_ts-style timestamp (facet_dhist_counts)."""
     rows = []
     for r in facet_counts_lang(spark, sf_dir).collect():
         rows.append((r["phase"], r["lang"], "", float(r["n_docs"])))
@@ -2215,6 +2257,8 @@ def facet_panels(spark, sf_dir):
         rows.append(("sig", r["term"], str(int(r["fg_df"])), float(r["score"])))
     for r in facet_pcts_card(spark, sf_dir).collect():
         rows.append((r["phase"], r["k1"], "", float(r["val"])))
+    for r in facet_dhist_counts(spark, sf_dir).collect():
+        rows.append(("dhist", str(int(r["bucket"])), "", float(r["n_docs"])))
     return spark.createDataFrame(
         rows, "phase string, k1 string, k2 string, val double"
     )

@@ -1323,6 +1323,63 @@ def _range_args(start, end, gap) -> tuple[float, float, float]:
     return float(start), float(end), float(gap)
 
 
+def _epoch_seconds(x) -> float:
+    """start/end of a date histogram as epoch seconds: accepts a
+    number, a datetime (naive = UTC, Spark's timestamp-to-double
+    convention), or an ISO-8601 string."""
+    import datetime as _dt
+
+    if isinstance(x, (int, float)):
+        return float(x)
+    if isinstance(x, str):
+        x = _dt.datetime.fromisoformat(x)
+    if isinstance(x, _dt.datetime):
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=_dt.timezone.utc)
+        return x.timestamp()
+    raise TypeError(f"expected epoch number, datetime, or ISO string; got {type(x)}")
+
+
+def date_histogram_shape(out: DataFrame) -> DataFrame:
+    """Relabel facet_range's numeric epoch buckets as timestamps
+    (timestamp_seconds keeps sub-second fractions, so fractional
+    start/gap stay exact to microseconds)."""
+    return out.select(
+        F.timestamp_seconds(F.col("bucket")).alias("bucket"), "n_docs"
+    )
+
+
+def facet_date_histogram(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    by: str,
+    start,
+    end,
+    interval_s: float,
+    where: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """ES date_histogram (fixed_interval) / Solr date facet.range over
+    the boolean match set: hit counts per half-open time bucket of
+    `interval_s` seconds over a TIMESTAMP metadata column (e.g. the
+    input shape's warc_ts), zero-filled in time order — (bucket
+    timestamp, n_docs long). `start`/`end` accept datetimes, ISO-8601
+    strings, or epoch seconds.
+
+    This IS facet_range on the epoch axis: Spark's timestamp-to-double
+    cast inside range_bucket_vdocs is epoch seconds, so the numeric
+    bucket arithmetic, the broadcast bucket map, the kernel partial
+    route, and the zero-filled spine all apply unchanged — only the
+    bucket labels come back as timestamps."""
+    s, e = _epoch_seconds(start), _epoch_seconds(end)
+    return date_histogram_shape(
+        facet_range(
+            spark, store, query, by, s, e, float(interval_s), where, **kwargs
+        )
+    )
+
+
 def range_bucket_vdocs(
     docs: DataFrame, by: str, s: float, e: float, g: float
 ) -> DataFrame:

@@ -1724,6 +1724,33 @@ class Searcher:
         )
         return range_shape(self.spark, counts, s, e, g)
 
+    def facet_date_histogram(
+        self,
+        query: str,
+        by: str,
+        start,
+        end,
+        interval_s: float,
+        where: str | None = None,
+        **kwargs,
+    ) -> DataFrame:
+        """Warm date histogram (ES date_histogram fixed_interval) over
+        a TIMESTAMP metadata column — facet_range on the epoch axis
+        with timestamp bucket labels; same contract as
+        plans.boolean.facet_date_histogram, bucket map cached per
+        (column, start, end, interval)."""
+        from tangent_spark.plans.boolean import (
+            _epoch_seconds,
+            date_histogram_shape,
+        )
+
+        return date_histogram_shape(
+            self.facet_range(
+                query, by, _epoch_seconds(start), _epoch_seconds(end),
+                float(interval_s), where, **kwargs,
+            )
+        )
+
     def facet_stats(
         self,
         query: str,

@@ -27,7 +27,9 @@ from tangent_spark.plans.boolean import (
 )
 from tangent_spark.plans.indexer import build_index
 
-CFG = IndexConfig(n_shards=4, block_size=16, meta_cols=("lang", "n_words"))
+CFG = IndexConfig(
+    n_shards=4, block_size=16, meta_cols=("lang", "n_words", "warc_ts")
+)
 N = 150
 QUERIES = ["matrix convergence theorem", "matrix +theorem", "series -matrix"]
 
@@ -507,3 +509,116 @@ def test_warm_percentiles_and_cardinality_match_cold(spark, store):
         assert [r["n_distinct"] for r in wc] == [r["n_distinct"] for r in cc]
     finally:
         s.close()
+
+
+# ---- date histogram (ES date_histogram / Solr date facet.range) --------
+
+DH_START = "2020-01-01T00:00:00"
+DH_INTERVAL = 90 * 86400.0  # 90-day fixed interval
+
+
+def _dh_end(pages):
+    import datetime as dt
+
+    mx = pages.agg(F.max("warc_ts")).collect()[0][0]
+    # one full interval past the max so the last bucket is interior
+    return (mx + dt.timedelta(seconds=DH_INTERVAL)).isoformat()
+
+
+def _dh_oracle(spark, store, pages, query, end, where=None):
+    import datetime as dt
+
+    from tangent_spark.plans.boolean import _epoch_seconds
+
+    s, e = _epoch_seconds(DH_START), _epoch_seconds(end)
+    j = _match_meta_ts(spark, store, pages, query, where)
+    got = {}
+    for r in j.collect():
+        ts = r["warc_ts"]
+        if ts is None:
+            continue
+        v = ts.replace(tzinfo=dt.timezone.utc).timestamp()
+        if not (s <= v < e):
+            continue
+        b = s + (v - s) // DH_INTERVAL * DH_INTERVAL
+        got[b] = got.get(b, 0) + 1
+    n_buckets = int(math.ceil((e - s) / DH_INTERVAL))
+    return [
+        (
+            dt.datetime.fromtimestamp(s + i * DH_INTERVAL, dt.timezone.utc),
+            got.get(s + i * DH_INTERVAL, 0),
+        )
+        for i in range(n_buckets)
+    ]
+
+
+def _match_meta_ts(spark, store, pages, query, where=None):
+    m = boolean_topk(spark, store, query, N).select("doc_id")
+    j = m.join(pages.select("doc_id", "lang", "warc_ts"), "doc_id")
+    return j.filter(where) if where else j
+
+
+def _dh_rows(df):
+    import datetime as dt
+
+    return [
+        (r["bucket"].replace(tzinfo=dt.timezone.utc), r["n_docs"])
+        for r in df.collect()
+    ]
+
+
+def test_date_histogram_matches_set_algebra(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_date_histogram
+
+    end = _dh_end(pages)
+    for q in QUERIES:
+        got = _dh_rows(
+            facet_date_histogram(
+                spark, store, q, "warc_ts", DH_START, end, DH_INTERVAL
+            )
+        )
+        assert got == _dh_oracle(spark, store, pages, q, end), q
+        assert sum(n for _, n in got) > 0, "fixture must hit buckets"
+
+
+def test_date_histogram_where_and_warm(spark, store, pages):
+    from tangent_spark.plans.boolean import facet_date_histogram
+    from tangent_spark.plans.search import Searcher
+
+    q, where = QUERIES[0], "lang = 'en'"
+    end = _dh_end(pages)
+    cold = _dh_rows(
+        facet_date_histogram(
+            spark, store, q, "warc_ts", DH_START, end, DH_INTERVAL, where=where
+        )
+    )
+    assert cold == _dh_oracle(spark, store, pages, q, end, where)
+    s = Searcher(spark, store)
+    try:
+        warm = _dh_rows(
+            s.facet_date_histogram(
+                q, "warc_ts", DH_START, end, DH_INTERVAL, where=where
+            )
+        )
+        assert warm == cold
+        # repeat serves from the cached (column, range) bucket map
+        assert _dh_rows(
+            s.facet_date_histogram(
+                q, "warc_ts", DH_START, end, DH_INTERVAL, where=where
+            )
+        ) == cold
+    finally:
+        s.close()
+
+
+def test_epoch_seconds_inputs(spark):
+    import datetime as dt
+
+    from tangent_spark.plans.boolean import _epoch_seconds
+
+    want = dt.datetime(2020, 1, 2, tzinfo=dt.timezone.utc).timestamp()
+    assert _epoch_seconds("2020-01-02T00:00:00") == want
+    assert _epoch_seconds(dt.datetime(2020, 1, 2)) == want
+    assert _epoch_seconds(want) == want
+    with pytest.raises(TypeError):
+        _epoch_seconds(object())
