@@ -786,7 +786,32 @@ def oracle_sql() -> dict[str, str]:
             "  max(s) + 0.3 * (sum(s) - max(s)) AS tscore FROM ps GROUP BY 1, 2), "
             "dtot AS (SELECT 'dismax' AS phase, doc_id, sum(tscore) AS score "
             "FROM dsc GROUP BY 2), "
-            "allp AS (SELECT * FROM sc UNION ALL SELECT * FROM dtot), "
+            # qp phases (Lucene classic QueryParser 'title:data spark^2
+            # index', qf title^2 body^1): the clause expansion table is
+            # exactly what field_query_topk builds — scoped title:data
+            # at boost 1 (qf not applied), bare spark^2 -> title 4 /
+            # body 2, bare index -> title 2 / body 1. 'qp' sums the
+            # expansions; 'qp_dismax' combines each bare clause's
+            # (here: each term's) expansions as max + 0.3 * rest
+            "bq(field, term, boost) AS (VALUES ('title', 'data', 1.0), "
+            "('title', 'spark', 4.0), ('body', 'spark', 2.0), "
+            "('title', 'index', 2.0), ('body', 'index', 1.0)), "
+            "qps AS (SELECT m.doc_id, m.term, "
+            "  bq.boost * ln(1.0 + (fs.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * fdl.dl / fs.avgdl)) AS s "
+            "FROM m "
+            "JOIN bq ON m.field = bq.field AND m.term = bq.term "
+            "JOIN dfs ON m.field = dfs.field AND m.term = dfs.term "
+            "JOIN fdl ON m.doc_id = fdl.doc_id AND m.field = fdl.field "
+            "JOIN fs ON m.field = fs.field), "
+            "qsum AS (SELECT 'qp' AS phase, doc_id, sum(s) AS score "
+            "FROM qps GROUP BY 2), "
+            "qdsc AS (SELECT doc_id, term, "
+            "  max(s) + 0.3 * (sum(s) - max(s)) AS tscore FROM qps GROUP BY 1, 2), "
+            "qdt AS (SELECT 'qp_dismax' AS phase, doc_id, sum(tscore) AS score "
+            "FROM qdsc GROUP BY 2), "
+            "allp AS (SELECT * FROM sc UNION ALL SELECT * FROM dtot "
+            "UNION ALL SELECT * FROM qsum UNION ALL SELECT * FROM qdt), "
             "r AS (SELECT phase, doc_id, score, row_number() OVER ("
             "PARTITION BY phase ORDER BY score DESC, doc_id ASC) AS rk FROM allp) "
             "SELECT phase, doc_id, round(score, 4)::DOUBLE AS score "

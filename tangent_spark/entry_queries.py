@@ -1658,10 +1658,19 @@ def fielded_bm25_topk(spark, sf_dir):
         DisjunctionMaxQuery / edismax's default combiner — per base
         term max over fields + tie x the rest (plans/fielded.
         dismax_topk).
+    phase 'qp' / 'qp_dismax' — the Lucene classic-QueryParser
+        field-scoped string ``title:data spark^2 index`` through
+        plans/fielded.field_query_topk with qf {title: 2, body: 1}:
+        ``title:data`` is a single boosted TermQuery (qf NOT applied
+        to scoped clauses); bare ``spark^2`` / ``index`` expand over
+        qf (title 2x, body 1x, times the ^boost); 'qp' sums the
+        expansions, 'qp_dismax' combines each bare clause's
+        expansions as max + 0.3 x rest.
 
     Oracle recomputes the per-field tf/dl/df/avgdl/docCount and the
-    boosted two-field BM25 sum (and the dismax max-plus-tie combine)
-    from the raw corpus with the identical pos<=8 field split."""
+    boosted two-field BM25 sum (and the dismax max-plus-tie combine,
+    and the qp clause expansion table) from the raw corpus with the
+    identical pos<=8 field split."""
     import shutil
     import tempfile
 
@@ -1669,6 +1678,7 @@ def fielded_bm25_topk(spark, sf_dir):
     from tangent_spark.plans.fielded import (
         build_fielded_index,
         dismax_topk,
+        field_query_topk,
         fielded_topk,
     )
 
@@ -1701,6 +1711,15 @@ def fielded_bm25_topk(spark, sf_dir):
                 else dismax_topk(
                     spark, store, SEARCH_AFTER_QUERY, 20, boosts, tie=tie
                 )
+            )
+            out += [
+                (phase, int(r["doc_id"]), round(float(r["score"]), 4))
+                for r in topk.collect()
+            ]
+        qf = {"title": 2.0, "body": 1.0}
+        for phase, tie in (("qp", None), ("qp_dismax", 0.3)):
+            topk = field_query_topk(
+                spark, store, "title:data spark^2 index", 20, qf, tie=tie
             )
             out += [
                 (phase, int(r["doc_id"]), round(float(r["score"]), 4))

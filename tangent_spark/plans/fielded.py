@@ -47,6 +47,7 @@ term spaces; build fielded indexes with build_fielded_index only.
 from __future__ import annotations
 
 import dataclasses
+import re
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -289,3 +290,143 @@ def dismax_topk(
     block bounds upper-bound the plain cross-field sum, which
     upper-bounds the dismax combination."""
     return fielded_topk(spark, store, query, k, boosts, after=after, tie=tie)
+
+
+# field-scoped clause: optional `field:` prefix, the raw chunk, an
+# optional ^boost suffix (Lucene classic QueryParser term syntax)
+_FIELD_CLAUSE = re.compile(
+    r"^(?:([A-Za-z_][A-Za-z0-9_]*):)?(.+?)(?:\^(\d+(?:\.\d+)?))?$"
+)
+
+
+def parse_field_query(
+    query: str, fields: tuple[str, ...], tokenizer: str = "porter"
+) -> list[tuple[str | None, list[str], float]]:
+    """Lucene classic-QueryParser field-scoped term syntax:
+    ``title:spark body:proof^2 data`` -> one clause per whitespace
+    token, each (field | None, analyzed tokens, boost). A ``field:``
+    prefix names a KNOWN index field (unknown prefixes stay part of
+    the term text, Lucene's behaviour for e.g. ``http://...``); the
+    chunk is then analyzed with the index tokenizer (a chunk may
+    yield several tokens — sorted distinct, the query_terms
+    discipline: in-chunk query tf is ignored — all stay under the
+    clause's field and boost); ``^N`` scales the clause. Bare clauses (field None) are
+    the caller's to expand over its qf defaults. Scoring-only surface:
+    +must/-not routing belongs to the boolean engine's catch-all
+    index (documented divergence)."""
+    from tangent_spark.plans.search import query_terms
+
+    out: list[tuple[str | None, list[str], float]] = []
+    for raw in query.split():
+        m = _FIELD_CLAUSE.match(raw)
+        if not m:
+            continue
+        field, chunk, boost_s = m.groups()
+        if field is not None and field not in fields:
+            chunk = f"{field}:{chunk}"  # not a field — keep the text
+            field = None
+        toks = query_terms(chunk, tokenizer)
+        if toks:
+            out.append((field, toks, float(boost_s) if boost_s else 1.0))
+    return out
+
+
+def field_query_topk(
+    spark: SparkSession,
+    store: IndexStore,
+    query: str,
+    k: int,
+    qf: dict[str, float],
+    tie: float | None = None,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Top-k BM25 for a field-scoped query string (Lucene classic
+    QueryParser / edismax qf): ``title:spark body:proof^2 data``.
+    Field-scoped clauses score as single boosted TermQueries against
+    their field; bare clauses expand over the ``qf`` defaults — as a
+    boosted per-field SUM when ``tie`` is None, as a
+    DisjunctionMaxQuery (max + tie * rest, see dismax_topk) otherwise.
+    Duplicate (field, term) clauses merge by summing boosts (BM25 is
+    linear in boost * idf, so one merged posting row scores exactly
+    like Lucene's two TermQueries while decoding each block once).
+
+    Plan shape matches fielded_topk: the explicit clause table (a few
+    rows) joins term_stats + field_stats JVM-side for boosted idf /
+    per-field avgdl / dismax group, broadcasts into the pruned
+    postings scan, ONE single-stage kernel job."""
+    from tangent_spark.plans.search import _WAND_SCHEMA, _score_shard, load_deleted_ids
+
+    cfg = store.get_config()
+    unknown = set(qf) - set(cfg.fields)
+    if unknown:
+        raise ValueError(f"unknown fields {sorted(unknown)}; index has {cfg.fields}")
+    if tie is not None and not (0.0 <= tie <= 1.0):
+        raise ValueError(f"tie must be in [0, 1], got {tie}")
+    clauses = parse_field_query(query, cfg.fields, cfg.tokenizer)
+    if not clauses or not qf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if any(b <= 0 for b in qf.values()) or any(b <= 0 for _, _, b in clauses):
+        # negative boosts would break the block-max upper bound (sum
+        # path) and the zero-initialized group max (dismax path) alike
+        raise ValueError("field query boosts must be strictly positive")
+
+    # expand to (prefixed term, boost, group); group = clause ordinal
+    # so a bare term's per-field expansions dismax together while
+    # field-scoped clauses are singleton groups (max == the score)
+    rows: dict[tuple[str, int], float] = {}
+    for gid, (field, toks, boost) in enumerate(clauses):
+        targets = [(field, boost)] if field else [
+            (f, boost * qb) for f, qb in qf.items()
+        ]
+        for f, b in targets:
+            for t in toks:
+                key = (f"{f}{FIELD_SEP}{t}", gid)
+                rows[key] = rows.get(key, 0.0) + b
+    cdf = spark.createDataFrame(
+        sorted((t, g, b) for (t, g), b in rows.items()),
+        "term string, dmax long, boost double",
+    )
+    stats_cols = [
+        "term",
+        (
+            F.col("boost")
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            )
+        ).alias("idf"),
+        "avgdl",
+    ] + ([F.col("dmax")] if tie is not None else [])
+    qstats = (
+        spark.read.parquet(store.path("term_stats"))
+        .join(F.broadcast(cdf), "term")
+        .withColumn("field", F.substring_index("term", FIELD_SEP, 1))
+        .join(F.broadcast(spark.read.parquet(store.path("field_stats"))), "field")
+        .select(*stats_cols)
+    )
+    kern = _score_shard(
+        1.0,  # unused: every row carries its field's avgdl
+        cfg,
+        k,
+        deleted=load_deleted_ids(spark, store),
+        after=(float(after[0]), int(after[1])) if after is not None else None,
+        dismax_tie=float(tie) if tie is not None else None,
+    )
+
+    def apply_kern(pdf):
+        return kern(pdf)
+
+    prefixed = sorted({t for t, _ in rows})
+    local = (
+        spark.read.parquet(store.path("postings"))
+        .filter(F.col("term").isin(prefixed))
+        .join(F.broadcast(qstats), "term")
+        .groupBy("shard")
+        .applyInPandas(apply_kern, schema=_WAND_SCHEMA)
+    )
+    return (
+        local.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -351,3 +351,159 @@ def test_dismax_validates_inputs(spark, fielded_store):
         dismax_topk(spark, fielded_store, "matrix", 5, BOOSTS, tie=1.5)
     with pytest.raises(ValueError, match="positive"):
         dismax_topk(spark, fielded_store, "matrix", 5, {"title": -1.0}, tie=0.0)
+
+
+# ---- field-scoped query syntax (Lucene classic QueryParser) -------------
+
+def test_parse_field_query_shapes():
+    from tangent_spark.plans.fielded import parse_field_query
+
+    fields = ("title", "body")
+    got = parse_field_query("title:Matrix body:proofs^2 data", fields)
+    assert got == [
+        ("title", ["matrix"], 1.0),
+        ("body", ["proof"], 2.0),
+        (None, ["data"], 1.0),
+    ]
+    # unknown prefix stays term text (Lucene: 'http://x' is a term);
+    # tokens come back sorted-distinct (query_terms discipline)
+    assert parse_field_query("http://example", fields, "simple") == [
+        (None, ["example", "http"], 1.0)
+    ]
+    # a chunk may analyze to several tokens — all keep field + boost
+    assert parse_field_query("title:data-base^3", fields, "simple") == [
+        ("title", ["base", "data"], 3.0)
+    ]
+    assert parse_field_query("", fields) == []
+    assert parse_field_query("!!! ???", fields) == []
+
+
+def _term_query_scores(local, field, token, boost, tokenizer, k1=1.2, b=0.75):
+    """Per-doc BM25 of ONE analyzed token against one field (Lucene
+    TermQuery) — token matched verbatim against the analyzed corpus."""
+    tfs: dict[int, int] = {}
+    dls: dict[int, int] = {}
+    for doc_id, fields in local:
+        toks = _tok(fields.get(field, ""), tokenizer)
+        if not toks:
+            continue
+        dls[doc_id] = len(toks)
+        n = sum(1 for x in toks if x == token)
+        if n:
+            tfs[doc_id] = n
+    if not tfs:
+        return []
+    n_f = len(dls)
+    avgdl = sum(dls.values()) / n_f
+    df = len(tfs)
+    idf = math.log(1.0 + (n_f - df + 0.5) / (df + 0.5))
+    return [
+        (
+            d,
+            boost * idf * tf * (k1 + 1.0)
+            / (tf + k1 * (1.0 - b + b * dls[d] / avgdl)),
+        )
+        for d, tf in tfs.items()
+    ]
+
+
+def field_query_rank(local, query, qf, tie, k, tokenizer="porter"):
+    """Pure-Python oracle: expand field-scoped + bare clauses exactly
+    as field_query_topk documents, score per clause via the per-field
+    BM25 of fielded_rank's formula, combine (sum | dismax) per clause,
+    sum across clauses."""
+    from tangent_spark.plans.fielded import parse_field_query
+
+    clauses = parse_field_query(query, ("title", "body"), tokenizer)
+    scores: dict[int, float] = {}
+    for field, toks, boost in clauses:
+        targets = [(field, boost)] if field else [
+            (f, boost * qb) for f, qb in qf.items()
+        ]
+        for t in toks:
+            per_doc: dict[int, list[float]] = {}
+            for f, b in targets:
+                # exact-token TermQuery scores (no re-analysis: t is
+                # already an analyzed token, matched verbatim like the
+                # engine's f:t postings lookup)
+                for doc_id, s in _term_query_scores(local, f, t, b, tokenizer):
+                    per_doc.setdefault(doc_id, []).append(s)
+            for doc_id, parts in per_doc.items():
+                if tie is None:
+                    add = sum(parts)
+                else:
+                    mx = max(parts)
+                    add = mx + tie * (sum(parts) - mx)
+                scores[doc_id] = scores.get(doc_id, 0.0) + add
+    return sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+QP_QUERIES = [
+    "title:matrix proof",
+    "title:matrix body:theorem^2 convergence",
+    "spark shuffle^2",
+    "body:the title:of",
+]
+
+
+@pytest.mark.parametrize("query", QP_QUERIES)
+@pytest.mark.parametrize("tie", [None, 0.25])
+def test_field_query_rank_identity(spark, fielded_store, fielded_corpus, query, tie):
+    from tangent_spark.plans.fielded import field_query_topk
+
+    _, local = fielded_corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in field_query_topk(
+            spark, fielded_store, query, 15, BOOSTS, tie=tie
+        ).collect()
+    ]
+    assert_rank_identical(got, field_query_rank(local, query, BOOSTS, tie, 15))
+
+
+def test_field_query_all_bare_matches_fielded(spark, fielded_store):
+    """A query with no field prefixes and tie=None is exactly the qf
+    boolean-sum — must equal fielded_topk."""
+    from tangent_spark.plans.fielded import field_query_topk
+
+    q = "matrix theorem proof"
+    want = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in fielded_topk(spark, fielded_store, q, 15, BOOSTS).collect()
+    ]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in field_query_topk(spark, fielded_store, q, 15, BOOSTS).collect()
+    ]
+    assert got == want
+
+
+def test_field_query_duplicate_clause_merges_boosts(spark, fielded_store, fielded_corpus):
+    """'title:matrix title:matrix' must score like one clause at
+    boost 2 (Lucene sums the two TermQueries; BM25 is linear in
+    boost * idf)."""
+    from tangent_spark.plans.fielded import field_query_topk
+
+    twice = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in field_query_topk(
+            spark, fielded_store, "title:matrix title:matrix", 10, BOOSTS
+        ).collect()
+    ]
+    boosted = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in field_query_topk(
+            spark, fielded_store, "title:matrix^2", 10, BOOSTS
+        ).collect()
+    ]
+    assert twice == boosted
+
+
+def test_field_query_validates(spark, fielded_store):
+    from tangent_spark.plans.fielded import field_query_topk
+
+    with pytest.raises(ValueError, match="unknown fields"):
+        field_query_topk(spark, fielded_store, "matrix", 5, {"headline": 1.0})
+    with pytest.raises(ValueError, match="positive"):
+        field_query_topk(spark, fielded_store, "matrix^0", 5, BOOSTS)
+    assert field_query_topk(spark, fielded_store, "", 5, BOOSTS).count() == 0
