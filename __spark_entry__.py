@@ -235,9 +235,18 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY m.doc_id), "
             "sho AS (SELECT 'should' AS phase, doc_id, score FROM bms "
             "WHERE NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'join') "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20), "
+            # kw phase: 'data AND query NOT join' (Lucene keyword
+            # operators) == '+data +query -join' — same positive terms
+            # as 'should', restricted to docs containing BOTH
+            "kw AS (SELECT 'kw' AS phase, doc_id, score FROM bms "
+            "WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'data') "
+            "AND EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'query') "
+            "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'join') "
             "ORDER BY score DESC, doc_id ASC LIMIT 20) "
             "SELECT phase, doc_id, score FROM conj "
-            "UNION ALL SELECT phase, doc_id, score FROM sho"
+            "UNION ALL SELECT phase, doc_id, score FROM sho "
+            "UNION ALL SELECT phase, doc_id, score FROM kw"
         ),
         "snippet_windows": (
             "WITH pos0 AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, "

@@ -299,8 +299,12 @@ def boolean_bm25_topk(spark, sf_dir):
         restricted to it;
     phase 'should' — `data query -join`: no must seed — the should-only
         path (round-5: block-max threshold pruning applies here).
+    phase 'kw'     — `data AND query NOT join`: the Lucene classic
+        QueryParser keyword-operator surface (== `+data +query -join`,
+        see plans/boolean._apply_keyword_ops) through the same
+        conjunction kernel.
 
-    Oracle recomputes both with plain set algebra + BM25 SQL. Lucene
+    Oracle recomputes all three with plain set algebra + BM25 SQL. Lucene
     semantics: BM25 over positive terms, restricted to docs containing
     every must term, minus docs with any must-not term; ties doc_id
     asc."""
@@ -313,7 +317,11 @@ def boolean_bm25_topk(spark, sf_dir):
     try:
         store = _simple_store(spark, sf_dir, base)
         out = []
-        for phase, q in (("conj", BOOL_CONJ_QUERY), ("should", BOOL_SHOULD_QUERY)):
+        for phase, q in (
+            ("conj", BOOL_CONJ_QUERY),
+            ("should", BOOL_SHOULD_QUERY),
+            ("kw", "data AND query NOT join"),
+        ):
             out += [
                 (phase, int(r["doc_id"]), round(float(r["score"]), 4))
                 for r in boolean_topk(spark, store, q, 20).collect()

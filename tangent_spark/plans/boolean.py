@@ -80,10 +80,70 @@ from tangent_spark.sources.store import IndexStore
 # edge cases). Suffix order follows Lucene: slop then boost
 # ('"a b"~2^1.5').
 _CLAUSE = re.compile(
-    r'([+-]?)("([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?(?!\S)|\S+)'
+    r'([+\-!]?)("([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?(?!\S)|\S+)'
 )
 _DANGLING_SLOP = re.compile(r"^~(\d+)$")
 _DANGLING_BOOST = re.compile(r"^\^(\d+(?:\.\d+)?)$")
+
+# Lucene classic QueryParser keyword operators — UPPERCASE only, the
+# Lucene rule (lowercase 'and'/'or'/'not' stay ordinary search terms)
+_KEYWORD_OPS = {"AND": "and", "&&": "and", "OR": "or", "||": "or",
+                "NOT": "not", "!": "not"}
+
+
+def _apply_keyword_ops(toks):
+    """Resolve Lucene classic-QueryParser keyword operators (AND / &&,
+    OR / ||, NOT, and a lone '!') over the _CLAUSE token stream into
+    effective +/- clause modifiers, matching Lucene's documented
+    pairwise behaviour:
+
+      * a clause is MUST when the operator immediately before OR after
+        it is AND  ('a AND b OR c' -> '+a +b c'; 'a OR b AND c' ->
+        'a +b +c');
+      * NOT prohibits the next clause and wins over AND
+        ('a AND NOT b' -> '+a -b');
+      * OR is the default operator (clauses stay SHOULD); it clears a
+        pending AND but never demotes an explicit '+';
+      * explicit +/-/! modifiers on a clause always win;
+      * a dangling operator with no clause to bind to is dropped
+        (Lucene throws ParseException; this parser degrades, its
+        discipline for every malformed input);
+      * detached ~N / ^B repair tokens are transparent: they neither
+        consume a pending operator nor count as its operand.
+    """
+    items = []  # ('and'|'or'|'not'|'clause', token)
+    for tk in toks:
+        mod, raw = tk[0], tk[1]
+        op = _KEYWORD_OPS.get(raw) if not mod else None
+        items.append((op or "clause", tk))
+    out = []
+    pending_not = False
+    pending_and = False
+    last_clause = -1  # index into `out` of the previous real clause
+    for kind, tk in items:
+        if kind == "and":
+            pending_and = True
+            if last_clause >= 0 and out[last_clause][0] == "":
+                out[last_clause] = ("+",) + out[last_clause][1:]
+            continue
+        if kind == "or":
+            pending_and = False
+            continue
+        if kind == "not":
+            pending_not = True
+            continue
+        mod, raw = tk[0], tk[1]
+        if not mod and (_DANGLING_SLOP.match(raw) or _DANGLING_BOOST.match(raw)):
+            out.append(tk)  # phrase-suffix repair token: transparent
+            continue
+        if mod == "!":  # Lucene '!term' == NOT term == '-term'
+            mod = "-"
+        elif not mod:
+            mod = "-" if pending_not else ("+" if pending_and else "")
+        pending_not = pending_and = False
+        out.append((mod,) + tk[1:])
+        last_clause = len(out) - 1
+    return out
 
 _OUT_SCHEMA = "doc_id long, score double"
 _MAXDOC = np.int64(2**62)
@@ -111,7 +171,11 @@ class BooleanQuery:
 def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     """Parse the +/-/"" surface; each clause is run through the index's
     tokenizer so query terms hit the same stemmed vocabulary the index
-    stores. A quoted single word degrades to a plain must/not/should
+    stores. Lucene classic-QueryParser keyword operators are ALSO
+    accepted and resolve to the same modifiers first (`a AND b NOT c`
+    == `+a +b -c`, `a OR b` == `a b`, `!term` == `-term`; uppercase
+    only — lowercase 'and'/'or'/'not' remain search terms; see
+    _apply_keyword_ops for the pairwise rules). A quoted single word degrades to a plain must/not/should
     term; a multi-word unquoted clause (tokenizer split, e.g. 'a-b')
     contributes each token to the same bucket. An UNBALANCED quote
     (`he said "hello`) falls back to plain-term treatment of the
@@ -151,7 +215,9 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
 
     out = BooleanQuery()
     last_phrase = None  # (bucket, index) of the most recent phrase clause
-    for mod, raw, quoted, slop_s, boost_s in _CLAUSE.findall(query):
+    for mod, raw, quoted, slop_s, boost_s in _apply_keyword_ops(
+        _CLAUSE.findall(query)
+    ):
         dangle = _DANGLING_SLOP.match(raw)
         if dangle and not mod:
             if last_phrase is not None:

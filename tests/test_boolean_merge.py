@@ -976,3 +976,86 @@ def test_warm_highlights_match_cold_render(spark, store, corpus):
     finally:
         s.close()
     assert warm == cold and len(warm) == 5
+
+
+# --- Lucene classic QueryParser keyword operators (AND/OR/NOT/&&/||/!) -------
+
+def test_parse_keyword_operators():
+    """Pairwise Lucene classic-QueryParser semantics: a clause is MUST
+    when an adjacent operator is AND; NOT prohibits the next clause and
+    wins over AND; OR is the default (and clears a pending AND);
+    lowercase keywords stay ordinary terms."""
+    cfg = IndexConfig(tokenizer="simple")
+
+    def shape(q):
+        bq = parse_boolean_query(q, cfg)
+        return (bq.should, bq.must, bq.must_not)
+
+    assert shape("a AND b OR c") == (["c"], ["a", "b"], [])       # Lucene: +a +b c
+    assert shape("a OR b AND c") == (["a"], ["b", "c"], [])       # Lucene: a +b +c
+    assert shape("a AND NOT b") == ([], ["a"], ["b"])             # NOT wins over AND
+    assert shape("NOT a AND b") == ([], ["b"], ["a"])
+    assert shape("a NOT b") == (["a"], [], ["b"])
+    assert shape("!a b") == (["b"], [], ["a"])                    # !term == -term
+    assert shape("a && b || c") == (["c"], ["a", "b"], [])
+    assert shape("a and b or c") == (["a", "and", "b", "or", "c"], [], [])
+    assert shape("+a AND -b") == ([], ["a"], ["b"])               # explicit mods win
+    # dangling operators degrade instead of raising (parser discipline)
+    assert shape("AND a") == ([], ["a"], [])
+    assert shape("a AND") == ([], ["a"], [])
+    assert shape("NOT") == ([], [], [])
+    assert shape("OR OR") == ([], [], [])
+
+
+def test_parse_keyword_operators_with_phrases():
+    cfg = IndexConfig(tokenizer="simple")
+    q = parse_boolean_query('"x y" AND z', cfg)
+    assert q.phrases == [(["x", "y"], 0)] and q.must == ["z"]
+    q = parse_boolean_query('a OR NOT "x y"', cfg)
+    assert q.should == ["a"] and q.not_phrases == [(["x", "y"], 0)]
+    q = parse_boolean_query('!"x y" a', cfg)
+    assert q.not_phrases == [(["x", "y"], 0)] and q.should == ["a"]
+    # detached ~N repair token stays transparent to a pending AND
+    q = parse_boolean_query('"a b" ~2 AND c', cfg)
+    assert q.phrases == [(["a", "b"], 2)] and q.must == ["c"]
+
+
+KEYWORD_EQUIV = [
+    ("matrix AND theorem NOT slow", "+matrix +theorem -slow"),
+    ("matrix OR theorem", "matrix theorem"),
+    ("matrix AND NOT theorem", "+matrix -theorem"),
+    ("!slow matrix", "-slow matrix"),
+    ("matrix && convergence || theorem", "+matrix +convergence theorem"),
+]
+
+
+@pytest.mark.parametrize("kw_query,plain_query", KEYWORD_EQUIV)
+def test_keyword_query_rank_identical_to_plain(spark, store, kw_query, plain_query):
+    """A keyword-operator query must produce EXACTLY the ranking of its
+    +/- twin through the full engine (same kernel, same scores)."""
+    kw = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in boolean_topk(spark, store, kw_query, 10).collect()
+    ]
+    plain = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in boolean_topk(spark, store, plain_query, 10).collect()
+    ]
+    assert kw == plain and kw
+
+
+def test_keyword_query_warm_matches_cold(spark, store):
+    q = "matrix AND convergence NOT slow"
+    cold = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in boolean_topk(spark, store, q, 10).collect()
+    ]
+    s = Searcher(spark, store)
+    try:
+        warm = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in s.boolean(q, 10).collect()
+        ]
+    finally:
+        s.close()
+    assert warm == cold and warm
