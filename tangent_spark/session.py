@@ -56,6 +56,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # 32m scan splits (default 128m): the build's parse/tokenize
+        # stages are CPU-bound pandas UDFs, so scans need enough splits
+        # to feed every core and absorb stragglers WITHOUT the
+        # round-robin repartition fallback (a full shuffle of the text
+        # corpus — see functions/util.ensure_parallelism). At cluster
+        # scale this is the standard parse-stage tuning; row-group
+        # bounds still apply.
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
