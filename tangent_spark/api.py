@@ -118,7 +118,13 @@ def search(
     the word index's IndexConfig.meta_cols) restricts text routes to
     matching documents — Lucene filter semantics, see
     plans.boolean.filtered_topk; the formula route does not support it
-    (the formula store's expression index has no doc metadata).
+    (the formula store's expression index has no doc metadata). Range
+    clauses may also ride the QUERY STRING in Lucene/Solr syntax —
+    `spark warc_ts:[2025-01 TO 2025-06]`, `{..}` exclusive, `*` open
+    ends, `-field:[..]` negated, `field:[* TO *]` exists — they strip
+    from the scoring query and AND into `where`
+    (plans.boolean.parse_range_clauses); a pure-range query serves as
+    `*:*` match-all + filter.
 
     Round-5 result-shaping options (plain-BM25 route only — each maps
     to its Solr/Lucene counterpart and raises on routes that do not
@@ -227,6 +233,20 @@ def search(
         return phrase_prefix_topk(
             spark, stores.words, query, k, max_expansions=max_expansions
         )
+    # Lucene/Solr range clauses over the index's metadata fields
+    # (`warc_ts:[a TO b]`, `{..}` exclusive, `*` open ends, `-` negates)
+    # compile to the filtered route's SQL predicate and leave the
+    # scoring query to route normally; a pure-filter query (nothing
+    # left after stripping) is Solr `q=*:* fq=range`. Clauses on
+    # unknown fields stay query text (the parser-wide Lucene degrade).
+    from tangent_spark.plans.boolean import parse_range_clauses
+
+    _rng_rest, _rng_where = parse_range_clauses(
+        query, stores.words.get_config().meta_cols
+    )
+    if _rng_where is not None:
+        query = _rng_rest or "*:*"
+        where = _rng_where if where is None else f"({where}) AND ({_rng_where})"
     kind = route(query)
     if unordered_phrases and kind != "boolean":
         # phrases only exist on the boolean route; raise instead of

@@ -168,6 +168,72 @@ class BooleanQuery:
         )
 
 
+# Lucene/Solr range clause on a metadata field: field:[lo TO hi]
+# (inclusive), {lo TO hi} (exclusive), mixed brackets, `*` open ends,
+# values optionally double-quoted (timestamps with spaces). TO must be
+# uppercase (the Lucene rule).
+_RANGE_CLAUSE = re.compile(
+    r'(?:(?<=\s)|^)([+-]?)([A-Za-z_][A-Za-z0-9_]*):'
+    r'([\[{])\s*("[^"]*"|[^\s\]}]+)\s+TO\s+("[^"]*"|[^\s\]}]+)\s*([\]}])'
+    r"(?=\s|$)"
+)
+
+
+def parse_range_clauses(
+    query: str, fields: tuple[str, ...]
+) -> tuple[str, str | None]:
+    """Extract Lucene/Solr range clauses over KNOWN metadata fields
+    from a query string and compile them to ONE SQL predicate for the
+    filtered route (Solr fq semantics: a filter restricts the match
+    set, never changes a surviving doc's score — filtered_topk's
+    contract). Returns (query with range clauses stripped, predicate
+    or None).
+
+      warc_ts:[2025-01-01 TO 2025-02-01]   -> warc_ts >= '..' AND <= '..'
+      size:{100 TO *}                      -> size > '100'
+      lang:[* TO *]                        -> lang IS NOT NULL
+      -lang:[a TO b]                       -> lang IS NULL OR NOT (...)
+
+    Lucene NULL semantics are preserved through SQL three-valued
+    logic: a positive range never matches a NULL field (SQL comparison
+    yields NULL -> filtered), and a NEGATED range keeps docs missing
+    the field (explicit IS NULL arm). A clause whose field is not in
+    `fields` is left in the query text untouched (it tokenizes like
+    any other term — the Lucene degrade used everywhere in this
+    parser). String literals compare correctly for ISO timestamps and
+    zero-padded numerics; numeric columns coerce the literal (Spark
+    and DuckDB both cast the string side)."""
+    conds: list[str] = []
+
+    def _lit(v: str) -> str | None:
+        if v == "*":
+            return None
+        if len(v) >= 2 and v.startswith('"') and v.endswith('"'):
+            v = v[1:-1]
+        return "'" + v.replace("'", "''") + "'"
+
+    def repl(m: re.Match) -> str:
+        mod, fld, lb, lo, hi, rb = m.groups()
+        if fld not in fields:
+            return m.group(0)
+        parts = []
+        llo, lhi = _lit(lo), _lit(hi)
+        if llo is not None:
+            parts.append(f"{fld} >{'=' if lb == '[' else ''} {llo}")
+        if lhi is not None:
+            parts.append(f"{fld} <{'=' if rb == ']' else ''} {lhi}")
+        cond = " AND ".join(parts) if parts else f"{fld} IS NOT NULL"
+        if mod == "-":
+            cond = f"({fld} IS NULL OR NOT ({cond}))"
+        elif len(parts) > 1:
+            cond = f"({cond})"
+        conds.append(cond)
+        return " "
+
+    rest = _RANGE_CLAUSE.sub(repl, query)
+    return " ".join(rest.split()), (" AND ".join(conds) if conds else None)
+
+
 def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
     """Parse the +/-/"" surface; each clause is run through the index's
     tokenizer so query terms hit the same stemmed vocabulary the index

@@ -324,3 +324,67 @@ def test_facet_counts_with_mm(spark, store):
         assert s.facets(Q, "lang", min_should_match=9).count() == 0
     finally:
         s.close()
+
+
+# --- Lucene/Solr range clauses in the query string (field:[a TO b]) ---------
+
+def test_parse_range_clauses_shapes():
+    from tangent_spark.plans.boolean import parse_range_clauses
+
+    F_ = ("lang", "warc_ts")
+    rest, w = parse_range_clauses("spark warc_ts:[2025-01 TO 2025-06]", F_)
+    assert rest == "spark"
+    assert w == "(warc_ts >= '2025-01' AND warc_ts <= '2025-06')"
+    # exclusive / open / exists / quoted / negated
+    assert parse_range_clauses("lang:{aa TO en} x", F_)[1] == \
+        "(lang > 'aa' AND lang < 'en')"
+    assert parse_range_clauses("lang:[en TO *] x", F_)[1] == "lang >= 'en'"
+    assert parse_range_clauses("lang:[* TO *]", F_) == ("", "lang IS NOT NULL")
+    assert parse_range_clauses(
+        'warc_ts:["2025-01-01 00:00:00" TO *] x', F_
+    )[1] == "warc_ts >= '2025-01-01 00:00:00'"
+    assert parse_range_clauses("-lang:[aa TO en] x", F_)[1] == \
+        "(lang IS NULL OR NOT (lang >= 'aa' AND lang <= 'en'))"
+    # unknown field / malformed / lowercase `to` stay query text
+    assert parse_range_clauses("size:[1 TO 5] x", F_) == ("size:[1 TO 5] x", None)
+    assert parse_range_clauses("lang:[a TO b", F_) == ("lang:[a TO b", None)
+    assert parse_range_clauses("lang:[a to b] x", F_) == ("lang:[a to b] x", None)
+    # literal single quotes are escaped into the SQL string
+    assert parse_range_clauses("lang:[a'b TO c] x", F_)[1] == \
+        "(lang >= 'a''b' AND lang <= 'c')"
+
+
+def test_api_range_clause_equals_where_twin(spark, store):
+    from tangent_spark.api import search
+
+    want = _rows(search(spark, store, Q, k=10, where="lang >= 'de' AND lang <= 'fr'"))
+    got = _rows(search(spark, store, f"{Q} lang:[de TO fr]", k=10))
+    assert got == want and got
+
+
+def test_api_pure_range_is_match_all_filtered(spark, store):
+    from tangent_spark.api import search
+
+    want = _rows(search(spark, store, "*:*", k=15, where="lang >= 'en'"))
+    got = _rows(search(spark, store, "lang:[en TO *]", k=15))
+    assert got == want and got
+
+
+def test_api_range_composes_with_where(spark, store):
+    from tangent_spark.api import search
+
+    want = _rows(
+        search(spark, store, Q, k=10, where="(lang >= 'de') AND (lang <= 'fr')")
+    )
+    got = _rows(search(spark, store, f"{Q} lang:[* TO fr]", k=10, where="lang >= 'de'"))
+    assert got == want and got
+
+
+def test_api_range_unknown_field_degrades_to_terms(spark, store):
+    """A range clause on a non-metadata field stays query text: it
+    tokenizes into plain should-terms and must not raise."""
+    from tangent_spark.api import search
+
+    got = _rows(search(spark, store, f"{Q} size:[1 TO 5]", k=10))
+    # '1'/'5'/'size'/'to' become extra should terms; top-k still serves
+    assert got
