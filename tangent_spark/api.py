@@ -95,6 +95,7 @@ def search(
     group_by: str | None = None,
     group_limit: int = 1,
     boosts: dict[str, float] | None = None,
+    tie: float | None = None,
     synonyms: dict[str, list[str]] | None = None,
     sort_by: str | None = None,
     sort_ascending: bool = False,
@@ -138,7 +139,13 @@ def search(
         (doc_id, score) shape.
       * boosts={field: weight} — fielded search over a
         plans.fielded.build_fielded_index store (Solr title:q^2
-        OR body:q); combinable with `after`.
+        OR body:q); combinable with `after`. The query may scope
+        clauses to fields with Lucene classic-QueryParser syntax
+        (`title:spark body:proof^2 data` — scoped clauses are single
+        boosted TermQueries, bare clauses expand over boosts as qf);
+        `tie` switches the bare-clause combiner to Solr edismax's
+        DisjunctionMaxQuery (max + tie x rest) —
+        plans.fielded.field_query_topk.
       * synonyms={token: [expansion, ...]} — query-time synonym
         expansion (Lucene SynonymQuery: group max-df idf, per-doc tf
         sum); combinable with `after`.
@@ -214,6 +221,7 @@ def search(
                 ("after", after is not None),
                 ("group_by", group_by is not None),
                 ("boosts", boosts is not None),
+                ("tie", tie is not None),
                 ("synonyms", synonyms is not None),
                 ("sort_by", sort_by is not None),
                 ("recency_boost", recency_boost is not None),
@@ -262,6 +270,9 @@ def search(
             f"min_should_match only supported on the bm25/boolean "
             f"routes (query routed to {kind!r})"
         )
+    if tie is not None and boosts is None:
+        # checked early so no other shaping branch can silently drop it
+        raise ValueError("tie (edismax dismax combiner) requires fielded boosts")
     if vector is not None:
         # hybrid lexical+vector retrieval (ES 8.8 `rrf` retriever):
         # block-max-WAND BM25 leg + IVF ANN leg for `vector`, fused by
@@ -549,6 +560,22 @@ def search(
         if group_by is not None or synonyms is not None:
             raise ValueError(
                 "group_by/synonyms are not supported with fielded boosts"
+            )
+        cfg = stores.words.get_config()
+        fielded_fields = getattr(cfg, "fields", None) or ()
+        has_field_prefix = any(
+            re.search(rf"(?:^|\s){f}:", query) for f in fielded_fields
+        )
+        if tie is not None or has_field_prefix:
+            # Lucene classic-QueryParser field scoping and/or the Solr
+            # edismax tie combiner: `title:spark body:proof^2 data`
+            # with qf=boosts — scoped clauses are single boosted
+            # TermQueries, bare clauses expand over qf (summed, or
+            # DisjunctionMaxQuery max + tie x rest when tie is set)
+            from tangent_spark.plans.fielded import field_query_topk
+
+            return field_query_topk(
+                spark, stores.words, query, k, boosts, tie=tie, after=after
             )
         from tangent_spark.plans.fielded import fielded_topk
 

@@ -173,6 +173,24 @@ def test_search_fielded_route(spark, stores, tmp_path):
     assert got == want and got
     page2 = search(spark, fstore, q, 2, boosts=boosts, after=(got[1][1], got[1][0])).collect()
     assert [tuple(r) for r in page2] == got[2:4]
+    # field-scoped query syntax and/or tie route to field_query_topk
+    from tangent_spark.plans.fielded import field_query_topk
+
+    fq = "title:matrix theorem^2"
+    got_fq = [tuple(r) for r in search(spark, fstore, fq, 5, boosts=boosts).collect()]
+    want_fq = [tuple(r) for r in field_query_topk(spark, fstore, fq, 5, boosts).collect()]
+    assert got_fq == want_fq and got_fq
+    got_tie = [
+        tuple(r)
+        for r in search(spark, fstore, q, 5, boosts=boosts, tie=0.3).collect()
+    ]
+    want_tie = [
+        tuple(r)
+        for r in field_query_topk(spark, fstore, q, 5, boosts, tie=0.3).collect()
+    ]
+    assert got_tie == want_tie and got_tie
+    with pytest.raises(ValueError, match="tie .* requires fielded boosts"):
+        search(spark, fstore, q, 5, tie=0.3)
 
 
 def test_search_shaping_rejected_off_bm25_route(spark, stores):
