@@ -42,13 +42,30 @@ def _busy(n: int) -> int:
 
 def cpu_ceiling(levels) -> dict[int, float]:
     """Wall seconds for `level` workers each doing identical fixed work;
-    perfect hardware => constant across levels."""
+    perfect hardware => constant across levels. Each level's probe is
+    PINNED to cpus 0..level-1 (same discipline as SCALING_PIN engine
+    runs) and measured best-of-2 — an unpinned one-shot probe landing
+    in a steal storm once produced a nonsense 5.9x 'ceiling' that made
+    the engine look superlinear relative to the machine."""
     out = {}
+    try:
+        base_aff = os.sched_getaffinity(0)
+    except AttributeError:  # non-Linux fallback: unpinned probe
+        base_aff = None
     for w in levels:
-        t0 = time.time()
-        with mp.Pool(w) as p:
-            p.map(_busy, [40_000_000] * w)
-        out[w] = time.time() - t0
+        trials = []
+        for _ in range(2):
+            if base_aff is not None:
+                os.sched_setaffinity(0, set(range(w)))
+            try:
+                t0 = time.time()
+                with mp.Pool(w) as p:
+                    p.map(_busy, [40_000_000] * w)
+                trials.append(time.time() - t0)
+            finally:
+                if base_aff is not None:
+                    os.sched_setaffinity(0, base_aff)
+        out[w] = min(trials)
     return out
 
 
