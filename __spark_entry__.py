@@ -243,10 +243,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'data') "
             "AND EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'query') "
             "AND NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = bms.doc_id AND tf.term = 'join') "
+            "ORDER BY score DESC, doc_id ASC LIMIT 20), "
+            # filter phase: 'data #spark -join' (Occur.FILTER / ES
+            # bool.filter) — membership = docs with spark minus docs
+            # with join; score = BM25 of 'data' ALONE (0 if absent)
+            "m1 AS (SELECT * FROM tf WHERE term = 'data'), "
+            "df1 AS (SELECT count(*)::DOUBLE AS df FROM m1), "
+            "bm1 AS (SELECT m.doc_id, round("
+            "  ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) "
+            "  * m.tf * 2.2 / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))"
+            ", 4)::DOUBLE AS score "
+            "FROM m1 m CROSS JOIN df1 d JOIN dl USING (doc_id) CROSS JOIN stats s), "
+            "fdocs AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'), "
+            "flt AS (SELECT 'filter' AS phase, f.doc_id, "
+            "coalesce(b.score, 0.0) AS score "
+            "FROM fdocs f LEFT JOIN bm1 b USING (doc_id) "
+            "WHERE NOT EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = f.doc_id AND tf.term = 'join') "
             "ORDER BY score DESC, doc_id ASC LIMIT 20) "
             "SELECT phase, doc_id, score FROM conj "
             "UNION ALL SELECT phase, doc_id, score FROM sho "
-            "UNION ALL SELECT phase, doc_id, score FROM kw"
+            "UNION ALL SELECT phase, doc_id, score FROM kw "
+            "UNION ALL SELECT phase, doc_id, score FROM flt"
         ),
         "snippet_windows": (
             "WITH pos0 AS (SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos, "

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from tangent_spark.sources.store import IndexStore
 
 _MATH = re.compile(r"<math|<mws:qvar", re.IGNORECASE)
-_BOOL = re.compile(r'(^|\s)[+-]\S|"')
+_BOOL = re.compile(r'(^|\s)[+\-#!]\S|"|(^|\s)(AND|OR|NOT|&&|\|\|)(\s|$)')
 _MATH_BLOCK = re.compile(r"<math.*?</math>", re.IGNORECASE | re.DOTALL)
 _WILD = re.compile(r"[*?]")
 

@@ -303,8 +303,12 @@ def boolean_bm25_topk(spark, sf_dir):
         QueryParser keyword-operator surface (== `+data +query -join`,
         see plans/boolean._apply_keyword_ops) through the same
         conjunction kernel.
+    phase 'filter' — `data #spark -join`: an Occur.FILTER clause (ES
+        bool.filter) — spark is REQUIRED for membership and seeds the
+        conjunction but contributes NOTHING to the score; docs with
+        spark but without data serve at score 0.
 
-    Oracle recomputes all three with plain set algebra + BM25 SQL. Lucene
+    Oracle recomputes all four with plain set algebra + BM25 SQL. Lucene
     semantics: BM25 over positive terms, restricted to docs containing
     every must term, minus docs with any must-not term; ties doc_id
     asc."""
@@ -321,6 +325,7 @@ def boolean_bm25_topk(spark, sf_dir):
             ("conj", BOOL_CONJ_QUERY),
             ("should", BOOL_SHOULD_QUERY),
             ("kw", "data AND query NOT join"),
+            ("filter", "data #spark -join"),
         ):
             out += [
                 (phase, int(r["doc_id"]), round(float(r["score"]), 4))

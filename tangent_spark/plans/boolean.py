@@ -8,10 +8,18 @@ IndexStore, Spark-first:
   grammar      bare word   -> SHOULD  (scores, not required)
                +word       -> MUST    (required, scores)
                -word       -> MUST_NOT(excluded, never scores)
+               #word       -> FILTER  (required, NEVER scores —
+                                       Lucene Occur.FILTER /
+                                       ES bool.filter; a pure-filter
+                                       query serves its match set at
+                                       constant score 0)
                "w1 w2 .."  -> PHRASE  (required consecutive run; terms
                                        also score; -"..." excludes)
                clause^B    -> BOOST   (Lucene: idf x B for the
                                        clause's scoring terms)
+               AND OR NOT  -> Lucene classic-QueryParser keyword
+                              operators (also && / || / !), resolved
+                              to +/- pairwise before parsing
 
 Semantics follow the Lucene discipline: a query needs at least one
 positive clause; ranking is plain BM25 over the positive terms
@@ -80,7 +88,7 @@ from tangent_spark.sources.store import IndexStore
 # edge cases). Suffix order follows Lucene: slop then boost
 # ('"a b"~2^1.5').
 _CLAUSE = re.compile(
-    r'([+\-!]?)("([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?(?!\S)|\S+)'
+    r'([+\-!#]?)("([^"]*)"(~\d+)?(\^\d+(?:\.\d+)?)?(?!\S)|\S+)'
 )
 _DANGLING_SLOP = re.compile(r"^~(\d+)$")
 _DANGLING_BOOST = re.compile(r"^\^(\d+(?:\.\d+)?)$")
@@ -154,6 +162,7 @@ class BooleanQuery:
     should: list = field(default_factory=list)      # [term]
     must: list = field(default_factory=list)        # [term]
     must_not: list = field(default_factory=list)    # [term]
+    filters: list = field(default_factory=list)     # [term] required, NON-scoring
     phrases: list = field(default_factory=list)     # [([term, ...], slop)] required
     not_phrases: list = field(default_factory=list)  # [([term, ...], slop)] excluded
     boosts: dict = field(default_factory=dict)      # {term: idf multiplier}
@@ -317,6 +326,12 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
         if not terms:
             continue
         if is_phrase and len(terms) > 1:
+            if mod == "#":
+                raise ValueError(
+                    'filter phrases (#"...") are not supported; use a '
+                    'required scoring phrase (+"..." or bare "...") '
+                    "instead"
+                )
             slop = int(slop_s[1:]) if slop_s else 0
             bucket = out.not_phrases if mod == "-" else out.phrases
             bucket.append((terms, slop))
@@ -330,6 +345,11 @@ def parse_boolean_query(query: str, cfg: IndexConfig) -> BooleanQuery:
         elif mod == "+":
             out.must.extend(terms)
             _note_boost(terms, boost)
+        elif mod == "#":
+            # Lucene BooleanClause.Occur.FILTER / ES bool.filter:
+            # required for membership, contributes NOTHING to the
+            # score (boosting is meaningless and ignored, like must_not)
+            out.filters.extend(terms)
         else:
             out.should.extend(terms)
             _note_boost(terms, boost)
@@ -752,8 +772,10 @@ def _boolean_shard_kernel(
                 if not needed.size:
                     continue
                 ids, tfs, dls = _decode_row_blocks(
-                    row, needed, score=True, cand_ids=filt_cand,
-                    deleted=local_deleted,
+                    # a filter-clause seed is membership-only: skip its
+                    # tf/dl blobs exactly like a must_not decode
+                    row, needed, score=roles.scores(seed),
+                    cand_ids=filt_cand, deleted=local_deleted,
                 )
                 decoded += int(needed.size)
                 seed_ids.append(ids)
@@ -1088,7 +1110,14 @@ def _boolean_plan(
     cfg = store.get_config()
     q = parse_boolean_query(query, cfg)
     qts = q.positive_terms
-    if not qts:
+    filters = sorted(set(q.filters))
+    if not qts and not filters:
+        if not (q.must_not or q.not_phrases) and facet is None:
+            # the query tokenized to nothing at all (punctuation-only,
+            # stopword-stripped) — same contract as the plain-text
+            # path: no terms, no matches, no error. Facet consumers
+            # expect partial-shaped rows, so they keep the error.
+            return spark.createDataFrame([], _OUT_SCHEMA)
         raise ValueError("boolean query needs at least one positive clause")
     if (q.phrases or q.not_phrases) and not cfg.store_positions:
         raise ValueError(
@@ -1106,19 +1135,27 @@ def _boolean_plan(
 
     # one bounded lookup resolves every positive term's df (idf) AND the
     # seed choice; terms absent from the index simply have no idf/rows
+    lookup_terms = sorted(set(qts) | set(filters))
     if df_lookup is not None:
-        dfs = df_lookup(qts)
+        dfs = df_lookup(lookup_terms)
     else:
         dfs = {
             r["term"]: int(r["df"])
-            for r in term_stats.filter(F.col("term").isin(qts)).collect()
+            for r in term_stats.filter(F.col("term").isin(lookup_terms)).collect()
         }
-    if any(t not in dfs for t in must):
-        # a must term absent from the index matches nothing
+    if any(t not in dfs for t in must) or any(t not in dfs for t in filters):
+        # a required term absent from the index matches nothing
         return spark.createDataFrame([], _OUT_SCHEMA)
     idf_map = {
         t: math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)) for t, d in dfs.items()
     }
+    # Occur.FILTER clauses (`#term`) never score: drop their idf unless
+    # the term ALSO appears as a scoring clause (Lucene: `data #data`
+    # is two clauses — membership from the filter, score from the
+    # should). Block-max/threshold bounds see a 0 contribution, exact.
+    for t in filters:
+        if t not in set(qts):
+            idf_map.pop(t, None)
     # Lucene term/phrase boosts (`term^2.5`): scale idf driver-side so
     # BOTH kernel paths' upper bounds (always idf-derived) carry the
     # boost and block-max / threshold pruning stay exact
@@ -1126,10 +1163,14 @@ def _boolean_plan(
         if t in idf_map:
             idf_map[t] *= bst
 
-    if must:
-        seed = min(must, key=lambda t: (dfs[t], t))
-        must_check = [t for t in must if t != seed]
-        all_terms = sorted(set(qts) | set(must_not))
+    required = sorted(set(must) | set(filters))
+    if required:
+        # the seed is the rarest REQUIRED term (must or filter — a
+        # filter term is just as conjunctive, and a rare filter makes
+        # every other decode candidate-restricted for free)
+        seed = min(required, key=lambda t: (dfs[t], t))
+        must_check = [t for t in required if t != seed]
+        all_terms = sorted(set(qts) | set(must_not) | set(filters))
     else:
         seed = None
         must_check = []

@@ -1059,3 +1059,106 @@ def test_keyword_query_warm_matches_cold(spark, store):
     finally:
         s.close()
     assert warm == cold and warm
+
+
+# --- Occur.FILTER clauses (#term — ES bool.filter: required, non-scoring) ----
+
+def test_parse_filter_clauses():
+    cfg = IndexConfig(tokenizer="simple")
+    q = parse_boolean_query("#a b +c -d", cfg)
+    assert (q.filters, q.should, q.must, q.must_not) == (["a"], ["b"], ["c"], ["d"])
+    # boosting a filter is meaningless and ignored (like must_not)
+    q = parse_boolean_query("#a^2 b", cfg)
+    assert q.filters == ["a"] and q.boosts == {}
+    # a filter chunk tokenizing to several tokens keeps them all
+    assert parse_boolean_query("#data-base x", cfg).filters == ["data", "base"]
+    with pytest.raises(ValueError, match="filter phrases"):
+        parse_boolean_query('#"a b" c', cfg)
+
+
+def test_filter_clause_membership_and_scores(spark, store):
+    """`matrix #theorem` must match EXACTLY the docs of
+    `matrix +theorem` but score each as plain BM25 of `matrix` alone
+    (the filter contributes membership, never score) — Lucene
+    Occur.FILTER / ES bool.filter."""
+    from tangent_spark.plans.search import bm25_topk_index_full
+
+    filt = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in boolean_topk(spark, store, "matrix #theorem", 1000).collect()
+    }
+    plus = {
+        int(r["doc_id"])
+        for r in boolean_topk(spark, store, "matrix +theorem", 1000).collect()
+    }
+    assert set(filt) == plus and filt
+    plain = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in bm25_topk_index_full(spark, store, "matrix", 1000).collect()
+    }
+    for d, s in filt.items():
+        # a doc matching the filter but not the should term serves at
+        # score 0 (ES: sum over scoring clauses present = 0)
+        assert s == plain.get(d, 0.0)
+    # a term that is BOTH should and filter scores once (Lucene: two
+    # clauses — membership from the filter, score from the should)
+    both = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in boolean_topk(spark, store, "matrix #matrix", 1000).collect()
+    }
+    for d, s in both.items():
+        assert s == plain[d]  # every match contains matrix here
+
+
+def test_pure_filter_query_scores_zero(spark, store, corpus):
+    """`#matrix #theorem` = ES bool with only filter clauses: the full
+    conjunction match set at constant score 0.0, doc_id order."""
+    _, local = corpus
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in boolean_topk(spark, store, "#matrix #theorem", 1000).collect()
+    ]
+    terms = _doc_terms(local)
+    want_ids = sorted(
+        d for d, ts in terms.items() if "matrix" in ts and "theorem" in ts
+    )
+    assert [d for d, _ in got] == want_ids and want_ids
+    assert all(s == 0.0 for _, s in got)
+
+
+def test_filter_clause_warm_matches_cold(spark, store):
+    q = "matrix convergence #theorem -slow"
+    cold = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in boolean_topk(spark, store, q, 10).collect()
+    ]
+    s = Searcher(spark, store)
+    try:
+        warm = [
+            (int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in s.boolean(q, 10).collect()
+        ]
+    finally:
+        s.close()
+    assert warm == cold and warm
+
+
+def test_filter_clause_mm_counts_should_only(spark, store, corpus):
+    """minimum_should_match counts SHOULD terms only — a filter clause
+    neither satisfies nor consumes mm."""
+    _, local = corpus
+    terms = _doc_terms(local)
+    got = [
+        int(r["doc_id"])
+        for r in boolean_topk(
+            spark, store, "matrix convergence #theorem", 100, min_should_match=2
+        ).collect()
+    ]
+    assert got
+    need = set(tokenize_porter("matrix convergence theorem"))
+    for d in got:
+        assert need <= terms[d]
+
+
+def test_filter_clause_absent_term_matches_nothing(spark, store):
+    assert boolean_topk(spark, store, "matrix #zzzxqqy", 10).count() == 0
