@@ -25,7 +25,7 @@ from typing import Iterator, List
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tangent_spark.functions.tokenize import tokenize_simple
@@ -315,15 +315,21 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star step: every node connects its LARGER neighbors to the
     minimum of its closed neighborhood. E' = {(v, min(Γ(u) ∪ {u})) :
-    v ∈ Γ(u), v > u}. Output edges oriented big->small."""
+    v ∈ Γ(u), v > u}. Output edges oriented big->small.
+
+    min(closed neighborhood) is attached with a WINDOW min over
+    partitionBy(u) — ONE exchange — instead of groupBy + self-join
+    (which costs the same hash(u) exchange for the join probe side PLUS
+    the groupBy exchange PLUS sort-merge sorts). The output is NOT
+    deduped: _small_star's tail distinct dedups the round anyway, and
+    row count stays bounded (exactly one output row per input edge)."""
     g = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = g.groupBy("u").agg(F.min("v").alias("_mn"))
-    mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        g.join(mins, "u")
+        g.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
@@ -332,9 +338,14 @@ def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
     SMALLER neighbors, link them all (and the node) to the minimum.
 
     oriented=True skips the canonicalize + distinct pre-pass — valid
-    when the input is already strictly big->small and deduped, which is
-    exactly what _large_star emits (its output rows are (v, m) with
-    m <= u < v, followed by a distinct). Saves one shuffle per round."""
+    when the input is already strictly big->small (what _large_star
+    emits; duplicate rows are fine, the tail distinct owns dedup).
+
+    Same window-min rewrite as _large_star (one exchange instead of
+    groupBy + join), and the two output legs ((v, m) for non-min
+    neighbors plus the (u, m) self edge) are emitted in ONE pass via
+    explode, so the window is evaluated once — a union of two selects
+    over the windowed frame would run the window subtree twice."""
     if oriented:
         g = e
     else:
@@ -343,12 +354,17 @@ def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-    mins = g.groupBy("u").agg(F.min("v").alias("m"))
+    g = g.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    pair = F.when(
+        F.col("v") != F.col("m"),
+        F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        ),
+    ).otherwise(F.array(F.struct(F.col("u").alias("u"), F.col("m").alias("v"))))
     return (
-        g.join(mins, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mins.select("u", F.col("m").alias("v")))
+        g.select(F.explode(pair).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
     )
 
@@ -359,8 +375,15 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[Dat
     MapReduce and Beyond", SoCC'14). Converges in O(log^2 n) rounds on
     ANY graph shape — including long chains and billion-edge dedup
     graphs where plain min-label propagation needs O(diameter) rounds.
-    Each round is two groupBy shuffles + an equality anti-join;
-    localCheckpoint truncates the iterative lineage so plans stay flat.
+
+    Round cost (round-6 rewrite; labels bit-identical to the
+    groupBy+join formulation, tested): THREE exchanges — large-star
+    window min on u, small-star window min on u, tail distinct — and
+    ONE job: the per-round localCheckpoint is lazy, so the convergence
+    count() both materializes the checkpoint and reads the row count,
+    instead of paying a separate eager-checkpoint job. Superseded
+    checkpoints are unpersisted as rounds advance so executor storage
+    stays bounded on billion-edge graphs.
 
     Returns labels (doc_id, component) covering every node that appears
     in `pairs`, component = min doc_id of the node's component."""
@@ -371,13 +394,14 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[Dat
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_e = e.count()
     rounds = 0
+    prev: DataFrame | None = None
     for _ in range(max_iter):
         rounds += 1
-        nxt = _small_star(_large_star(e), oriented=True).localCheckpoint()
+        nxt = _small_star(_large_star(e), oriented=True).localCheckpoint(eager=False)
         # converged iff the edge sets are identical (both canonical
         # big->small and deduped, so count + one-sided anti-join
         # suffice); the previous round's count is carried over, so each
@@ -387,9 +411,15 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[Dat
             n_nxt == n_e
             and nxt.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
         ):
-            e = nxt
+            if prev is not None:
+                prev.unpersist()
+            prev, e = e, nxt
             break
-        e, n_e = nxt, n_nxt
+        if prev is not None:
+            # two generations back: no longer referenced by any live
+            # plan (nxt is materialized, the convergence join reads e)
+            prev.unpersist()
+        prev, e, n_e = e, nxt, n_nxt
     # converged stars: every non-root points straight at its root
     roots = e.select(F.col("v").alias("doc_id")).distinct().join(
         e.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
