@@ -133,6 +133,57 @@ def terms_df(df: DataFrame, id_col: str, text_col: str, tokenizer: str = "porter
     )
 
 
+def terms_positions_df(
+    df: DataFrame, id_col: str, text_col: str, tokenizer: str = "porter"
+) -> DataFrame:
+    """Documents -> (doc_id, term, tf, dl, positions) in ONE tokenize
+    pass, no shuffle. Emits exactly terms_df's rows (tf = len(positions),
+    dl = doc token count, first-occurrence row order) PLUS positions_df's
+    positions column, so a positional index build tokenizes + stems the
+    corpus once instead of twice (the Porter pass is the build's
+    dominant Python cost; see plans/indexer.py)."""
+    if tokenizer not in ("porter", "simple"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    use_memo = tokenizer == "porter"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            memo: dict = {}
+            doc_ids, terms, tfs, dls, poss = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    continue
+                by_term: dict[str, list[int]] = {}
+                for i, t in enumerate(tokenize_simple(text)):
+                    if use_memo:
+                        s = memo.get(t)
+                        if s is None:
+                            s = memo[t] = stem(t)
+                        t = s
+                    by_term.setdefault(t, []).append(i)
+                dl = sum(len(p) for p in by_term.values())
+                for term, pos in by_term.items():
+                    doc_ids.append(doc_id)
+                    terms.append(term)
+                    tfs.append(len(pos))
+                    dls.append(dl)
+                    poss.append(pos)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "term": terms,
+                    "tf": tfs,
+                    "dl": dls,
+                    "positions": poss,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel,
+        schema="doc_id long, term string, tf int, dl long, positions array<int>",
+    )
+
+
 def positions_df(
     df: DataFrame, id_col: str, text_col: str, tokenizer: str = "porter"
 ) -> DataFrame:

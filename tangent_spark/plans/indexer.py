@@ -147,146 +147,260 @@ def build_index(
     store = IndexStore(out_dir)
     store.set_config(cfg)
 
-    # ---- stage: terms (tokenize + tf) -------------------------------------
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+    from pyspark.storagelevel import StorageLevel
+
+    def _commit_all(tasks: list) -> None:
+        """Run independent stage tasks concurrently (guide §2.6: later
+        jobs back-fill executors freed by an earlier job's straggler
+        tail) and commit each from THIS thread as it completes —
+        manifest writes stay single-threaded, and a crash mid-group
+        loses only uncommitted stages, which resume re-runs."""
+        if not tasks:
+            return
+        if len(tasks) == 1:
+            store.commit_stage(*tasks[0]())
+            return
+        with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                store.commit_stage(*fut.result())
+
+    want_positions = cfg.store_positions and text_col is not None
+    # ONE tokenize pass for positional builds: terms rows and positions
+    # rows come out of the same mapInPandas kernel (the Porter pass is
+    # the build's dominant Python cost — previously paid twice). The
+    # combined frame is persisted (spilling to disk past memory) so the
+    # positions stage re-reads it instead of re-stemming the corpus.
+    combined = None
+
+    # ---- stage group 1: terms (tokenize + tf) ∥ docs dictionary -----------
+    group1 = []
     if not store.stage_done("terms"):
         from tangent_spark.functions.util import ensure_parallelism
 
-        t0 = time.time()
         if text_col is None:
             # fielded build (plans/fielded.py): the caller supplies ALL
             # term rows (field-prefixed, per-field dl) — no catch-all
             # tokenization pass
             if extra_terms is None:
                 raise ValueError("text_col=None requires extra_terms")
-            terms = extra_terms
+            terms_src = extra_terms
         else:
-            terms = terms_df(
-                ensure_parallelism(docs), id_col, text_col, cfg.tokenizer
-            )
+            src = ensure_parallelism(docs)
+            if want_positions and not store.stage_done("positions"):
+                from tangent_spark.functions.tokenize import terms_positions_df
+
+                combined = terms_positions_df(
+                    src, id_col, text_col, cfg.tokenizer
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                terms_src = combined.drop("positions")
+            else:
+                terms_src = terms_df(src, id_col, text_col, cfg.tokenizer)
             if extra_terms is not None:
-                terms = terms.unionByName(extra_terms)
-        terms.write.mode("overwrite").parquet(store.path("terms"))
-        n_rows = spark.read.parquet(store.path("terms")).count()
-        store.commit_stage(
-            "terms", ["terms"], {"term_rows": n_rows, "secs": time.time() - t0}
-        )
+                terms_src = terms_src.unionByName(extra_terms)
+
+        def run_terms():
+            t0 = time.time()
+            spark.sparkContext.setJobDescription("index: terms")
+            # row counts ride the write job itself (Observation) — no
+            # read-back count scan per stage
+            obs = Observation()
+            terms_src.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(store.path("terms"))
+            return (
+                "terms",
+                ["terms"],
+                {"term_rows": int(obs.get["rows"]), "secs": time.time() - t0},
+            )
+
+        group1.append(run_terms)
+
+    if not store.stage_done("docs"):
+
+        def run_docs():
+            t0 = time.time()
+            spark.sparkContext.setJobDescription("index: docs")
+            cols = [F.col(id_col).alias("doc_id")]
+            if url_col:
+                cols.append(F.col(url_col).alias("url"))
+            cols += [F.col(c) for c in cfg.meta_cols]
+            obs = Observation()
+            docs.select(*cols).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            ).write.mode("overwrite").parquet(store.path("docs"))
+            return (
+                "docs",
+                ["docs"],
+                {"n_docs": int(obs.get["rows"]), "secs": time.time() - t0},
+            )
+
+        group1.append(run_docs)
+
+    _commit_all(group1)
 
     terms = spark.read.parquet(store.path("terms"))
 
-    # ---- stage: docs dictionary -------------------------------------------
-    if not store.stage_done("docs"):
-        t0 = time.time()
-        cols = [F.col(id_col).alias("doc_id")]
-        if url_col:
-            cols.append(F.col(url_col).alias("url"))
-        cols += [F.col(c) for c in cfg.meta_cols]
-        docs.select(*cols).write.mode("overwrite").parquet(store.path("docs"))
-        n_docs = spark.read.parquet(store.path("docs")).count()
-        store.commit_stage("docs", ["docs"], {"n_docs": n_docs, "secs": time.time() - t0})
-
-    # ---- stage: stats (vocabulary df/cf + corpus N/avgdl) ------------------
+    # ---- stage group 2: stats ∥ postings ∥ positions ----------------------
+    # All three read only group-1 outputs (terms parquet, docs counter,
+    # the persisted combined frame), so they overlap: the JVM-side
+    # stats/positions shuffles run while the postings encode kernel has
+    # the Python workers busy.
+    group2 = []
     if not store.stage_done("stats"):
-        t0 = time.time()
-        (
-            terms.groupBy("term")
-            .agg(F.count("*").cast("int").alias("df"), F.sum("tf").alias("cf"))
-            .write.mode("overwrite")
-            .parquet(store.path("term_stats"))
-        )
-        n_docs = store.read_manifest()["stages"]["docs"]["counters"]["n_docs"]
-        # avgdl is defined over the UNIFIED term space: dl(doc) = total term
-        # occurrences across fields = sum(tf). For a word-only index this
-        # equals the per-row dl exactly; for the unified (word+formula) index
-        # it is the deterministic cross-field total (F.first("dl") over the
-        # union would be partition-order-dependent and could flip avgdl —
-        # and every BM25 score — between identical builds).
-        corpus = terms.agg(
-            F.lit(n_docs).alias("n_docs"),
-            F.sum("tf").cast("long").alias("total_tokens"),
-            (F.sum("tf") / F.lit(n_docs)).alias("avgdl"),
-        )
-        corpus.write.mode("overwrite").parquet(store.path("corpus_stats"))
-        # reversed term dictionary (Solr ReversedWildcardFilter as table
-        # layout): regenerated with every term_stats rewrite so leading-
-        # wildcard expansion prunes instead of scanning the vocabulary
-        from tangent_spark.plans.wildcard import REV_TABLE, write_rev_terms
 
-        write_rev_terms(spark, store.path("term_stats"), store.path(REV_TABLE))
-        vocab = spark.read.parquet(store.path("term_stats")).count()
-        store.commit_stage(
-            "stats",
-            ["term_stats", "corpus_stats", REV_TABLE],
-            {"vocab": vocab, "n_docs": n_docs, "secs": time.time() - t0},
-        )
-
-    # ---- stage: postings (THE shuffle: repartition by shard + local sort) --
-    if not store.stage_done("postings"):
-        t0 = time.time()
-        shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
-        # Partition on (term, shard): every (term, shard) run lands intact in
-        # one partition, while a head term's runs from different shards spread
-        # across partitions — no single reducer ever owns a global head term.
-        # term-major sort order makes the written parquet files term-sorted,
-        # so query-term filters prune at row-group granularity. No
-        # partitionBy("shard") on write: every query fans out to ALL shards
-        # (doc-sharded layout), so directory-level shard pruning would never
-        # fire and dynamic-partition writes only cost time + small files.
-        postings = (
-            terms.withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
-            .repartition(shard_parts, "term", "shard")
-            .sortWithinPartitions("term", "shard", "doc_id")
-            .mapInPandas(_encode_runs(cfg), schema=POSTINGS_SCHEMA)
-        )
-        postings.write.mode("overwrite").parquet(store.path("postings"))
-        # per-shard lineage counters (north_rule: per-partition lineage+metrics)
-        p = spark.read.parquet(store.path("postings"))
-        metrics = p.groupBy("shard").agg(
-            F.count("*").alias("n_terms"),
-            F.sum("df").alias("n_postings"),
+        def run_stats():
+            t0 = time.time()
+            spark.sparkContext.setJobDescription("index: stats")
+            n_docs = store.read_manifest()["stages"]["docs"]["counters"]["n_docs"]
+            obs = Observation()
             (
-                F.sum(F.length("docs_blob"))
-                + F.sum(F.length("tfs_blob"))
-                + F.sum(F.length("dls_blob"))
-            ).alias("postings_bytes"),
-        )
-        mrows = metrics.collect()  # one action; write the table from rows
-        spark.createDataFrame(mrows, metrics.schema).write.mode("overwrite").parquet(
-            store.path("metrics")
-        )
-        total_postings = sum(r["n_postings"] for r in mrows)
-        total_bytes = sum(r["postings_bytes"] for r in mrows)
-        store.commit_stage(
-            "postings",
-            ["postings", "metrics"],
-            {
-                "shards": len(mrows),
-                "postings": int(total_postings),
-                "postings_bytes": int(total_bytes),
-                "secs": time.time() - t0,
-            },
-        )
+                terms.groupBy("term")
+                .agg(F.count("*").cast("int").alias("df"), F.sum("tf").alias("cf"))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("vocab"),
+                    F.sum("cf").alias("total_tokens"),
+                )
+                .write.mode("overwrite")
+                .parquet(store.path("term_stats"))
+            )
+            vocab = int(obs.get["vocab"])
+            total_tokens = obs.get["total_tokens"]
+            # corpus stats DERIVED from the term_stats write's own
+            # observation instead of a second full terms scan:
+            # sum(cf) == sum(tf) exactly (integer sums), and avgdl is
+            # the same IEEE double division as before. avgdl is defined
+            # over the UNIFIED term space: dl(doc) = total term
+            # occurrences across fields = sum(tf) (F.first("dl") over
+            # the union would be partition-order-dependent and could
+            # flip avgdl — and every BM25 score — between builds).
+            avgdl = (
+                total_tokens / n_docs
+                if total_tokens is not None and n_docs
+                else None
+            )
+            spark.range(1).select(
+                F.lit(n_docs).alias("n_docs"),
+                F.lit(total_tokens).cast("long").alias("total_tokens"),
+                F.lit(avgdl).cast("double").alias("avgdl"),
+            ).write.mode("overwrite").parquet(store.path("corpus_stats"))
+            # reversed term dictionary (Solr ReversedWildcardFilter as
+            # table layout): regenerated with every term_stats rewrite
+            # so leading-wildcard expansion prunes instead of scanning
+            # the vocabulary
+            from tangent_spark.plans.wildcard import REV_TABLE, write_rev_terms
 
-    # ---- stage: positions (optional; phrase/proximity support;
-    # text_col=None fielded builds have no catch-all text to position) ----
-    if cfg.store_positions and text_col is not None and not store.stage_done("positions"):
-        from tangent_spark.functions.tokenize import positions_df
+            write_rev_terms(spark, store.path("term_stats"), store.path(REV_TABLE))
+            return (
+                "stats",
+                ["term_stats", "corpus_stats", REV_TABLE],
+                {"vocab": vocab, "n_docs": n_docs, "secs": time.time() - t0},
+            )
 
-        t0 = time.time()
-        shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
-        # same doc-sharded, term-major-sorted layout as postings so a
-        # phrase query's term filter prunes at row-group granularity and
-        # the per-term scans co-locate with the shard's postings
-        pos = (
-            positions_df(docs, id_col, text_col, cfg.tokenizer)
-            .withColumn("shard", (F.col("doc_id") % cfg.n_shards).cast("int"))
-            .repartition(shard_parts, "term", "shard")
-            .sortWithinPartitions("term", "shard", "doc_id")
-        )
-        pos.write.mode("overwrite").parquet(store.path("positions"))
-        n_rows = spark.read.parquet(store.path("positions")).count()
-        store.commit_stage(
-            "positions", ["positions"], {"position_rows": n_rows, "secs": time.time() - t0}
-        )
+        group2.append(run_stats)
+
+    if not store.stage_done("postings"):
+
+        def run_postings():
+            t0 = time.time()
+            spark.sparkContext.setJobDescription("index: postings")
+            shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
+            # Partition on (term, shard): every (term, shard) run lands
+            # intact in one partition, while a head term's runs from
+            # different shards spread across partitions — no single
+            # reducer ever owns a global head term. term-major sort
+            # order makes the written parquet files term-sorted, so
+            # query-term filters prune at row-group granularity. No
+            # partitionBy("shard") on write: every query fans out to
+            # ALL shards (doc-sharded layout), so directory-level shard
+            # pruning would never fire and dynamic-partition writes
+            # only cost time + small files.
+            postings = (
+                terms.withColumn(
+                    "shard", (F.col("doc_id") % cfg.n_shards).cast("int")
+                )
+                .repartition(shard_parts, "term", "shard")
+                .sortWithinPartitions("term", "shard", "doc_id")
+                .mapInPandas(_encode_runs(cfg), schema=POSTINGS_SCHEMA)
+            )
+            postings.write.mode("overwrite").parquet(store.path("postings"))
+            # per-shard lineage counters (north_rule: per-partition
+            # lineage+metrics)
+            p = spark.read.parquet(store.path("postings"))
+            metrics = p.groupBy("shard").agg(
+                F.count("*").alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+                (
+                    F.sum(F.length("docs_blob"))
+                    + F.sum(F.length("tfs_blob"))
+                    + F.sum(F.length("dls_blob"))
+                ).alias("postings_bytes"),
+            )
+            mrows = metrics.collect()  # one action; write the table from rows
+            spark.createDataFrame(mrows, metrics.schema).write.mode(
+                "overwrite"
+            ).parquet(store.path("metrics"))
+            total_postings = sum(r["n_postings"] for r in mrows)
+            total_bytes = sum(r["postings_bytes"] for r in mrows)
+            return (
+                "postings",
+                ["postings", "metrics"],
+                {
+                    "shards": len(mrows),
+                    "postings": int(total_postings),
+                    "postings_bytes": int(total_bytes),
+                    "secs": time.time() - t0,
+                },
+            )
+
+        group2.append(run_postings)
+
+    # positions (optional; phrase/proximity support; text_col=None
+    # fielded builds have no catch-all text to position)
+    if want_positions and not store.stage_done("positions"):
+
+        def run_positions():
+            t0 = time.time()
+            spark.sparkContext.setJobDescription("index: positions")
+            if combined is not None:
+                src = combined.select("doc_id", "term", "positions")
+            else:
+                # resume path (terms committed by an earlier run): no
+                # combined frame to reuse — tokenize for positions only
+                from tangent_spark.functions.tokenize import positions_df
+
+                src = positions_df(docs, id_col, text_col, cfg.tokenizer)
+            shard_parts = max(cfg.n_shards, spark.sparkContext.defaultParallelism)
+            # same doc-sharded, term-major-sorted layout as postings so
+            # a phrase query's term filter prunes at row-group
+            # granularity and the per-term scans co-locate with the
+            # shard's postings
+            pos = (
+                src.withColumn(
+                    "shard", (F.col("doc_id") % cfg.n_shards).cast("int")
+                )
+                .repartition(shard_parts, "term", "shard")
+                .sortWithinPartitions("term", "shard", "doc_id")
+            )
+            obs = Observation()
+            pos.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(store.path("positions"))
+            return (
+                "positions",
+                ["positions"],
+                {"position_rows": int(obs.get["rows"]), "secs": time.time() - t0},
+            )
+
+        group2.append(run_positions)
+
+    _commit_all(group2)
+
+    if combined is not None:
+        combined.unpersist()
 
     verify_index(spark, store)
     return store
@@ -296,39 +410,73 @@ def verify_index(spark: SparkSession, store: IndexStore) -> None:
     """Index consistency check, the analog of the reference's
     Sum(postings)==ttc==Sum(exprTC) invariant (mathindex.cpp:62-66):
     postings rows must account for exactly the term rows that went in."""
-    n_term_rows = spark.read.parquet(store.path("terms")).count()
-    n_postings = (
-        spark.read.parquet(store.path("postings"))
-        .agg(F.sum("df"))
-        .collect()[0][0]
+    # ONE job for both mass counts: the two aggregate legs are unioned
+    # so Spark schedules their scans concurrently instead of paying two
+    # sequential job launches
+    mass = (
+        spark.read.parquet(store.path("terms"))
+        .agg(F.lit("terms").alias("k"), F.count("*").cast("long").alias("v"))
+        .unionByName(
+            spark.read.parquet(store.path("postings")).agg(
+                F.lit("postings").alias("k"), F.sum("df").cast("long").alias("v")
+            )
+        )
+        .collect()
     )
-    if int(n_postings or 0) != int(n_term_rows):
+    counts = {r["k"]: int(r["v"] or 0) for r in mass}
+    n_term_rows, n_postings = counts["terms"], counts["postings"]
+    if n_postings != n_term_rows:
         raise AssertionError(
             f"index inconsistent: {n_postings} postings != {n_term_rows} term rows"
         )
     # the reversed term dictionary must mirror term_stats exactly
     # (same discipline: regenerated with every stats flip); absent on
     # stores predating it — that is the documented fallback, not an
-    # inconsistency
+    # inconsistency. All four invariants (row parity, r_term ==
+    # reverse(term), no orphans) come out of ONE full-outer-join
+    # aggregate instead of four count jobs — both tables are unique on
+    # term by construction, so the join-side counts equal plain counts.
     from tangent_spark.plans.wildcard import load_rev_terms
 
     rev = load_rev_terms(spark, store)
     if rev is not None:
         ts = spark.read.parquet(store.path("term_stats"))
-        n_ts, n_rev = ts.count(), rev.count()
+        chk = (
+            rev.select("term", "r_term")
+            .withColumn("_rev", F.lit(1))
+            .join(
+                ts.select("term").withColumn("_ts", F.lit(1)),
+                "term",
+                "full_outer",
+            )
+            .agg(
+                F.sum("_rev").alias("n_rev"),
+                F.sum("_ts").alias("n_ts"),
+                F.sum(
+                    F.when(
+                        F.col("_rev").isNotNull()
+                        & (F.reverse(F.col("term")) != F.col("r_term")),
+                        1,
+                    ).otherwise(0)
+                ).alias("bad"),
+                F.sum(
+                    F.when(
+                        F.col("_rev").isNotNull() & F.col("_ts").isNull(), 1
+                    ).otherwise(0)
+                ).alias("orphans"),
+            )
+            .collect()[0]
+        )
+        n_rev, n_ts = int(chk["n_rev"] or 0), int(chk["n_ts"] or 0)
         if n_ts != n_rev:
             raise AssertionError(
                 f"index inconsistent: {n_rev} reversed terms != {n_ts} term_stats rows"
             )
-        bad = rev.filter(F.reverse(F.col("term")) != F.col("r_term")).count()
-        if bad:
+        if int(chk["bad"] or 0):
             raise AssertionError(
-                f"index inconsistent: {bad} reversed-dictionary rows with r_term != reverse(term)"
+                f"index inconsistent: {chk['bad']} reversed-dictionary rows with r_term != reverse(term)"
             )
-        orphans = rev.select("term").join(
-            ts.select("term"), "term", "left_anti"
-        ).count()
-        if orphans:
+        if int(chk["orphans"] or 0):
             raise AssertionError(
-                f"index inconsistent: {orphans} reversed terms missing from term_stats"
+                f"index inconsistent: {chk['orphans']} reversed terms missing from term_stats"
             )

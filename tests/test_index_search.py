@@ -444,3 +444,30 @@ def test_term_boost_batch_rejected(spark, index_store):
             s.topk_batch({"q1": "matrix^2 convergence"}, 5)
     finally:
         s.close()
+
+
+def test_terms_positions_df_matches_separate_passes(spark, corpus):
+    """The build's single-tokenize pass (round 6) must emit exactly
+    terms_df's rows plus positions_df's positions — the terms/positions
+    tables it feeds are byte-compatible with the two-pass build."""
+    from tangent_spark.functions.tokenize import (
+        positions_df,
+        terms_df,
+        terms_positions_df,
+    )
+
+    pages, _ = corpus
+    pages = pages.select("doc_id", "text")
+    combined = terms_positions_df(pages, "doc_id", "text", "porter")
+    t_sep = terms_df(pages, "doc_id", "text", "porter")
+    p_sep = positions_df(pages, "doc_id", "text", "porter")
+
+    t_cmb = combined.select("doc_id", "term", "tf", "dl")
+    assert t_cmb.schema == t_sep.schema
+    assert t_cmb.exceptAll(t_sep).count() == 0
+    assert t_sep.exceptAll(t_cmb).count() == 0
+
+    p_cmb = combined.select("doc_id", "term", "positions")
+    assert p_cmb.schema == p_sep.schema
+    assert p_cmb.exceptAll(p_sep).count() == 0
+    assert p_sep.exceptAll(p_cmb).count() == 0
