@@ -31,6 +31,15 @@ DE_STOP = ["der", "die", "und", "ist", "das", "zu"]
 ID_STOP = ["yang", "dan", "di", "itu", "dengan", "untuk"]
 
 
+def _eq_term(term: str):
+    """Unary lambda factory for higher-order array functions. A plain
+    `lambda x, _t=term: x == _t` would NOT work: PySpark counts lambda
+    parameters to decide unary-vs-binary, and a two-parameter lambda in
+    filter/exists is invoked as (element, index) — the default arg
+    becomes the INDEX column and the comparison silently casts."""
+    return lambda x: x == term
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -124,15 +133,28 @@ def a5_corpus_stats(spark, sf_dir):
         check): n_docs, total_tokens, avgdl;
     phase 'q13'    — distinct matched-doc count for the union query
         (n_docs = count; total_tokens = -1, avgdl = -1, n/a)."""
-    corpus = _dl(spark, sf_dir).agg(
+    # both phases are single aggregate scans over the token ARRAY —
+    # dl == size(tokens) and "doc matched" == exists(token in set), so
+    # neither needs the explode + groupBy shuffle of the naive plan
+    toks = tokens_col_simple(F.col("text"))
+    dls = (
+        _docs(spark, sf_dir)
+        .select(F.size(toks).alias("dl"))
+        .filter(F.col("dl") > 0)  # explode semantics: empty docs have no rows
+    )
+    corpus = dls.agg(
         F.count("*").alias("n_docs"),
-        F.sum("dl").alias("total_tokens"),
+        F.sum("dl").cast("long").alias("total_tokens"),
         F.round(F.avg("dl"), 4).alias("avgdl"),
     ).select(F.lit("corpus").alias("phase"), "n_docs", "total_tokens", "avgdl")
     q13 = (
-        _tf(spark, sf_dir)
-        .filter(F.col("term").isin(UNION_TERMS))
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        _docs(spark, sf_dir)
+        .select(
+            F.arrays_overlap(
+                toks, F.array(*[F.lit(t) for t in UNION_TERMS])
+            ).cast("int").alias("hit")
+        )
+        .agg(F.sum("hit").cast("long").alias("n_docs"))
         .select(
             F.lit("q13").alias("phase"),
             "n_docs",
@@ -144,14 +166,19 @@ def a5_corpus_stats(spark, sf_dir):
 
 
 def p4_dedup_count(spark, sf_dir):
-    """P4: within-doc dedup — tokens vs distinct terms per doc."""
+    """P4: within-doc dedup — tokens vs distinct terms per doc.
+    Zero-exchange: both counts are array functions of the token array
+    (the aggregation boundary is the document, which never spans
+    rows), replacing the explode + groupBy + countDistinct shuffles."""
+    toks = tokens_col_simple(F.col("text"))
     return (
-        _tok(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("term").cast("int").alias("n_unique"),
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("int").alias("n_unique"),
         )
+        .filter(F.col("n_tokens") > 0)  # explode semantics: empty docs drop
     )
 
 
@@ -195,19 +222,29 @@ def q3_or_union(spark, sf_dir):
 
 def q8_dice_topk(spark, sf_dir):
     """Q8/Q9: Tangent Dice F = 2cc/(dl+qtc), top-20 with id tie-break
-    (mathindex.cpp:239-246 semantics transplanted onto word multisets)."""
+    (mathindex.cpp:239-246 semantics transplanted onto word multisets).
+
+    Single-stage plan: per-doc term frequencies come from higher-order
+    array functions over the token array (cc and dl are INTEGER sums,
+    so the values are exactly the explode+join+groupBy plan's), the
+    matched-docs inner join becomes the cc > 0 filter, and the top-20
+    is a TakeOrderedAndProject — zero exchanges before the k-row
+    collect at any corpus size."""
     qtc = sum(DICE_QUERY.values())
-    qdf = spark.createDataFrame(
-        [(t, c) for t, c in sorted(DICE_QUERY.items())], "term string, q_tf int"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col_simple(F.col("text")).alias("toks")
     )
-    cc = (
-        _tf(spark, sf_dir)
-        .join(F.broadcast(qdf), "term")
-        .groupBy("doc_id")
-        .agg(F.sum(F.least("q_tf", "tf")).alias("cc"))
-    )
-    scored = cc.join(_dl(spark, sf_dir), "doc_id").withColumn(
-        "score", F.round(2.0 * F.col("cc") / (F.col("dl") + F.lit(qtc)), 4)
+    cc = None
+    for t, c in sorted(DICE_QUERY.items()):
+        tf_t = F.size(F.filter("toks", _eq_term(t)))
+        term_cc = F.least(F.lit(c), tf_t)
+        cc = term_cc if cc is None else cc + term_cc
+    scored = (
+        docs.select("doc_id", F.size("toks").alias("dl"), cc.alias("cc"))
+        .filter(F.col("cc") > 0)
+        .withColumn(
+            "score", F.round(2.0 * F.col("cc") / (F.col("dl") + F.lit(qtc)), 4)
+        )
     )
     return (
         scored.select("doc_id", "score")
@@ -217,26 +254,47 @@ def q8_dice_topk(spark, sf_dir):
 
 
 def q9_bm25_topk(spark, sf_dir):
-    """Q9 flagship: BM25(k1=1.2,b=0.75) top-20, Lucene idf, id tie-break."""
-    tf = _tf(spark, sf_dir)
-    dl = _dl(spark, sf_dir)
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    """Q9 flagship: BM25(k1=1.2,b=0.75) top-20, Lucene idf, id tie-break.
+
+    Two-scan plan (was five scan subtrees + three exchanges): one
+    1-row broadcast aggregate carries n_docs, avgdl AND all four
+    per-term dfs (df = docs containing the term == the old per-(doc,
+    term) row count, since tf rows were unique per doc-term); the main
+    scan derives tf per query term from the token array with
+    higher-order functions, sums the per-term BM25 parts per row (a
+    zero tf contributes exactly 0.0), and feeds TakeOrderedAndProject
+    directly — no explode, no doc_id join, no groupBy exchange."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col_simple(F.col("text")).alias("toks")
     )
-    matched = tf.filter(F.col("term").isin(BM25_QUERY))
-    dfs = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        matched.join(F.broadcast(dfs), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "part",
-            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf") * (K1 + 1.0)
-            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))),
+    tok = docs.withColumn("dl", F.size("toks")).filter(F.col("dl") > 0)
+    stats_aggs = [
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ]
+    for i, t in enumerate(BM25_QUERY):
+        stats_aggs.append(
+            F.sum(
+                F.exists("toks", _eq_term(t)).cast("int")
+            ).cast("double").alias(f"df{i}")
         )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 4).alias("score"))
+    stats = tok.agg(*stats_aggs)
+    parts = None
+    for i, t in enumerate(BM25_QUERY):
+        tf_t = F.size(F.filter("toks", _eq_term(t)))
+        df_i = F.col(f"df{i}")
+        part = (
+            F.log(F.lit(1.0) + (F.col("n_docs") - df_i + 0.5) / (df_i + 0.5))
+            * tf_t * (K1 + 1.0)
+            / (tf_t + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+        )
+        parts = part if parts is None else parts + part
+    scored = (
+        tok.crossJoin(F.broadcast(stats))
+        .filter(
+            F.arrays_overlap("toks", F.array(*[F.lit(t) for t in BM25_QUERY]))
+        )
+        .select("doc_id", F.round(parts, 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
 
@@ -525,18 +583,30 @@ def tpch_q1(spark, sf_dir):
 
 
 def tpch_q3_topk(spark, sf_dir):
+    """Aggregate-before-join: o_orderkey / c_custkey are primary keys
+    (unique), so the inner joins cannot fan out lineitem rows — per-
+    orderkey revenue groups are identical whether grouped before or
+    after the joins. Pre-aggregating shuffles order-count partials
+    (map-side combined, 3 columns) instead of the full lineitem table,
+    and the joins shrink to existence filters on projected keys."""
     cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-        .groupBy("l_orderkey")
+    rev = (
+        li.groupBy("l_orderkey")
         .agg(
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue")
         )
+    )
+    valid_orders = od.join(
+        F.broadcast(cu.select("c_custkey")),
+        od.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey")
+    return (
+        rev.join(valid_orders, rev.l_orderkey == F.col("o_orderkey"), "left_semi")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -580,40 +650,63 @@ def dedup_exact(spark, sf_dir):
 def minhash_signature(spark, sf_dir):
     """MinHash signatures (4 permutations) over term sets, md5-keyed so
     the hash family is identical in Spark and DuckDB (lexicographic min
-    over hex strings)."""
-    tok = _tok(spark, sf_dir).select("doc_id", "term").distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("term")))).alias(f"mh{i}")
+    over hex strings).
+
+    Computed with ZERO exchanges: min(md5) over the doc's token array
+    via array_min(transform(...)) — min is duplicate-insensitive, so
+    the explode + distinct + groupBy shuffles of the naive plan add
+    nothing. One narrow scan-projection at any corpus size."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col_simple(F.col("text")).alias("toks")
+    )
+    cols = [
+        F.array_min(
+            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
+        ).alias(f"mh{i}")
         for i in range(4)
     ]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return docs.filter(F.size("toks") > 0).select("doc_id", *cols)
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact Jaccard over token-3-gram shingle sets via inverted-index
     self-join (the scalable near-dup pattern: shingle -> candidate pair),
     reporting pairs with J >= 0.2."""
-    docs = _docs(spark, sf_dir)
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens_col_simple(F.col("text"))).alias("pos", "term")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col_simple(F.col("text")).alias("toks")
     )
-    g = (
-        pos.alias("a")
-        .join(pos.alias("b"), (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("b.pos") == F.col("a.pos") + 1))
-        .join(
-            pos.alias("c"),
-            (F.col("a.doc_id") == F.col("c.doc_id")) & (F.col("c.pos") == F.col("a.pos") + 2),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "a.term", "b.term", "c.term").alias("shingle"),
-        )
-        .distinct()
-    )
+    # 3-gram shingles straight off the token array (one narrow pass) —
+    # the old plan posexploded every token and self-joined TWICE on
+    # (doc_id, pos) to reassemble adjacent triples, shuffling the full
+    # token table three times for what is a per-row array slice.
+    # sequence() with stop < start counts DOWN, so guard short docs.
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.get("toks", i),
+                F.get("toks", i + 1),
+                F.get("toks", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # candidate-pair prefilter: a shingle held by ONE doc cannot form a
+    # pair, so drop df=1 shingles before the self-join. The window
+    # count exchanges on shingle — the same key the join needs — so
+    # the exchange is reused and the prefilter costs no extra shuffle
+    # while shrinking the join input to the (rare) shared shingles.
+    g2 = (
+        g.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+    )
     inter = (
-        g.alias("x")
-        .join(g.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        g2.alias("x")
+        .join(g2.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -713,13 +806,26 @@ def doc_signatures(spark, sf_dir):
     md5 fingerprint (rolling-hash analog) AND the 4-permutation MinHash
     signature (md5 hash family — identical in Spark and DuckDB). One
     row per doc: (doc_id, fingerprint, mh0..mh3)."""
-    fp = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir).withColumn(
+        "toks", tokens_col_simple(F.col("text"))
+    )
+    mh = [
+        F.array_min(
+            F.transform("toks", lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
+        ).alias(f"mh{i}")
+        for i in range(4)
+    ]
+    # fingerprint + MinHash in ONE projection over one scan (was: a
+    # doc_id join of two subplans; the join's inner semantics — only
+    # docs with >= 1 token carry a MinHash row — survives as the size
+    # filter)
+    return docs.filter(F.size("toks") > 0).select(
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r]+", " ")).alias(
             "fingerprint"
         ),
+        *mh,
     )
-    return fp.join(minhash_signature(spark, sf_dir), "doc_id")
 
 
 # --- formula operators (rows-only: pair-tuple UDFs are not SQL-expressible) ---
