@@ -239,7 +239,20 @@ def parse_range_clauses(
         conds.append(cond)
         return " "
 
-    rest = _RANGE_CLAUSE.sub(repl, query)
+    # quoted spans are opaque: a range-shaped pattern lying INSIDE a
+    # balanced "..." is phrase text, not a metadata filter — stripping
+    # it would silently change phrase semantics (ADVICE r5). A range
+    # clause whose own VALUE is quoted (`ts:["a b" TO *]`) is fine:
+    # its match starts before the quote span, so it is not inside one.
+    spans = [(m.start(), m.end()) for m in re.finditer(r'"[^"]*"', query)]
+
+    def guarded(m: re.Match) -> str:
+        for s, e in spans:
+            if m.start() >= s and m.end() <= e:
+                return m.group(0)  # inside a quoted phrase — stays text
+        return repl(m)
+
+    rest = _RANGE_CLAUSE.sub(guarded, query)
     return " ".join(rest.split()), (" AND ".join(conds) if conds else None)
 
 
@@ -945,6 +958,7 @@ def _facet_partials(
     vals: np.ndarray,
     rows_counter,
     mode: str = "counts",
+    tasks: int | None = None,
 ) -> DataFrame:
     """Facet plan tail on the kernel route. mode='counts' (default):
     per-shard (value, count) partials -> one hash aggregate over
@@ -956,13 +970,14 @@ def _facet_partials(
     if mode == "stats":
         wrapped = _stats_wrap(kernel, ids, vals, rows_counter)
         partials = _boolean_rows(
-            rows_src, terms, wrapped, shard_partitioned, schema=_STATS_COLS
+            rows_src, terms, wrapped, shard_partitioned, schema=_STATS_COLS,
+            tasks=tasks,
         )
         return _stats_finish(partials)
     wrapped = _facet_wrap(kernel, ids, vals, by_field.name, rows_counter)
     schema = StructType([by_field, StructField("n_docs", LongType(), False)])
     partials = _boolean_rows(
-        rows_src, terms, wrapped, shard_partitioned, schema=schema
+        rows_src, terms, wrapped, shard_partitioned, schema=schema, tasks=tasks
     )
     by = by_field.name
     return (
@@ -978,6 +993,7 @@ def _boolean_rows(
     kernel,
     shard_partitioned: bool,
     schema=_OUT_SCHEMA,
+    tasks: int | None = None,
 ) -> DataFrame:
     """Run the shard kernel over the matched postings rows. Warm
     (shard_partitioned=True): the cached postings are already
@@ -989,6 +1005,12 @@ def _boolean_rows(
     combined postings+positions serving scan pre-filtered by kind)."""
     pf = postings if terms is None else postings.filter(F.col("term").isin(terms))
     if shard_partitioned:
+        if tasks:
+            # cache-size-adaptive task wave (Searcher.query_tasks): the
+            # kernel regroups by shard in-partition, so merging small
+            # cache partitions only cuts per-query task-launch and
+            # Python-worker round trips, never results
+            pf = pf.coalesce(tasks)
 
         def mp(batches):
             rows = [p for p in batches if len(p)]
@@ -1067,6 +1089,7 @@ def _boolean_plan(
     facet=None,
     min_should_match=0,
     unordered_phrases: bool = False,
+    tasks: int | None = None,
 ) -> DataFrame:
     """Shared boolean plan over any postings/term_stats DataFrames —
     cold parquet reads (boolean_topk) or a Searcher's cached, shard-
@@ -1214,9 +1237,11 @@ def _boolean_plan(
         )
         if facet is not None:
             return _facet_partials(
-                rows_src, None, kernel, shard_partitioned, *facet
+                rows_src, None, kernel, shard_partitioned, *facet, tasks=tasks
             )
-        scored = _boolean_rows(rows_src, None, kernel, shard_partitioned)
+        scored = _boolean_rows(
+            rows_src, None, kernel, shard_partitioned, tasks=tasks
+        )
         if cand_df is not None:
             scored = scored.join(cand_df, "doc_id", "left_semi")
         if return_matches:
@@ -1230,9 +1255,11 @@ def _boolean_plan(
             postings = postings.filter(F.col("shard").isin(qshards))
     if facet is not None:
         return _facet_partials(
-            postings, all_terms, kernel, shard_partitioned, *facet
+            postings, all_terms, kernel, shard_partitioned, *facet, tasks=tasks
         )
-    scored = _boolean_rows(postings, all_terms, kernel, shard_partitioned)
+    scored = _boolean_rows(
+        postings, all_terms, kernel, shard_partitioned, tasks=tasks
+    )
     if cand_df is not None:
         scored = scored.join(cand_df, "doc_id", "left_semi")
     if q.phrases or q.not_phrases:

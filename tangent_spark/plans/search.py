@@ -486,15 +486,24 @@ def _score_shard(
             if has_dmax:
                 # per (doc, group): max + tie * (sum - max), then the
                 # groups fall through to the plain cross-group sum
+                # Grouping is a lexsort + reduceat over the two key
+                # arrays — arithmetic packing (doc_id * n_groups + gid)
+                # can overflow int64 for large doc ids (the _MAXDOC
+                # sentinel admits ids up to 2^62), which would silently
+                # merge distinct (doc, group) pairs. Locals are d_-
+                # prefixed: the enclosing sweep owns `order`/`starts`.
                 cat_g = np.concatenate(all_gids)
-                n_g = np.int64(int(dmax_ids.max()) + 1)
-                keys = cat_ids * n_g + cat_g
-                ukeys, kinv = np.unique(keys, return_inverse=True)
-                ksum = np.zeros(ukeys.size, dtype=np.float64)
-                np.add.at(ksum, kinv, cat_c)
-                kmax = np.zeros(ukeys.size, dtype=np.float64)
-                np.maximum.at(kmax, kinv, cat_c)
-                cat_ids = ukeys // n_g
+                d_order = np.lexsort((cat_g, cat_ids))
+                d_ids = cat_ids[d_order]
+                d_g = cat_g[d_order]
+                d_c = cat_c[d_order]
+                d_new = np.empty(d_ids.size, dtype=bool)
+                d_new[0] = True
+                d_new[1:] = (d_ids[1:] != d_ids[:-1]) | (d_g[1:] != d_g[:-1])
+                d_starts = np.flatnonzero(d_new)
+                ksum = np.add.reduceat(d_c, d_starts)
+                kmax = np.maximum.reduceat(d_c, d_starts)
+                cat_ids = d_ids[d_starts]
                 cat_c = (1.0 - dismax_tie) * kmax + dismax_tie * ksum
             uids, inv = np.unique(cat_ids, return_inverse=True)
             sums = np.zeros(uids.size, dtype=np.float64)
@@ -560,6 +569,7 @@ def _wand_plan(
     after=None,
     doc_weights=None,
     term_boosts=None,
+    corpus_df: DataFrame | None = None,
 ) -> DataFrame:
     """The whole query as ONE declarative plan: filter postings to the
     query terms (parquet row-group pruning / in-memory scan), broadcast-
@@ -567,14 +577,42 @@ def _wand_plan(
     kernel, global TakeOrderedAndProject. One Spark job per query.
     `term_boosts` ({term: weight}, Lucene `term^2.5`) scales the idf
     BEFORE it reaches the kernel, so block-max upper bounds (idf *
-    tfn(max_tf, min_dl)) carry the boost and pruning stays exact."""
-    qstats = term_stats.filter(F.col("term").isin(qts)).select(
-        "term",
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        ).alias("idf"),
-    )
+    tfn(max_tf, min_dl)) carry the boost and pruning stays exact.
+
+    `corpus_df` (the 1-row corpus_stats table) folds the corpus stats
+    INTO this plan: idf is computed from the crossJoined n_docs and
+    avgdl rides every row (the kernel's per-row avgdl path, same one
+    the fielded index uses), so the caller never collects corpus_stats
+    in a separate driver job — the cold query is ONE Spark job total.
+    `n_docs`/`avgdl` are ignored then (identical values by
+    construction: same ints, same IEEE division)."""
+    if corpus_df is not None:
+        c = corpus_df.select(
+            F.col("n_docs").cast("double").alias("_nd"),
+            F.when(
+                F.col("avgdl").isNull() | (F.col("avgdl") == 0.0), F.lit(1.0)
+            ).otherwise(F.col("avgdl").cast("double")).alias("avgdl"),
+        )
+        qstats = (
+            term_stats.filter(F.col("term").isin(qts))
+            .crossJoin(F.broadcast(c))
+            .select(
+                "term",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ).alias("idf"),
+                "avgdl",
+            )
+        )
+    else:
+        qstats = term_stats.filter(F.col("term").isin(qts)).select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
     if term_boosts:
         bmap = F.create_map(
             *[F.lit(x) for t, w in term_boosts.items() for x in (t, float(w))]
@@ -585,6 +623,7 @@ def _wand_plan(
                 F.col("idf")
                 * F.coalesce(F.element_at(bmap, F.col("term")), F.lit(1.0))
             ).alias("idf"),
+            *(["avgdl"] if corpus_df is not None else []),
         )
     kern = _score_shard(
         avgdl, cfg, k, deleted=deleted, after=after, doc_weights=doc_weights
@@ -624,19 +663,21 @@ def bm25_topk_wand(
     qts, boosts = split_term_boosts(query, cfg.tokenizer)
     if not qts:
         return spark.createDataFrame([], "doc_id long, score double")
-    cs = spark.read.parquet(store.path("corpus_stats")).collect()[0]
+    # corpus stats ride the plan (corpus_df) instead of a separate
+    # driver collect — the cold query is ONE Spark job end to end
     return _wand_plan(
         spark.read.parquet(store.path("postings")),
         spark.read.parquet(store.path("term_stats")),
         qts,
-        int(cs["n_docs"]),
-        float(cs["avgdl"]) if cs["avgdl"] else 1.0,
+        0,
+        1.0,
         cfg,
         k,
         with_metrics,
         deleted=load_deleted_ids(spark, store),
         after=(float(after[0]), int(after[1])) if after is not None else None,
         term_boosts=boosts,
+        corpus_df=spark.read.parquet(store.path("corpus_stats")),
     )
 
 
@@ -1139,7 +1180,7 @@ class Searcher:
             .sortWithinPartitions("term")
             .persist()
         )
-        self.serving.count()  # materialize the cache
+        n_serving = self.serving.count()  # materialize the cache
         if self._has_positions:
             # narrow views of the one cache (filter is narrow — both
             # keep the shard partitioning and the columnar batch stats)
@@ -1164,10 +1205,29 @@ class Searcher:
         # warm-up need a new Searcher to enter an expansion)
         self._wildcard_cache: dict = {}
         self._fuzzy_cache: dict = {}
-        # one task wave per query: shards are merged into at most
-        # defaultParallelism scan tasks (the kernel regroups by shard
-        # in-partition, so correctness is unaffected)
+        # one task wave per query, SIZED TO THE CACHE: shards are merged
+        # into at most defaultParallelism scan tasks (the kernel
+        # regroups by shard in-partition, so correctness is unaffected),
+        # and a small cache is merged further — every extra task costs a
+        # fixed launch + Python-worker round trip per query (~10 ms
+        # each in local mode), which dominates when the per-task slice
+        # is tiny. Rows-per-task is parameterised (env
+        # TANGENT_QUERY_TASK_ROWS, default 100k); at production sizes
+        # the row count drives this back to one task per shard, so the
+        # cluster-scale plan is unchanged.
+        rows_per_task = int(os.environ.get("TANGENT_QUERY_TASK_ROWS", "100000"))
         self.query_tasks = min(
+            self.cfg.n_shards,
+            spark.sparkContext.defaultParallelism,
+            max(2, math.ceil(n_serving / max(rows_per_task, 1))),
+        )
+        # batches amortize the per-task launch cost across every query
+        # in the batch and their kernel work is CPU-bound (one decode +
+        # score pass PER QUERY per shard group), so they keep the full
+        # task wave — merging a batch onto 2 tasks serializes 42
+        # queries' compute (measured 0.9 s -> 2.4 s on the 42-query
+        # bench batch before this split)
+        self.batch_tasks = min(
             self.cfg.n_shards, spark.sparkContext.defaultParallelism
         )
 
@@ -1304,7 +1364,7 @@ class Searcher:
 
         local = (
             self.postings.filter(F.col("term").isin(all_terms))
-            .coalesce(self.query_tasks)
+            .coalesce(self.batch_tasks)
             .mapInPandas(kernel, schema="query_id string, doc_id long, score double")
         )
         from pyspark.sql import Window
@@ -1348,6 +1408,7 @@ class Searcher:
             serving=self.serving if self._has_positions else None,
             min_should_match=min_should_match,
             unordered_phrases=unordered_phrases,
+            tasks=self.query_tasks,
         )
 
     def wildcard(
@@ -1576,6 +1637,7 @@ class Searcher:
             serving=self.serving if self._has_positions else None,
             min_should_match=min_should_match,
             unordered_phrases=unordered_phrases,
+            tasks=self.query_tasks,
         )
 
     def facets(
@@ -1684,6 +1746,7 @@ class Searcher:
             serving=self.serving if self._has_positions else None,
             facet=facet,
             min_should_match=min_should_match,
+            tasks=self.query_tasks,
         )
         if facet is not None:
             return matches
