@@ -56,7 +56,13 @@ def cpu_ceiling(levels) -> dict[int, float]:
         trials = []
         for _ in range(2):
             if base_aff is not None:
-                os.sched_setaffinity(0, set(range(w)))
+                # pin to the first w CPUs OF THE INHERITED MASK — cpus
+                # 0..w-1 need not exist in a restricted/non-contiguous
+                # container cpuset (e.g. {4..7}), where set(range(w))
+                # raises OSError and aborts the whole scaling run
+                pin = set(sorted(base_aff)[:w])
+                if len(pin) >= w:
+                    os.sched_setaffinity(0, pin)
             try:
                 t0 = time.time()
                 with mp.Pool(w) as p:

@@ -507,3 +507,58 @@ def test_field_query_validates(spark, fielded_store):
     with pytest.raises(ValueError, match="positive"):
         field_query_topk(spark, fielded_store, "matrix^0", 5, BOOSTS)
     assert field_query_topk(spark, fielded_store, "", 5, BOOSTS).count() == 0
+
+
+def test_dismax_kernel_huge_doc_ids():
+    """ADVICE r5: the old (doc_id * n_groups + gid) packing overflowed
+    int64 for doc ids near the 2^62 _MAXDOC sentinel, silently merging
+    distinct (doc, group) pairs. The lexsort grouping must score huge
+    ids exactly like small ones."""
+    import numpy as np
+    import pandas as pd
+
+    from tangent_spark.codec import bm25_tf_norm, encode_posting_list
+    from tangent_spark.config import IndexConfig
+    from tangent_spark.plans.search import _score_shard
+
+    cfg = IndexConfig(n_shards=1, block_size=16)
+    base = np.int64(2**61)
+    ids = np.array([base, base + 1, base + 2], dtype=np.int64)
+    tfs = np.array([3, 1, 2], dtype=np.int64)
+    dls = np.array([10, 10, 10], dtype=np.int64)
+    avgdl, tie = 10.0, 0.3
+
+    def row(term, idf, gid):
+        fd, mt, md, cnt, db, tb, lb, dc, tc, lc = encode_posting_list(
+            ids, tfs, dls, cfg.block_size
+        )
+        return {
+            "shard": 0, "term": term, "idf": idf, "dmax": gid,
+            "max_doc": int(ids[-1]),
+            "first_docs": fd.tolist(), "max_tfs": mt.tolist(),
+            "min_dls": md.tolist(), "counts": cnt.tolist(),
+            "docs_blob": db, "tfs_blob": tb, "dls_blob": lb,
+            "d_cuts": dc.tolist(), "t_cuts": tc.tolist(),
+            "l_cuts": lc.tolist(),
+        }
+
+    pdf = pd.DataFrame([row("f1|t", 1.5, 0), row("f2|t", 0.7, 0),
+                        row("f1|u", 1.1, 1)])
+    kern = _score_shard(avgdl, cfg, 3, dismax_tie=tie)
+    out = kern(pdf).sort_values("doc_id").reset_index(drop=True)
+
+    tfn = bm25_tf_norm(tfs, dls, avgdl, cfg.k1, cfg.b)
+    want = {}
+    for d_i in range(ids.size):
+        c1, c2 = 1.5 * tfn[d_i], 0.7 * tfn[d_i]   # group 0 members
+        g0 = max(c1, c2) + tie * (c1 + c2 - max(c1, c2))
+        g1 = 1.1 * tfn[d_i]                        # group 1 singleton
+        want[int(ids[d_i])] = g0 + g1
+    # NOT iterrows(): an all-numeric row coerces to float64, which
+    # cannot represent ids near 2^61 and would collapse them
+    got = dict(
+        zip(out["doc_id"].astype("int64").tolist(), out["score"].tolist())
+    )
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-12, (d, got[d], want[d])

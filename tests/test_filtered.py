@@ -352,6 +352,18 @@ def test_parse_range_clauses_shapes():
     # literal single quotes are escaped into the SQL string
     assert parse_range_clauses("lang:[a'b TO c] x", F_)[1] == \
         "(lang >= 'a''b' AND lang <= 'c')"
+    # a range-shaped pattern INSIDE a quoted phrase is phrase text, not
+    # a filter (ADVICE r5): the phrase must come through intact
+    assert parse_range_clauses(
+        '"shipped warc_ts:[2025 TO 2026] late" x', F_
+    ) == ('"shipped warc_ts:[2025 TO 2026] late" x', None)
+    # ...while a real clause NEXT TO a quoted phrase still extracts
+    assert parse_range_clauses(
+        '"hello world" warc_ts:[2025 TO 2026]', F_
+    ) == ('"hello world"', "(warc_ts >= '2025' AND warc_ts <= '2026')")
+    # glued to a closing quote (no whitespace) stays text, as before
+    assert parse_range_clauses('"a b"lang:[a TO b] x', F_) == \
+        ('"a b"lang:[a TO b] x', None)
 
 
 def test_api_range_clause_equals_where_twin(spark, store):
