@@ -692,13 +692,23 @@ def dedup_ngram_jaccard(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    # one exchange does triple duty: repartition by shingle satisfies
+    # the (doc_id, shingle) dedup's clustering requirement (hash on a
+    # subset of the dedup key co-locates duplicates), the df window's
+    # partitionBy(shingle), AND the pair self-join's key distribution —
+    # the naive plan paid a separate (doc_id, shingle) distinct
+    # exchange first
+    g = (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .repartition("shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     # candidate-pair prefilter: a shingle held by ONE doc cannot form a
     # pair, so drop df=1 shingles before the self-join. The window
-    # count exchanges on shingle — the same key the join needs — so
-    # the exchange is reused and the prefilter costs no extra shuffle
-    # while shrinking the join input to the (rare) shared shingles.
+    # count rides the same shingle partitioning, so the prefilter costs
+    # no extra shuffle while shrinking the join input to the (rare)
+    # shared shingles.
     g2 = (
         g.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
         .filter(F.col("_df") >= 2)
@@ -729,21 +739,27 @@ def embedding_cosine_topk(spark, sf_dir):
     rrf_k=60) — reported as (rank, doc_id-as-vec_id, rrf-as-cos)."""
     from tangent_spark.plans.hybrid import rrf_fuse
 
+    # norms are attached to each SIDE before the crossJoin — the same
+    # sqrt(sum(x^2)) expression over the same array yields the same
+    # double, but each vector's norm is computed once instead of once
+    # per (probe, vector) pair
+    norm_of = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", norm_of("v"))
     probes = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"),
+        F.col("nv").alias("nq"),
     )
     dot = F.aggregate(
         F.zip_with("q", "v", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    nq = F.sqrt(F.aggregate(F.transform("q", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
-    nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
     scored = (
         probes.crossJoin(emb)
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", F.round(dot / (nq * nv), 4))
+        .withColumn("cos", F.round(dot / (F.col("nq") * F.col("nv")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     cos_phase = (

@@ -420,12 +420,18 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> tuple[Dat
             # plan (nxt is materialized, the convergence join reads e)
             prev.unpersist()
         prev, e, n_e = e, nxt, n_nxt
-    # converged stars: every non-root points straight at its root
-    roots = e.select(F.col("v").alias("doc_id")).distinct().join(
-        e.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti"
-    )
-    labels = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component")).union(
-        roots.select("doc_id", F.col("doc_id").alias("component"))
+    # converged stars: every non-root points straight at its root, and
+    # each non-root u appears exactly once as a left endpoint. Labels
+    # come out of ONE groupBy-min over (edge rows + (v, v) self rows):
+    # a non-root u contributes only (u, root) [min = root]; a root r
+    # contributes only (r, r) [min = r] — identical rows to the old
+    # two-distinct + anti-join + union tail, one exchange instead of
+    # three plus a join.
+    labels = (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("doc_id"), F.col("v").alias("component")))
+        .groupBy("doc_id")
+        .agg(F.min("component").alias("component"))
     )
     return labels, rounds
 
